@@ -1,0 +1,137 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, then compares row count, sorted column names, and
+values (sorted rows, NaN-safe, with exact + tolerance reporting so float
+drift is visible before the real gate runs).
+
+Usage: python tools/check_correctness.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    """Sort columns by name, then rows by value — order-insensitive form."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def keyify(v):
+        if v is None:
+            return (0, "")
+        if isinstance(v, float):
+            return (1, f"{v!r}")
+        return (1, str(v))
+
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(out, key=lambda r: [keyify(v) for v in r])
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def compare(name: str, spark_df, con) -> dict:
+    t0 = time.time()
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    t_spark = time.time() - t0
+
+    t0 = time.time()
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    t_duck = time.time() - t0
+
+    info = {
+        "name": name,
+        "spark_rows": len(spark_rows),
+        "duck_rows": len(duck_rows),
+        "t_spark": round(t_spark, 2),
+        "t_duck": round(t_duck, 2),
+    }
+    if sorted(spark_cols) != sorted(duck_cols):
+        info["status"] = "SCHEMA_MISMATCH"
+        info["detail"] = f"spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+        return info
+    if len(spark_rows) != len(duck_rows):
+        info["status"] = "ROWCOUNT_MISMATCH"
+        return info
+    ns = normalize(spark_rows, spark_cols)
+    nd = normalize(duck_rows, duck_cols)
+    n_exact = 0
+    first_diff = None
+    for rs, rd in zip(ns, nd):
+        if all(values_equal(a, b) for a, b in zip(rs, rd)):
+            n_exact += 1
+        elif first_diff is None:
+            first_diff = (rs, rd)
+    if n_exact == len(ns):
+        info["status"] = "OK"
+    else:
+        info["status"] = "VALUE_MISMATCH"
+        info["n_exact"] = n_exact
+        info["first_diff"] = repr(first_diff)[:400]
+    return info
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo")
+    from x17a5_spark.queries import registry
+    from x17a5_spark.session import get_spark
+
+    QUERIES, ORACLES = registry()
+    wanted = sys.argv[1:] or list(QUERIES)
+    spark = get_spark("check_correctness")
+    con = duck_connection()
+    failures = 0
+    for name in wanted:
+        if name not in QUERIES:
+            print(f"{name}: UNKNOWN")
+            failures += 1
+            continue
+        if name not in ORACLES:
+            try:
+                n = QUERIES[name](spark, SF_DIR).count()
+                print(f"{name}: ROWS_ONLY rows={n}")
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: ERROR {e}")
+                failures += 1
+            continue
+        try:
+            info = compare(name, QUERIES[name](spark, SF_DIR), con)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        status = info.pop("status")
+        print(f"{name}: {status} {info}")
+        if status != "OK":
+            failures += 1
+    print(f"\n{'PASS' if failures == 0 else 'FAIL'} ({failures} failures)")
+    sys.exit(1 if failures else 0)

@@ -1,0 +1,93 @@
+"""Accounting-domain scalar functions (SURVEY.md §2.8 F1/F10/F11/F12).
+
+Each is a pure composition of built-in column expressions so the whole
+cleaning layer stays inside whole-stage codegen — no Python UDFs.
+Behavioral contracts cite the reference (/root/reference) file:line.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def parse_accounting_number(col: Column | str) -> Column:
+    """F1 — ``num_strip``: dirty OCR numeric string -> double (or null).
+
+    Behavior per reference OCRClean.py:30-88:
+      * leading ``(`` marks an accounting negative;
+      * OCR confusions ``I``/``l`` read as ``1``;
+      * every char outside ``[0-9|.-]`` is dropped (the reference's
+        character class keeps literal ``|``, which then fails the final
+        numeric cast — preserved here for parity);
+      * ``-`` kept only in leading position; only the *last* ``.`` kept;
+      * a decimal tail longer than 2 digits is treated as a misplaced
+        OCR period and removed entirely;
+      * bare ``-`` / ``.`` -> 0.0; anything uncastable -> null.
+    """
+    s = F.col(col) if isinstance(col, str) else col
+    s = F.when(s.startswith("("), F.concat(F.lit("-"), s)).otherwise(s)
+    s = F.translate(s, "Il", "11")
+    s = F.regexp_replace(s, r"[^0-9|.\-]", "")
+    s = F.regexp_replace(s, r"(?<!^)-", "")
+    s = F.regexp_replace(s, r"\.(?=[^.]*\.)", "")
+    tail_len = F.length(F.substring_index(s, ".", -1))
+    s = F.when(
+        s.contains(".") & (tail_len > 2), F.regexp_replace(s, r"\.", "")
+    ).otherwise(s)
+    return (
+        F.when(s.isin("-", "."), F.lit(0.0))
+        .otherwise(s.cast("double"))
+    )
+
+
+def is_power_of_ten_ratio(x1: Column, x2: Column) -> Column:
+    """F10 — ``multiple_check`` core predicate (DatabaseUnstructured.py:32-60).
+
+    True when ``x2`` is ``x1`` scaled by an integer power of 10, or when
+    the decimal rendering of ``x2`` is a substring of ``x1``'s with
+    exactly one fewer character (dropped-leading-digit OCR error).
+    Zero on either side is never a match (reference guards division).
+    """
+    lg = F.log10(x2 / x1)
+    power10 = lg == F.floor(lg)
+    s1 = x1.cast("string")
+    s2 = x2.cast("string")
+    substring_drop = s1.contains(s2) & (F.length(s2) == F.length(s1) - 1)
+    return F.when((x1 == 0) | (x2 == 0), F.lit(False)).otherwise(
+        power10 | substring_drop
+    )
+
+
+def epsilon_one_digit_match(x1: Column, x2: Column, tol: float = 0.01) -> Column:
+    """F11 — ``epsilon_error`` (DatabaseUnstructured.py:62-106).
+
+    True when the decimal renderings have equal length and differ in
+    exactly one character position, and the relative difference is
+    within ``tol``. A Levenshtein distance of 1 between equal-length
+    strings is exactly "one substituted character", so the built-in
+    ``levenshtein`` replaces the reference's positional scan.
+    """
+    s1 = x1.cast("string")
+    s2 = x2.cast("string")
+    return (
+        (x1 != 0)
+        & (x2 != 0)
+        & (F.length(s1) == F.length(s2))
+        & (F.levenshtein(s1, s2) == 1)
+        & (F.abs((x1 - x2) / x1) <= tol)
+    )
+
+
+def relative_error_class(err: Column) -> Column:
+    """F12 — ``relative_indicator`` (DatabaseStructured.py:130-148).
+
+    0 -> PERFECT MATCH; (0, 1%) -> BOUNDED MATCH; >= 1% -> GROSS
+    MISMATCH; null -> NOT FOUND.
+    """
+    return (
+        F.when(err.isNull(), F.lit("NOT FOUND"))
+        .when(err == 0, F.lit("PERFECT MATCH"))
+        .when(err < 0.01, F.lit("BOUNDED MATCH"))
+        .otherwise(F.lit("GROSS MISMATCH"))
+    )

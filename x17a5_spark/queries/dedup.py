@@ -1,0 +1,294 @@
+"""Deduplication operators over ``documents`` — the training-data
+pipeline's core: exact (hash groupBy), n-gram Jaccard, MinHash+LSH
+banding, and SimHash.
+
+To make near-dup detection *provable* against the oracle, d2/d3 augment
+the corpus with deterministically perturbed copies (truncate the last
+~10% of tokens, doc_id + 100000) in both engines — the pipeline must
+then recover exactly the planted (original, copy) pairs plus any organic
+ones.
+
+Scale design: the n-gram pair join (d2) is quadratic in hot shingles and
+exists as the small-scale baseline; MinHash banding (d3) is the 100 TB
+path — candidate generation is a self-join on (band_idx, band_hash)
+buckets, linear in corpus size for bounded bucket skew, and every hash
+is md5-derived so results are engine-independent and reshuffle-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from x17a5_spark.functions.text import normalized_fingerprint, tokens, word_shingles
+from x17a5_spark.tables import load_table
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ perturbed near-duplicate copies (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    # floor() before the int cast: Spark's double->int cast truncates but
+    # DuckDB's rounds, so the truncation must be explicit on both sides.
+    keep = F.greatest(F.floor(F.size(toks) * 9 / 10).cast("int"), F.lit(1))
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, keep)).alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+_AUG_SQL = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(toks[1 : greatest(CAST(floor(len(toks) * 9 / 10) AS INT), 1)], ' ')
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+)
+"""
+
+_SHINGLES_SQL = """
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         AS shingle
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+        FROM aug)
+)
+"""
+
+
+def _shingle_table(aug: DataFrame) -> DataFrame:
+    return aug.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("shingle"),
+    )
+
+
+# D1 — exact dedup via normalized-content hash (the 100 TB workhorse:
+# one shuffle on the fingerprint, map-side combine does the rest).
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+D1_SQL = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# D2 — n-gram Jaccard near-dup pairs (small-scale baseline; quadratic in
+# shared-shingle pairs).
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_docs(spark, sf_dir)
+    sh = _shingle_table(aug)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+D2_SQL = f"""
+WITH {_AUG_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
+"""
+
+
+# D3 — MinHash + LSH banding (the scale path). md5-derived hash family
+# (h_i(s) = md5(i || ':' || s), min over shingles) keeps the signature
+# engine-independent; candidates come from band-bucket collisions only,
+# then are confirmed with true Jaccard >= 0.5.
+def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_docs(spark, sf_dir)
+    sh = _shingle_table(aug)
+    rows_per_band = N_MINHASH // N_BANDS
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("h_idx"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "h_idx",
+        F.md5(F.concat_ws(":", F.col("h_idx"), F.col("shingle"))).alias("hval"),
+    )
+    minhash = hashed.groupBy("doc_id", "h_idx").agg(F.min("hval").alias("mh"))
+    bands = (
+        minhash.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws("=", "h_idx", "mh"))))).alias("band_sig"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # confirm candidates with true Jaccard
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ash = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    bsh = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        candidates.join(ash, "id_a")
+        .join(bsh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+D3_SQL = f"""
+WITH {_AUG_SQL.strip()},
+{_SHINGLES_SQL.strip()},
+hashed AS (
+  SELECT doc_id, h.h_idx, md5(CAST(h.h_idx AS VARCHAR) || ':' || shingle) AS hval
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, {N_MINHASH})) AS h_idx) h
+),
+minhash AS (
+  SELECT doc_id, h_idx, min(hval) AS mh FROM hashed GROUP BY doc_id, h_idx
+),
+bands AS (
+  SELECT doc_id, CAST(h_idx // {N_MINHASH // N_BANDS} AS INT) AS band,
+         md5(array_to_string(list_sort(list(CAST(h_idx AS VARCHAR) || '=' || mh)), '|'))
+             AS band_sig
+  FROM minhash GROUP BY 1, 2
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM candidates c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (za.n_shingles + zb.n_shingles - n_common), 6) AS jaccard
+FROM common
+JOIN sizes za ON za.doc_id = id_a
+JOIN sizes zb ON zb.doc_id = id_b
+WHERE round(n_common / (za.n_shingles + zb.n_shingles - n_common), 6) >= 0.5
+"""
+
+
+# D4 — SimHash (16-bit, md5-derived per-token hashes; integer math only,
+# so the signature is exactly reproducible in any engine).
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    h16 = F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("int")
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+        h16.alias("h16"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.expr("CASE WHEN (shiftright(h16, bit) & 1) = 1 THEN 1 ELSE -1 END").alias(
+            "contrib"
+        ),
+    )
+    perbit = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+    return (
+        perbit.withColumn(
+            "bitval",
+            F.expr("CASE WHEN s > 0 THEN shiftleft(1, bit) ELSE 0 END"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash16"))
+    )
+
+
+D4_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                    t -> t <> '')) AS token
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (CAST('0x' || md5(token)[1:4] AS INT) >> b.bit) & 1 = 1
+              THEN 1 ELSE -1 END AS contrib
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+),
+perbit AS (SELECT doc_id, bit, sum(contrib) AS s FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash16
+FROM perbit GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_ngram_jaccard": d2_ngram_jaccard,
+    "d3_minhash_lsh": d3_minhash_lsh,
+    "d4_simhash": d4_simhash,
+}
+
+ORACLES = {
+    "d1_exact_dedup": D1_SQL,
+    "d2_ngram_jaccard": D2_SQL,
+    "d3_minhash_lsh": D3_SQL,
+    "d4_simhash": D4_SQL,
+}

@@ -1,0 +1,141 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+s1 is the exact brute-force cosine top-k baseline: the query set is tiny
+(broadcast), so the plan is a broadcast nested-loop against the candidate
+scan — no shuffle of the big side at any scale; per-pair math is
+``zip_with`` + ``aggregate`` higher-order functions, fully JVM-side.
+
+s2 is the scale path: random-hyperplane LSH bucketing (md5-derived
+deterministic hyperplanes), candidates only within matching buckets —
+at 100 TB candidate generation is an equi-join on bucket signature
+instead of a full cross product. Verified by recall against s1 in
+tests/test_similarity.py (no SQL oracle: the bucketing is not naturally
+SQL-expressible; the driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from x17a5_spark.tables import load_table
+
+N_QUERIES = 10
+TOP_K = 5
+N_PLANES = 8
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic element order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# SIM1 — brute-force cosine top-k (exact baseline).
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), _as_double(F.col("embedding")).alias("q_vec")
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("c_id"), _as_double(F.col("embedding")).alias("c_vec")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        cands.join(F.broadcast(queries), F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "c_id", "cos_sim")
+    )
+
+
+S1_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                                       i -> q.vec[i] * c.vec[i]))
+               / (sqrt(list_sum(list_transform(q.vec, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.vec, x -> x * x)))), 4) AS cos_sim
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM pairs
+)
+SELECT q_id, rank, c_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _hyperplane(p: int, dim: int = 64) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — no RNG state,
+    reproducible across engines and runs."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket_expr(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Sign-of-projection bit signature: bucket id in [0, 2^n_planes)."""
+    total = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(w) for w in _hyperplane(p)])
+        bit = F.when(_dot(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        total = total + bit
+    return total
+
+
+# SIM2 — LSH-bucketed ANN (scale path; rows-only driver check, recall
+# validated in tests against the s1 exact baseline).
+def s2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("bucket", lsh_bucket_expr(F.col("vec")))
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("vec")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        vecs.join(
+            F.broadcast(queries),
+            (F.col("q_bucket") == F.col("bucket")) & (F.col("q_id") != F.col("vec_id")),
+        )
+        .select("q_id", F.col("vec_id").alias("c_id"), sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "c_id", "cos_sim")
+    )
+
+
+QUERIES = {
+    "s1_cosine_topk": s1_cosine_topk,
+    "s2_lsh_ann": s2_lsh_ann,
+}
+
+ORACLES = {
+    "s1_cosine_topk": S1_SQL,
+}

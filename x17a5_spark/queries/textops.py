@@ -1,0 +1,184 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (language-ID, quality scoring, token
+counting, fingerprinting). All built-in column expressions; at 100 TB
+these are embarrassingly parallel scans with no shuffle except the
+final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from x17a5_spark.functions.text import (
+    normalized_fingerprint,
+    punct_ratio,
+    token_count,
+    tokens,
+)
+from x17a5_spark.tables import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword lang-ID
+# heuristic. Deterministic, embedded (no model files).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "en", "por", "que"],
+}
+
+
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + char stats per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).alias(
+            "n_spaces"
+        ),
+    )
+
+
+T1_SQL = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))
+           AS n_tokens,
+       length(text) AS n_chars_computed,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces
+FROM documents
+"""
+
+
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length + punctuation + stopword-ratio features
+    combined into one deterministic score (both engines evaluate the
+    identical formula)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"])))
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(stop_hits / n_tok)
+    length_score = F.least(F.length("text") / 1000.0, F.lit(1.0))
+    score = 0.5 * length_score + 0.3 * (1.0 - punct_ratio(F.col("text"))) + 0.2 * stop_ratio
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+_EN_LIST_SQL = "['" + "', '".join(STOPWORDS["en"]) + "']"
+
+T2_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text, len(toks) AS n_tok,
+         len(list_filter(toks, x -> list_contains({_EN_LIST_SQL}, lower(x)))) AS stop_hits,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text)
+         END AS punct_ratio
+  FROM t
+)
+SELECT doc_id,
+       round(CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END, 6)
+           AS stopword_ratio,
+       round(0.5 * least(length(text) / 1000.0, 1.0)
+             + 0.3 * (1.0 - punct_ratio)
+             + 0.2 * (CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END), 6)
+           AS quality_score
+FROM s
+"""
+
+
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID: hits per language list, argmax with
+    a fixed tiebreak order (en > de > fr > es > unknown)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+
+    def hits(words: list[str]):
+        # single-arg lambda: a second (defaulted) parameter would make
+        # Spark pass the element *index* as that argument.
+        wordlist = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))
+
+    hit_cols = {lang: hits(words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in ("en", "de", "fr", "es"):  # fixed tiebreak priority
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[hits.alias(f"hits_{lang}") for lang, hits in hit_cols.items()],
+        pred.alias("pred_lang"),
+    )
+
+
+def _hits_sql(lang: str) -> str:
+    lst = "['" + "', '".join(STOPWORDS[lang]) + "']"
+    return (
+        f"len(list_filter(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        f" x -> x <> ''), x -> list_contains({lst}, x)))"
+    )
+
+
+T3_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_hits_sql('en')} AS hits_en,
+         {_hits_sql('de')} AS hits_de,
+         {_hits_sql('fr')} AS hits_fr,
+         {_hits_sql('es')} AS hits_es
+  FROM documents
+)
+SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'unknown'
+            WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+            WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+            WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM h
+"""
+
+
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (exact-dup key)
+    plus a leading-64-bit integer form for bucketing."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = normalized_fingerprint(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp_bucket60"),
+    )
+
+
+T4_SQL = """
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       CAST('0x' || md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))[1:15]
+            AS BIGINT) AS fp_bucket60
+FROM documents
+"""
+
+
+QUERIES = {
+    "t1_token_stats": t1_token_stats,
+    "t2_quality_score": t2_quality_score,
+    "t3_lang_id": t3_lang_id,
+    "t4_fingerprint": t4_fingerprint,
+}
+
+ORACLES = {
+    "t1_token_stats": T1_SQL,
+    "t2_quality_score": T2_SQL,
+    "t3_lang_id": T3_SQL,
+    "t4_fingerprint": T4_SQL,
+}

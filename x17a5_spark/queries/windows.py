@@ -1,0 +1,217 @@
+"""Window-function layer (SURVEY.md §2.5 W1-W6) phrased over the
+driver tables: every query partitions by a key and orders by an explicit,
+total order (date + key tiebreak) — the engine's ``row_idx`` discipline.
+
+Scale note: all windows partition by a high-cardinality key (customer /
+user), so state per partition stays tiny and the shuffle is a single
+hash exchange on the partition key — no global sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from x17a5_spark.tables import load_table
+
+# Total order within a customer's order history (ties broken by key so
+# results are deterministic — SURVEY §7 hard part 1). Built lazily:
+# Column objects need an active SparkContext.
+def _ord() -> list:
+    return [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+
+
+_ORD_SQL = "o_orderdate ASC, o_orderkey ASC"
+
+
+# W1 (declared engine form) — running sum over an ordered frame; the
+# reference's lookback-sum scan (DatabaseUnstructured.py:108-184) uses
+# frames like rowsBetween(-j,-1); both frames exercised here.
+def w1_running_and_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(*_ord())
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lookback = w.rowsBetween(-3, -1)
+    price_dec = F.col("o_totalprice").cast("decimal(27,6)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec).over(running).cast("double").alias("running_total"),
+        F.sum(price_dec).over(lookback).cast("double").alias("lookback3_sum"),
+    )
+
+
+W1_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+            OVER (PARTITION BY o_custkey ORDER BY {_ORD_SQL}
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+            OVER (PARTITION BY o_custkey ORDER BY {_ORD_SQL}
+                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+           AS lookback3_sum
+FROM orders
+"""
+
+
+# W2 — first-match position vs group size (OCRTextract.py:344:
+# np.argmax of a predicate, accepted only if in the top half).
+def w2_first_match_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    with_pos = events.withColumn("pos", F.row_number().over(w))
+    return (
+        with_pos.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("pos"))).alias(
+                "first_purchase_pos"
+            ),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn(
+            "in_top_half",
+            F.when(
+                F.col("first_purchase_pos").isNotNull(),
+                F.col("first_purchase_pos") <= F.col("n_events") / 2,
+            ),
+        )
+    )
+
+
+W2_SQL = """
+WITH pos AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS pos
+  FROM events
+)
+SELECT user_id,
+       min(CASE WHEN event_type = 'purchase' THEN pos END) AS first_purchase_pos,
+       count(*) AS n_events,
+       CASE WHEN min(CASE WHEN event_type = 'purchase' THEN pos END) IS NOT NULL
+            THEN min(CASE WHEN event_type = 'purchase' THEN pos END) <= count(*) / 2
+       END AS in_top_half
+FROM pos GROUP BY user_id
+"""
+
+
+# W3 — split-point detection: last index matching a predicate per group
+# (DatabaseSplits.py:53-80: last 'assets' / 'liabilit' match bounds).
+def w3_last_match_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    with_pos = events.withColumn("pos", F.row_number().over(w))
+    return with_pos.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("pos"))).alias(
+            "last_click_pos"
+        ),
+        F.max(F.when(F.col("event_type") == "error", F.col("pos"))).alias(
+            "last_error_pos"
+        ),
+    )
+
+
+W3_SQL = """
+WITH pos AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS pos
+  FROM events
+)
+SELECT user_id,
+       max(CASE WHEN event_type = 'click' THEN pos END) AS last_click_pos,
+       max(CASE WHEN event_type = 'error' THEN pos END) AS last_error_pos
+FROM pos GROUP BY user_id
+"""
+
+
+# W4 — previous-row reference (OCRClean.py:177-193: borrow the prior
+# row's value when the current one is missing).
+def w4_lag_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(*_ord())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        (F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w)).alias("price_delta"),
+    )
+
+
+W4_SQL = f"""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY {_ORD_SQL}) AS prev_price,
+       o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY {_ORD_SQL})
+           AS price_delta
+FROM orders
+"""
+
+
+# W5 — dedup keep-first under an explicit order (DatabaseStructured.py:
+# 225,241: drop_duplicates(['CIK','Filing Year'], keep='first')).
+def w5_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    fiscal = F.year("o_orderdate").alias("order_year")
+    w = Window.partitionBy("o_custkey", F.year("o_orderdate")).orderBy(*_ord())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", fiscal, "o_orderkey", "o_totalprice")
+    )
+
+
+W5_SQL = f"""
+SELECT o_custkey, year(o_orderdate) AS order_year, o_orderkey, o_totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey, year(o_orderdate)
+                               ORDER BY {_ORD_SQL}) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# W6 — carry-forward last non-null per key (OCRClean.py:410-411 +
+# run_ocr.py:96-99: prior filing's unit scale reused for the same CIK).
+def w6_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gated = F.when(F.col("value") >= 50.0, F.col("value"))
+    return events.select(
+        "user_id",
+        "event_id",
+        gated.alias("gated_value"),
+        F.last(gated, ignorenulls=True).over(w).alias("carried_value"),
+    )
+
+
+W6_SQL = """
+SELECT user_id, event_id,
+       CASE WHEN value >= 50.0 THEN value END AS gated_value,
+       last_value(CASE WHEN value >= 50.0 THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+FROM events
+"""
+
+
+QUERIES = {
+    "w1_running_and_lookback": w1_running_and_lookback,
+    "w2_first_match_position": w2_first_match_position,
+    "w3_last_match_split": w3_last_match_split,
+    "w4_lag_previous": w4_lag_previous,
+    "w5_dedup_keep_first": w5_dedup_keep_first,
+    "w6_carry_forward": w6_carry_forward,
+}
+
+ORACLES = {
+    "w1_running_and_lookback": W1_SQL,
+    "w2_first_match_position": W2_SQL,
+    "w3_last_match_split": W3_SQL,
+    "w4_lag_previous": W4_SQL,
+    "w5_dedup_keep_first": W5_SQL,
+    "w6_carry_forward": W6_SQL,
+}

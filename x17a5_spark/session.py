@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode is a correctness harness; the config is written for a real
+cluster: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), Arrow for the pandas-UDF kernels, UTC session timezone so
+results compare bit-for-bit against the DuckDB oracle, and shuffle
+partitions sized by ``SPARK_GRAFT_CPUS`` rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "x17a5_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a 1000-executor cluster the same config applies unchanged except
+    ``master`` and memory sizing, which deployment owns; AQE coalescing
+    makes the shuffle-partition setting a ceiling, not a fixed fanout.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
