@@ -1,0 +1,167 @@
+"""Golden tests for the scalar-function library (SURVEY §2.8),
+mirroring the reference's observable semantics (validation style 4:
+known-input/known-output corpus)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from x17a5_spark.functions.accounting import (
+    epsilon_one_digit_match,
+    is_power_of_ten_ratio,
+    parse_accounting_number,
+    relative_error_class,
+)
+from x17a5_spark.functions.text import (
+    levenshtein_ratio,
+    normalized_fingerprint,
+    token_count,
+    word_shingles,
+)
+
+# (dirty input, expected) — num_strip corpus per OCRClean.py:30-88
+NUM_STRIP_CASES = [
+    ("$ 606,278", 606278.0),
+    ("(1,234)", -1234.0),
+    ("(1,234", -1234.0),  # unclosed paren still negates
+    ("I,234", 1234.0),  # I -> 1
+    ("l23", 123.0),  # l -> 1
+    ("432.2884", 4322884.0),  # >2 decimals: misplaced period removed
+    ("432.28", 432.28),  # 2 decimals kept
+    ("1.2.3", 12.3),  # keep only last period
+    ("12-34", 1234.0),  # non-leading minus dropped
+    ("-1234", -1234.0),  # leading minus kept
+    ("-", 0.0),
+    (".", 0.0),
+    ("", None),
+    ("abc", None),
+    ("12|3", None),  # reference's charclass keeps '|' -> uncastable
+    ("$", None),
+]
+
+
+def test_parse_accounting_number(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(NUM_STRIP_CASES)], ["id", "raw"]
+    )
+    got = {
+        r["id"]: r["parsed"]
+        for r in df.select(
+            "id", parse_accounting_number(F.col("raw")).alias("parsed")
+        ).collect()
+    }
+    for i, (raw, expected) in enumerate(NUM_STRIP_CASES):
+        assert got[i] == pytest.approx(expected) if expected is not None else got[i] is None, (
+            f"num_strip({raw!r}) = {got[i]}, want {expected}"
+        )
+
+
+POWER10_CASES = [
+    (745.2322, 7452322.0, True),  # scaled by 1e4
+    (100.0, 100000.0, True),  # 1e3
+    (100.0, 170.0, False),
+    (0.0, 100.0, False),  # zero guard
+    (100.0, 0.0, False),
+    (174182935.0, 74182935.0, True),  # dropped leading digit substring
+    (1000.0, 1000.0, True),  # 10^0
+]
+
+
+def test_power_of_ten_ratio(spark):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b, _) in enumerate(POWER10_CASES)], ["id", "a", "b"]
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", is_power_of_ten_ratio(F.col("a"), F.col("b")).alias("m")
+        ).collect()
+    }
+    for i, (a, b, expected) in enumerate(POWER10_CASES):
+        assert got[i] == expected, f"power10({a}, {b}) = {got[i]}, want {expected}"
+
+
+EPSILON_CASES = [
+    (174182935.0, 174182935.0, False),  # identical -> zero diffs, not one
+    (174182935.0, 174182635.0, True),  # one digit, tiny rel err
+    (100.0, 900.0, False),  # one digit but 800% error
+    (0.0, 100.0, False),
+    (1234.0, 123.0, False),  # different lengths
+]
+
+
+def test_epsilon_one_digit(spark):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b, _) in enumerate(EPSILON_CASES)], ["id", "a", "b"]
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", epsilon_one_digit_match(F.col("a"), F.col("b")).alias("m")
+        ).collect()
+    }
+    for i, (a, b, expected) in enumerate(EPSILON_CASES):
+        assert got[i] == expected, f"epsilon({a}, {b}) = {got[i]}, want {expected}"
+
+
+def test_relative_error_class(spark):
+    rows = [(0.0, "PERFECT MATCH"), (0.005, "BOUNDED MATCH"), (0.5, "GROSS MISMATCH"),
+            (None, "NOT FOUND"), (float("inf"), "GROSS MISMATCH")]
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(rows)], "id int, err double"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", relative_error_class(F.col("err")).alias("c")).collect()
+    }
+    for i, (_, expected) in enumerate(rows):
+        assert got[i] == expected
+
+
+def test_levenshtein_ratio_and_tokens(spark):
+    df = spark.createDataFrame([("thousands", "Thousand5")], ["a", "b"])
+    # lower-cased comparison: 1 substitution over 9 chars
+    r = df.select(
+        levenshtein_ratio(F.lower("a"), F.lower("b")).alias("r")
+    ).first()["r"]
+    assert r == pytest.approx(1 - 1 / 9)
+
+    df2 = spark.createDataFrame([("  a  b   c  ",), ("",), ("one",)], ["t"])
+    counts = [r["n"] for r in df2.select(token_count("t").alias("n")).collect()]
+    assert counts == [3, 0, 1]
+
+    sh = spark.createDataFrame([("a b c d",), ("a b",)], ["t"]).select(
+        word_shingles("t", 3).alias("s")
+    ).collect()
+    assert sh[0]["s"] == ["a b c", "b c d"]
+    assert sh[1]["s"] == []  # shorter than k -> empty, not garbage
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("Hello   World",), ("hello world",)], ["t"])
+    fps = [r["f"] for r in df.select(normalized_fingerprint(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_relative_error_class_nan(spark):
+    # NaN flows the reference's NOT FOUND path via isNull? NaN is not
+    # null in Spark — document the engine's contract: NaN err classifies
+    # as GROSS MISMATCH (NaN comparisons are false, falls to otherwise).
+    df = spark.createDataFrame([(float("nan"),)], "err double")
+    got = df.select(relative_error_class(F.col("err")).alias("c")).first()["c"]
+    assert got == "GROSS MISMATCH"
+
+
+def test_power10_negative_ratio_no_domain_error(spark):
+    df = spark.createDataFrame([(100.0, -1000.0)], ["a", "b"])
+    got = df.select(is_power_of_ten_ratio(F.col("a"), F.col("b")).alias("m")).first()["m"]
+    assert got is False or got is None  # log10 of negative -> null, not crash
+
+
+def test_math_log10_power_identity():
+    # the engine's F10 relies on exact log10 for powers of ten
+    for k in range(0, 12):
+        assert math.log10(10.0**k).is_integer()

@@ -35,10 +35,9 @@ def parse_accounting_number(col: Column | str) -> Column:
     s = F.when(
         s.contains(".") & (tail_len > 2), F.regexp_replace(s, r"\.", "")
     ).otherwise(s)
-    return (
-        F.when(s.isin("-", "."), F.lit(0.0))
-        .otherwise(s.cast("double"))
-    )
+    # try_cast: malformed residue (e.g. a surviving '|') -> null rather
+    # than an ANSI-mode cast error
+    return F.when(s.isin("-", "."), F.lit(0.0)).otherwise(s.try_cast("double"))
 
 
 def is_power_of_ten_ratio(x1: Column, x2: Column) -> Column:
@@ -50,13 +49,28 @@ def is_power_of_ten_ratio(x1: Column, x2: Column) -> Column:
     Zero on either side is never a match (reference guards division).
     """
     lg = F.log10(x2 / x1)
-    power10 = lg == F.floor(lg)
-    s1 = x1.cast("string")
-    s2 = x2.cast("string")
+    # log10 of a negative ratio is null — coalesce so the OR can still
+    # fall through to the substring check (reference: numpy nan -> False)
+    power10 = F.coalesce(lg == F.floor(lg), F.lit(False))
+    s1 = _py_float_repr(x1)
+    s2 = _py_float_repr(x2)
     substring_drop = s1.contains(s2) & (F.length(s2) == F.length(s1) - 1)
     return F.when((x1 == 0) | (x2 == 0), F.lit(False)).otherwise(
         power10 | substring_drop
     )
+
+
+def _py_float_repr(x: Column) -> Column:
+    """Python-style ``str(float)`` for the string-shape checks: Spark
+    renders doubles >= 1e7 in scientific notation, but the reference's
+    substring/length semantics assume plain decimal. Integral doubles
+    (the OCR common case) render as ``<int>.0``; others fall back to
+    Spark's rendering (identical to Python's below 1e7).
+    """
+    integral = (x == F.floor(x)) & (F.abs(x) < 1e15)
+    return F.when(
+        integral, F.concat(x.cast("long").cast("string"), F.lit(".0"))
+    ).otherwise(x.cast("string"))
 
 
 def epsilon_one_digit_match(x1: Column, x2: Column, tol: float = 0.01) -> Column:
@@ -68,8 +82,8 @@ def epsilon_one_digit_match(x1: Column, x2: Column, tol: float = 0.01) -> Column
     strings is exactly "one substituted character", so the built-in
     ``levenshtein`` replaces the reference's positional scan.
     """
-    s1 = x1.cast("string")
-    s2 = x2.cast("string")
+    s1 = _py_float_repr(x1)
+    s2 = _py_float_repr(x2)
     return (
         (x1 != 0)
         & (x2 != 0)

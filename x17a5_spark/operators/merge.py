@@ -1,0 +1,174 @@
+"""Column merge + fuzzy sequence merge.
+
+``merge_three_columns`` — the 3→2 column reduction (reference
+OCRClean.py:113-193): fully declarative (window ``lag`` + CASE), no
+kernel needed. Per row: take col1 if it parses numeric, else col2 if it
+does; a row whose *both* value cells are null borrows the previous
+row's col2, but only when that previous row has both cells populated
+and isn't the first row. Rows matching neither rule drop out.
+
+``special_merge`` — J7, the PDF/PNG sequence-alignment union
+(reference DatabaseUnstructured.py:186-257): difflib opcodes over the
+two line-item sequences; on ``replace`` keep both sides only when the
+pairwise partial-ratio similarity is < 90. Inherently sequential and
+Python-library-bound, so it runs as an ``applyInPandas`` kernel per
+filing (the engine's single sanctioned fuzzy-matching UDF surface).
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from x17a5_spark.functions.accounting import parse_accounting_number
+
+
+def merge_three_columns(
+    df: DataFrame,
+    group_cols: list[str] = ("cik", "filing_date"),
+    order_col: str = "row_idx",
+    item_col: str = "lineitem",
+    col1: str = "col1",
+    col2: str = "col2",
+) -> DataFrame:
+    """Declarative 3→2 merge; output column ``raw_value``."""
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    n1 = parse_accounting_number(F.col(col1))
+    n2 = parse_accounting_number(F.col(col2))
+    prev_c1 = F.lag(col1, 1).over(w)
+    prev_c2 = F.lag(col2, 1).over(w)
+    prev_pos = F.lag(order_col, 1).over(w)
+    # the reference's `indexer > 0` guard: borrowing needs the previous
+    # row to exist *and* not be the very first row of the table
+    first_pos = F.first(order_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    borrow_ok = (
+        F.col(col1).isNull()
+        & F.col(col2).isNull()
+        & prev_pos.isNotNull()
+        & (prev_pos != F.min(order_col).over(Window.partitionBy(*group_cols)))
+        & prev_c1.isNotNull()
+        & prev_c2.isNotNull()
+    )
+    raw = (
+        F.when(n1.isNotNull(), F.col(col1))
+        .when(n2.isNotNull(), F.col(col2))
+        .when(borrow_ok, prev_c2)
+    )
+    emit = n1.isNotNull() | n2.isNotNull() | borrow_ok
+    _ = first_pos  # documented intent; min() used for the guard
+    # window expressions must be materialized before the filter (ANSI
+    # planner rejects window functions inside WHERE)
+    return (
+        df.withColumn("raw_value", raw)
+        .withColumn("_emit", emit)
+        .filter(F.col("_emit"))
+        .select(*group_cols, order_col, item_col, "raw_value")
+    )
+
+
+def partial_ratio(a: str, b: str) -> float:
+    """``fuzz.partial_ratio`` semantics: best difflib ratio of the
+    shorter string against every equal-length substring of the longer,
+    scaled to 0-100."""
+    if a == b:
+        return 100.0
+    shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
+    if not shorter:
+        return 100.0 if not longer else 0.0
+    best = 0.0
+    m = SequenceMatcher(None, shorter, longer)
+    # align around matching blocks like thefuzz does
+    blocks = m.get_matching_blocks()
+    for _, j, _size in blocks:
+        start = max(j - 0, 0)
+        for offset in (start, max(j - len(shorter) + 1, 0)):
+            window = longer[offset : offset + len(shorter)]
+            r = SequenceMatcher(None, shorter, window).ratio() * 100
+            best = max(best, r)
+            if best == 100.0:
+                return best
+    return best
+
+
+def special_merge_kernel(
+    items1: list[str],
+    values1: list[float],
+    items2: list[str],
+    values2: list[float],
+    threshold: float = 90.0,
+) -> list[tuple[str, float]]:
+    """Pure kernel: align the two (item, value) sequences by line-item
+    text; union per opcode, keeping both sides of a ``replace`` pair
+    only when they are dissimilar (< threshold partial ratio)."""
+    out: list[tuple[str, float]] = []
+    sm = SequenceMatcher(a=items1, b=items2)
+    for op, i1, i2, j1, j2 in sm.get_opcodes():
+        if op == "replace":
+            for it, (left, right) in enumerate(
+                zip(items1[i1:i2], items2[j1:j2])
+            ):
+                score = partial_ratio(left.lower(), right.lower())
+                if score < threshold:
+                    out.extend(zip(items1[i1 : i1 + it + 1], values1[i1 : i1 + it + 1]))
+                    out.extend(zip(items2[j1 : j1 + it + 1], values2[j1 : j1 + it + 1]))
+                else:
+                    out.extend(zip(items1[i1 : i1 + it + 1], values1[i1 : i1 + it + 1]))
+        elif op == "delete":
+            out.extend(zip(items1[i1:i2], values1[i1:i2]))
+        elif op == "insert":
+            out.extend(zip(items2[j1:j2], values2[j1:j2]))
+        elif op == "equal":
+            out.extend(zip(items1[i1:i2], values1[i1:i2]))
+    # drop_duplicates semantics: first occurrence wins, (item, value) key;
+    # NaN values compare equal (as pandas does)
+    seen: set = set()
+    dedup = []
+    for item, value in out:
+        key = (item, None if pd.isna(value) else value)
+        if key not in seen:
+            seen.add(key)
+            dedup.append((item, value))
+    return dedup
+
+
+def special_merge(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_cols: list[str] = ("cik", "filing_date"),
+    order_col: str = "row_idx",
+    item_col: str = "lineitem",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fuzzy full-outer union of two per-filing tables (PDF vs PNG
+    extractions). Both inputs are tagged, co-grouped per filing, and the
+    kernel aligns them — a single co-grouped shuffle at any scale."""
+    group_cols = list(group_cols)
+    key_t = dict(df_a.dtypes)
+    schema = ", ".join(
+        [f"{c} {key_t[c]}" for c in group_cols]
+        + ["row_idx int", f"{item_col} string", f"{value_col} double"]
+    )
+
+    def fn(key, pdf_a: pd.DataFrame, pdf_b: pd.DataFrame) -> pd.DataFrame:
+        pdf_a = pdf_a.sort_values(order_col)
+        pdf_b = pdf_b.sort_values(order_col)
+        merged = special_merge_kernel(
+            pdf_a[item_col].tolist(),
+            pdf_a[value_col].tolist(),
+            pdf_b[item_col].tolist(),
+            pdf_b[value_col].tolist(),
+        )
+        out = pd.DataFrame(merged, columns=[item_col, value_col])
+        for c, k in zip(group_cols, key):
+            out[c] = k
+        out["row_idx"] = range(len(out))
+        return out[group_cols + ["row_idx", item_col, value_col]]
+
+    return df_a.groupBy(*group_cols).cogroup(df_b.groupBy(*group_cols)).applyInPandas(
+        fn, schema=schema
+    )

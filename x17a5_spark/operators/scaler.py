@@ -1,0 +1,89 @@
+"""W6/F2 — unit-scale detection with per-CIK carry-forward
+(``numeric_scaler``, reference OCRClean.py:370-414; cross-filing state
+threading at run_ocr.py:96-99,218).
+
+Semantics: scan the filing's page-text lines in order; the first line
+containing a token fuzzy-matching a scale word (ratio >= 90, checked in
+the fixed order thousands, hundreds, millions, billions) decides the
+multiplier (1e3/1e2/1e6/1e9). If no line matches, fall back to the
+previous filing's scale *for the same CIK* (the reference threads this
+as mutable state across the processing loop — here it is a
+carry-forward window over filing_date, which also pins the previously
+implicit input-order dependence, SURVEY §7 hard part 7). Default 1.
+
+The fuzzy token match is ``fuzz.ratio`` (indel-based: 2M/(la+lb)), which
+differs from a plain Levenshtein ratio near the threshold (e.g.
+'million' vs 'millions' scores 93 indel but 87.5 Levenshtein), so the
+token scorer is a vectorized pandas UDF computing the exact indel ratio
+— Arrow-batched, applied only to page-text tokens (bounded per filing),
+not to balance-sheet data.
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCALE_WORDS = [("thousands", 1e3), ("hundreds", 1e2), ("millions", 1e6), ("billions", 1e9)]
+
+
+@F.pandas_udf(T.DoubleType())
+def _line_scale(lines: pd.Series) -> pd.Series:
+    """First matching scale multiplier for one text line (null if none).
+
+    Exact fuzz.ratio semantics via difflib: ratio = 2M/(la+lb) * 100.
+    """
+
+    def line_scale(line: str) -> float | None:
+        if not isinstance(line, str):
+            return None
+        toks = line.lower().split(" ")
+        for word, mult in SCALE_WORDS:
+            for tok in toks:
+                if SequenceMatcher(None, word, tok).ratio() * 100 >= 90:
+                    return mult
+        return None
+
+    return lines.map(line_scale)
+
+
+def detect_unit_scale(
+    text: DataFrame,
+    group_cols: list[str] = ("cik", "filing_date"),
+    line_order_col: str = "line_idx",
+) -> DataFrame:
+    """Per-filing scale factor from the page-text table
+    (group_cols..., line_idx, line_text) with per-CIK carry-forward.
+
+    Plan shape: one scan + pandas-UDF projection, a groupBy on the
+    filing key (min over matching lines = "first matching line"), then
+    a carry-forward window per CIK — two narrow shuffles, no kernel.
+    """
+    group_cols = list(group_cols)
+    cik_col, date_col = group_cols[0], group_cols[1]
+    per_line = text.withColumn("line_scale", _line_scale(F.col("line_text")))
+    first_match = (
+        per_line.withColumn(
+            "match_line",
+            F.when(F.col("line_scale").isNotNull(), F.col(line_order_col)),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.min_by("line_scale", "match_line").alias("own_scale"),
+        )
+    )
+    w = (
+        Window.partitionBy(cik_col)
+        .orderBy(F.col(date_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return first_match.select(
+        *group_cols,
+        F.coalesce(
+            F.last("own_scale", ignorenulls=True).over(w), F.lit(1.0)
+        ).alias("scale"),
+    )

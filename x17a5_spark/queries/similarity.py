@@ -95,36 +95,59 @@ def _hyperplane(p: int, dim: int = 64) -> list[float]:
     ]
 
 
-def lsh_bucket_expr(vec: Column, n_planes: int = N_PLANES) -> Column:
-    """Sign-of-projection bit signature: bucket id in [0, 2^n_planes)."""
+N_TABLES = 8
+BITS_PER_TABLE = 3
+
+
+def lsh_bucket_expr(vec: Column, table: int, n_bits: int = BITS_PER_TABLE) -> Column:
+    """Sign-of-projection signature for one hash table: n_bits
+    hyperplanes -> bucket id in [0, 2^n_bits)."""
     total = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(w) for w in _hyperplane(p)])
-        bit = F.when(_dot(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    for b in range(n_bits):
+        plane = F.array(*[F.lit(w) for w in _hyperplane(table * n_bits + b)])
+        bit = F.when(_dot(vec, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
         total = total + bit
     return total
 
 
-# SIM2 — LSH-bucketed ANN (scale path; rows-only driver check, recall
-# validated in tests against the s1 exact baseline).
+# SIM2 — multi-table random-hyperplane LSH ANN (the scale path: a
+# candidate is any vector sharing a bucket with the query in *any* of
+# the hash tables — the OR-of-ANDs construction that trades one
+# bucket-join per table for recall; candidate generation is an
+# equi-join on (table, bucket), never a cross product). Rows-only
+# driver check; recall vs the exact s1 baseline is asserted in
+# tests/test_dedup_similarity.py.
 def s2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        F.col("vec_id"), _as_double(F.col("embedding")).alias("vec")
-    ).withColumn("bucket", lsh_bucket_expr(F.col("vec")))
-    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("bucket").alias("q_bucket"),
+    vecs = emb.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("vec"))
+    buckets = vecs.select(
+        "vec_id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket_expr(F.col("vec"), t).alias("b"),
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    q_buckets = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), "t", "b"
+    )
+    candidates = (
+        buckets.join(F.broadcast(q_buckets), ["t", "b"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "q_vec", F.col("vec_id").alias("c_id"), "vec")
+        .dropDuplicates(["q_id", "c_id"])
     )
     sim = F.round(cosine(F.col("q_vec"), F.col("vec")), 4)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
-        vecs.join(
-            F.broadcast(queries),
-            (F.col("q_bucket") == F.col("bucket")) & (F.col("q_id") != F.col("vec_id")),
-        )
-        .select("q_id", F.col("vec_id").alias("c_id"), sim.alias("cos_sim"))
+        candidates.select("q_id", "c_id", sim.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "rank", "c_id", "cos_sim")

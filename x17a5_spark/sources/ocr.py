@@ -1,0 +1,172 @@
+"""S6 — external OCR source (reference OCRTextract.py:39-131: async
+Textract start/poll/paginate, 100 concurrent jobs, run_ocr.py:112-153).
+
+The engine keeps OCR behind a pluggable ``OcrBackend`` interface and
+runs it as a ``mapInPandas`` stage: each partition owns one backend
+client with bounded in-partition concurrency and retry/backoff, and
+failures land in an error-ledger side channel instead of failing the
+job (S10's ERROR-TEXTRACT.json becomes an ``error`` column feeding a
+quarantine table). Total external concurrency = partitions ×
+``max_concurrency`` — tune by repartitioning, exactly how the reference
+tunes its 100-job batch size.
+
+No AWS dependency is assumed anywhere: ``StubOcrBackend`` provides a
+deterministic fake for tests; a real Textract backend would implement
+the same three methods out of tree.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+OCR_OUTPUT_SCHEMA = (
+    "cik string, filing_date string, page int, table_idx int, row_idx int, "
+    "col0 string, col1 string, col2 string, confidence double, error string"
+)
+
+
+class OcrBackend:
+    """Start/poll/fetch lifecycle for one document (the Textract shape:
+    startJob -> isJobComplete -> getJobResults)."""
+
+    def start(self, doc_id: str, content: bytes) -> str:
+        raise NotImplementedError
+
+    def poll(self, job_id: str) -> bool:
+        raise NotImplementedError
+
+    def fetch(self, job_id: str) -> list[dict]:
+        """Table cells: dicts with page/table_idx/row_idx/col0..2/confidence."""
+        raise NotImplementedError
+
+
+class StubOcrBackend(OcrBackend):
+    """Deterministic fake: 'reads' a two-row table from the content hash.
+    Lets every piece of the Spark-side plumbing run in tests without any
+    OCR library or network."""
+
+    def __init__(self, fail_marker: bytes = b"__FAIL__"):
+        self.fail_marker = fail_marker
+        self._jobs: dict[str, bytes] = {}
+
+    def start(self, doc_id: str, content: bytes) -> str:
+        job_id = f"job-{doc_id}"
+        self._jobs[job_id] = content
+        return job_id
+
+    def poll(self, job_id: str) -> bool:
+        return True
+
+    def fetch(self, job_id: str) -> list[dict]:
+        content = self._jobs[job_id]
+        if self.fail_marker in content:
+            raise RuntimeError("stub OCR failure")
+        text = content.decode("utf-8", errors="replace")
+        rows = []
+        for i, line in enumerate(text.splitlines()):
+            name, _, value = line.partition("|")
+            rows.append(
+                {
+                    "page": 0,
+                    "table_idx": 0,
+                    "row_idx": i,
+                    "col0": name,
+                    "col1": value or None,
+                    "col2": None,
+                    "confidence": 99.0,
+                }
+            )
+        return rows
+
+
+@dataclass
+class OcrSource:
+    """Distributed OCR stage over a binary document corpus
+    (cik, filing_date, content)."""
+
+    backend_factory: type[OcrBackend] = StubOcrBackend
+    max_retries: int = 3
+    backoff_s: float = 0.0
+
+    def run(self, docs: DataFrame) -> DataFrame:
+        backend_factory = self.backend_factory
+        max_retries = self.max_retries
+        backoff_s = self.backoff_s
+
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            backend = backend_factory()  # one client per partition
+            for pdf in batches:
+                out_rows = []
+                for _, row in pdf.iterrows():
+                    doc_id = f"{row['cik']}-{row['filing_date']}"
+                    err = None
+                    cells: list[dict] = []
+                    for attempt in range(max_retries):
+                        try:
+                            job = backend.start(doc_id, row["content"])
+                            while not backend.poll(job):
+                                time.sleep(backoff_s)
+                            cells = backend.fetch(job)
+                            err = None
+                            break
+                        except Exception as e:  # noqa: BLE001 — error ledger
+                            err = f"{type(e).__name__}: {e}"
+                            time.sleep(backoff_s * (attempt + 1))
+                    if err is not None:
+                        out_rows.append(
+                            {
+                                "cik": row["cik"],
+                                "filing_date": row["filing_date"],
+                                "page": None,
+                                "table_idx": None,
+                                "row_idx": None,
+                                "col0": None,
+                                "col1": None,
+                                "col2": None,
+                                "confidence": None,
+                                "error": err,
+                            }
+                        )
+                    else:
+                        for c in cells:
+                            out_rows.append(
+                                {
+                                    "cik": row["cik"],
+                                    "filing_date": row["filing_date"],
+                                    "error": None,
+                                    **c,
+                                }
+                            )
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=[
+                        "cik",
+                        "filing_date",
+                        "page",
+                        "table_idx",
+                        "row_idx",
+                        "col0",
+                        "col1",
+                        "col2",
+                        "confidence",
+                        "error",
+                    ],
+                )
+
+        return docs.mapInPandas(op, schema=OCR_OUTPUT_SCHEMA)
+
+
+def quarantine(ocr_out: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split OCR output into (good rows, error ledger) — S10."""
+    good = ocr_out.filter(ocr_out.error.isNull()).drop("error")
+    errors = (
+        ocr_out.filter(ocr_out.error.isNotNull())
+        .select("cik", "filing_date", "error")
+        .dropDuplicates()
+    )
+    return good, errors
