@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query materializes through the ``noop`` sink (full execution, no
+driver-side row transfer) after a warm-up of the parquet footer reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from x17a5_spark.queries import registry
+from x17a5_spark.session import get_spark
+from x17a5_spark.tables import TABLE_NAMES, load_table
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_region_volume",
+    "a2_pivot_segment",
+    "w1_running_and_lookback",
+    "w5_dedup_keep_first",
+    "f1_parse_accounting",
+    "t2_quality_score",
+    "d1_exact_dedup",
+    "d3_minhash_lsh",
+    "s1_cosine_topk",
+    "st3_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    spark = get_spark("bench")
+    queries, _ = registry()
+
+    # warm the session + file listings (excluded from timings)
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

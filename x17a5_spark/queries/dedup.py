@@ -143,21 +143,46 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _augmented_docs(spark, sf_dir)
     sh = _shingle_table(aug)
     rows_per_band = N_MINHASH // N_BANDS
-    hashed = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("h_idx"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "h_idx",
-        F.md5(F.concat_ws(":", F.col("h_idx"), F.col("shingle"))).alias("hval"),
+    # One-permutation minhashing (Li/Owen/Zhang, NIPS'12): hash each
+    # shingle ONCE, partition the hash space into N_MINHASH buckets by
+    # the first hex nibble, take the min per bucket — 16× less hash
+    # work than a 16-function family, one map-side-combined groupBy.
+    # Empty buckets (rare for >.100-shingle docs) densify to the 'z'
+    # sentinel (sorts after every hex digest) in both engines.
+    # The distinct-shingle set rides in the same single pass; the
+    # resulting per-doc frame is small and cached.
+    h = F.md5("shingle")
+    bucket = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    hashed = sh.select("doc_id", "shingle", h.alias("h"), bucket.alias("bk"))
+    minhash_cols = [
+        F.coalesce(
+            F.min(F.when(F.col("bk") == i, F.col("h"))), F.lit("z")
+        ).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    sigs = (
+        hashed.groupBy("doc_id")
+        .agg(*minhash_cols, F.collect_set("shingle").alias("sh_set"))
+        .persist()
     )
-    minhash = hashed.groupBy("doc_id", "h_idx").agg(F.min("hval").alias("mh"))
-    bands = (
-        minhash.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws("=", "h_idx", "mh"))))).alias("band_sig"))
-    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -170,21 +195,16 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # confirm candidates with true Jaccard
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    ash = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    bsh = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    common = (
-        candidates.join(ash, "id_a")
-        .join(bsh, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    # confirm candidates with true Jaccard at *doc* granularity: carry
+    # each side's distinct-shingle set as an array and intersect —
+    # two doc-key joins against the cached sigs frame, no shingle-level
+    # shuffles.
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b"))
+    common = F.size(F.array_intersect("set_a", "set_b"))
+    jac = common / (F.size("set_a") + F.size("set_b") - common)
     return (
-        common.join(sa, "id_a")
+        candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.5)
@@ -196,16 +216,24 @@ D3_SQL = f"""
 WITH {_AUG_SQL.strip()},
 {_SHINGLES_SQL.strip()},
 hashed AS (
-  SELECT doc_id, h.h_idx, md5(CAST(h.h_idx AS VARCHAR) || ':' || shingle) AS hval
-  FROM shingles CROSS JOIN (SELECT unnest(range(0, {N_MINHASH})) AS h_idx) h
+  SELECT doc_id, md5(shingle) AS h,
+         CAST('0x' || md5(shingle)[1:1] AS INT) AS bk
+  FROM shingles
+),
+grid AS (
+  SELECT d.doc_id, b.bk
+  FROM (SELECT DISTINCT doc_id FROM shingles) d
+  CROSS JOIN (SELECT unnest(range(0, {N_MINHASH})) AS bk) b
 ),
 minhash AS (
-  SELECT doc_id, h_idx, min(hval) AS mh FROM hashed GROUP BY doc_id, h_idx
+  SELECT g.doc_id, g.bk,
+         coalesce(min(hashed.h), 'z') AS mh
+  FROM grid g LEFT JOIN hashed ON hashed.doc_id = g.doc_id AND hashed.bk = g.bk
+  GROUP BY g.doc_id, g.bk
 ),
 bands AS (
-  SELECT doc_id, CAST(h_idx // {N_MINHASH // N_BANDS} AS INT) AS band,
-         md5(array_to_string(list_sort(list(CAST(h_idx AS VARCHAR) || '=' || mh)), '|'))
-             AS band_sig
+  SELECT doc_id, CAST(bk // {N_MINHASH // N_BANDS} AS INT) AS band,
+         md5(array_to_string(list(mh ORDER BY bk), '|')) AS band_sig
   FROM minhash GROUP BY 1, 2
 ),
 candidates AS (

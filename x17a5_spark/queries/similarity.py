@@ -44,16 +44,24 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-# SIM1 — brute-force cosine top-k (exact baseline).
+# SIM1 — brute-force cosine top-k (exact baseline). Norms are computed
+# once per vector (not per pair) — the per-pair work is a single
+# zip_with/aggregate fold; the join is a broadcast nested loop with the
+# tiny query set on the build side, so the big candidate scan never
+# shuffles.
 def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), _as_double(F.col("embedding")).alias("q_vec")
-    )
+        F.col("vec_id").alias("q_id"),
+        _as_double(F.col("embedding")).alias("q_vec"),
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
     cands = emb.select(
-        F.col("vec_id").alias("c_id"), _as_double(F.col("embedding")).alias("c_vec")
+        F.col("vec_id").alias("c_id"),
+        _as_double(F.col("embedding")).alias("c_vec"),
+    ).withColumn("c_norm", _norm(F.col("c_vec")))
+    sim = F.round(
+        _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")), 4
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
         cands.join(F.broadcast(queries), F.col("q_id") != F.col("c_id"))
