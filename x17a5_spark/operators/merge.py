@@ -145,18 +145,26 @@ def special_merge(
     value_col: str = "value",
 ) -> DataFrame:
     """Fuzzy full-outer union of two per-filing tables (PDF vs PNG
-    extractions). Both inputs are tagged, co-grouped per filing, and the
-    kernel aligns them — a single co-grouped shuffle at any scale."""
+    extractions). Both inputs are side-tagged and unioned, then one
+    grouped kernel per filing aligns the two sequences — a single
+    shuffle on the filing key at any scale. (The union form, rather
+    than cogroup, also sidesteps Spark's attribute dedup when both
+    inputs derive from the same source plan.)"""
     group_cols = list(group_cols)
     key_t = dict(df_a.dtypes)
     schema = ", ".join(
         [f"{c} {key_t[c]}" for c in group_cols]
         + ["row_idx int", f"{item_col} string", f"{value_col} double"]
     )
+    cols = group_cols + [order_col, item_col, value_col]
+    tagged = df_a.select(*cols).withColumn("_side", F.lit("a")).unionByName(
+        df_b.select(*cols).withColumn("_side", F.lit("b"))
+    )
 
-    def fn(key, pdf_a: pd.DataFrame, pdf_b: pd.DataFrame) -> pd.DataFrame:
-        pdf_a = pdf_a.sort_values(order_col)
-        pdf_b = pdf_b.sort_values(order_col)
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        pdf_a = pdf[pdf["_side"] == "a"]
+        pdf_b = pdf[pdf["_side"] == "b"]
         merged = special_merge_kernel(
             pdf_a[item_col].tolist(),
             pdf_a[value_col].tolist(),
@@ -169,6 +177,4 @@ def special_merge(
         out["row_idx"] = range(len(out))
         return out[group_cols + ["row_idx", item_col, value_col]]
 
-    return df_a.groupBy(*group_cols).cogroup(df_b.groupBy(*group_cols)).applyInPandas(
-        fn, schema=schema
-    )
+    return tagged.groupBy(*group_cols).applyInPandas(fn, schema=schema)

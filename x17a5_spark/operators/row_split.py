@@ -85,25 +85,33 @@ def split_conjoined_rows(
     kernel via a cogroup on the filing key — no driver-side dict, so the
     text corpus can be arbitrarily large.
     """
+    from pyspark.sql import functions as F  # local: keep module header lean
+
     group_cols = list(group_cols)
     key_t = dict(df.dtypes)
     schema = ", ".join(
         [f"{c} {key_t[c]}" for c in group_cols]
         + ["row_idx int", f"{item_col} string", f"{raw_col} string", "split_flag int"]
     )
+    # The TEXT map rides in as one ordered array column per filing (a
+    # pre-aggregated left join) rather than a cogroup — one extra small
+    # shuffle, but robust to shared-lineage inputs and keeps exactly one
+    # grouped kernel.
+    text_arrays = text.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("line_idx"), F.col("line_text")))
+        ).alias("_text_lines")
+    )
+    joined = df.join(text_arrays, group_cols, "left")
 
-    def fn(key, pdf: pd.DataFrame, tdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(
-                columns=group_cols + ["row_idx", item_col, raw_col, "split_flag"]
-            )
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
-        if not tdf.empty and "line_idx" in tdf.columns:
-            tdf = tdf.sort_values("line_idx")  # pin the TEXT-map order
+        first_lines = pdf["_text_lines"].iloc[0]
+        text_lines = (
+            [t["line_text"] for t in first_lines] if first_lines is not None else []
+        )
         rows, flag = row_split_kernel(
-            pdf[item_col].tolist(),
-            pdf[raw_col].tolist(),
-            tdf["line_text"].tolist() if not tdf.empty else [],
+            pdf[item_col].tolist(), pdf[raw_col].tolist(), text_lines
         )
         out = pd.DataFrame(rows, columns=[item_col, raw_col])
         for c, k in zip(group_cols, key):
@@ -112,8 +120,4 @@ def split_conjoined_rows(
         out["split_flag"] = flag
         return out[group_cols + ["row_idx", item_col, raw_col, "split_flag"]]
 
-    return (
-        df.groupBy(*group_cols)
-        .cogroup(text.groupBy(*group_cols))
-        .applyInPandas(fn, schema=schema)
-    )
+    return joined.groupBy(*group_cols).applyInPandas(fn, schema=schema)

@@ -18,6 +18,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from x17a5_spark.queries import (
         dedup,
+        domain,
+        misc,
         relational,
         scalars,
         similarity,
@@ -28,7 +30,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, windows, scalars, textops, dedup, similarity, streaming):
+    for mod in (relational, windows, scalars, textops, dedup, similarity, streaming, domain, misc):
         for name, fn in mod.QUERIES.items():
             if name in queries:
                 raise ValueError(f"duplicate query name {name!r}")

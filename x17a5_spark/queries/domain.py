@@ -1,0 +1,379 @@
+"""Domain-operator queries: the FOCUS-pipeline kernels (SURVEY §2.5 W1,
+§2.3 J7, §2.8 F4, E3) exposed through the driver's correctness gate.
+
+Each query *synthesizes its domain fixture deterministically from the
+TPC-H tables inside the query*, runs the real engine operator, and —
+wherever the planted structure makes the expected output expressible —
+pairs with a DuckDB oracle that derives the SAME expected rows
+independently. A hash match therefore proves the kernel's semantics,
+not just its plumbing. Kernels whose behavior is inherently
+non-SQL-expressible (the mutating totals scan on arbitrary values, the
+difflib sequence merge) are rows-only here and golden-tested in
+tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from x17a5_spark.operators.merge import merge_three_columns, special_merge
+from x17a5_spark.operators.row_split import split_conjoined_rows
+from x17a5_spark.operators.scaler import detect_unit_scale
+from x17a5_spark.operators.splits import split_balance_sheet
+from x17a5_spark.operators.structured import (
+    build_structured_assets,
+)
+from x17a5_spark.operators.totals_check import remove_subtotals
+from x17a5_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared synthetic filing fixture: each order is a "filing" with 7 line
+# items named Item1..Item7 (l_linenumber) valued l_extendedprice.
+# ---------------------------------------------------------------------------
+
+
+def _filing_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("string").alias("cik"),
+        F.lit("2020-06-30").alias("filing_date"),
+        (F.col("l_linenumber") - 1).alias("row_idx"),
+        F.concat(F.lit("Item "), F.col("l_linenumber")).alias("lineitem"),
+        F.col("l_extendedprice").alias("value"),
+    )
+
+
+# K2 — asset/liability bisection end-to-end (bsSplit,
+# DatabaseSplits.py:25-89). Planted sheet: 2 asset items, a 'Total
+# assets' marker, 2 liability items, a 'Total liabilities' marker, then
+# a footnote — expected split derivable in SQL from the plant.
+def k2_balance_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    names = [
+        "Cash on hand",
+        "Receivables",
+        "Total assets",
+        "Payables",
+        "Subordinated debt",
+        "Total liabilities",
+        "Footnote text",
+    ]
+    rows = orders.select(
+        F.col("o_orderkey").cast("string").alias("cik"),
+        F.lit("2020-06-30").alias("filing_date"),
+        F.posexplode(F.array(*[F.lit(n) for n in names])).alias("row_idx", "lineitem"),
+    )
+    return split_balance_sheet(rows).select("cik", "row_idx", "lineitem", "side")
+
+
+K2_SQL = """
+WITH f AS (SELECT CAST(o_orderkey AS VARCHAR) AS cik FROM orders WHERE o_orderkey % 10 = 0),
+items AS (
+  SELECT cik, i.row_idx, i.lineitem
+  FROM f CROSS JOIN (VALUES
+    (0, 'Cash on hand'), (1, 'Receivables'), (2, 'Total assets'),
+    (3, 'Payables'), (4, 'Subordinated debt'), (5, 'Total liabilities'),
+    (6, 'Footnote text')) i(row_idx, lineitem)
+)
+-- bsSplit on this plant: last asset match = idx 2 (1-based 3), last
+-- liability match = idx 5 (1-based 6); final row matches neither so the
+-- upper bound extends to the full length (7)
+SELECT cik, row_idx, lineitem,
+       CASE WHEN row_idx < 3 THEN 'asset' ELSE 'liability' END AS side
+FROM items
+"""
+
+
+# K3 — declarative 3->2 column merge (OCRClean.py:113-193): planted
+# col1/col2 patterns cycle numeric-col1 / numeric-col2 / header-null /
+# both-null-borrow; expected output is a CASE over the plant.
+def k3_merge_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _filing_lines(spark, sf_dir)
+    variant = F.col("row_idx") % 4
+    val = F.format_number(F.floor("value"), 0)
+    df = base.select(
+        "cik",
+        "filing_date",
+        "row_idx",
+        "lineitem",
+        F.when(variant == 0, F.concat(F.lit("$ "), val))
+        .when(variant == 3, val)
+        .alias("col1"),
+        F.when(variant == 1, val).alias("col2"),
+    )
+    return merge_three_columns(df).select("cik", "row_idx", "lineitem", "raw_value")
+
+
+K3_SQL = """
+WITH lines AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS cik, l_linenumber - 1 AS row_idx,
+         'Item ' || CAST(l_linenumber AS VARCHAR) AS lineitem,
+         format('{:,}', CAST(floor(l_extendedprice) AS BIGINT)) AS val,
+         (l_linenumber - 1) % 4 AS variant
+  FROM lineitem
+),
+-- variant 0: '$ <val>' in col1 -> emitted as col1
+-- variant 1: col1 null, col2 numeric -> emitted as col2
+-- variant 2: both null -> borrow applies only when the previous row
+--            (variant 1) has BOTH cells populated — it has col1 null,
+--            so the row drops
+-- variant 3: bare numeric col1 -> emitted
+emitted AS (
+  SELECT cik, row_idx, lineitem,
+         CASE variant WHEN 0 THEN '$ ' || val WHEN 1 THEN val WHEN 3 THEN val END AS raw_value
+  FROM lines WHERE variant IN (0, 1, 3)
+)
+SELECT cik, row_idx, lineitem, raw_value FROM emitted
+"""
+
+
+# K5 — unit-scale detection with per-CIK carry-forward (numeric_scaler,
+# OCRClean.py:370-414 + run_ocr.py:96-99). Planted page text per filing
+# cycles scale markers by customer; a second filing per customer has no
+# marker and must inherit. Oracle: CASE plant + last_value carry.
+def k5_unit_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    marker = (
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("Dollars in Thousands"))
+        .when(F.col("c_custkey") % 4 == 1, F.lit("(in Millions)"))
+        .when(F.col("c_custkey") % 4 == 2, F.lit("expressed in billions"))
+        .otherwise(F.lit("no units disclosed"))
+    )
+    first = cust.select(
+        F.col("c_custkey").cast("string").alias("cik"),
+        F.lit("2020-06-30").alias("filing_date"),
+        F.lit(0).alias("line_idx"),
+        marker.alias("line_text"),
+    )
+    second = cust.select(
+        F.col("c_custkey").cast("string").alias("cik"),
+        F.lit("2021-06-30").alias("filing_date"),
+        F.lit(0).alias("line_idx"),
+        F.lit("Statement of Financial Condition").alias("line_text"),
+    )
+    return detect_unit_scale(first.unionByName(second))
+
+
+K5_SQL = """
+WITH firsts AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS cik, '2020-06-30' AS filing_date,
+         CASE c_custkey % 4 WHEN 0 THEN 1000.0 WHEN 1 THEN 1000000.0
+                            WHEN 2 THEN 1000000000.0 ELSE NULL END AS own_scale
+  FROM customer
+),
+seconds AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS cik, '2021-06-30' AS filing_date,
+         CAST(NULL AS DOUBLE) AS own_scale
+  FROM customer
+),
+u AS (SELECT * FROM firsts UNION ALL SELECT * FROM seconds)
+SELECT cik, filing_date,
+       coalesce(last_value(own_scale IGNORE NULLS)
+                OVER (PARTITION BY cik ORDER BY filing_date
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+           AS scale
+FROM u
+"""
+
+
+# E3 — structured-database build end-to-end (DatabaseStructured.py:
+# 161-267): label map + pivot-sum + dedup keep-first + reconstructed
+# total + identity match class, all oracle-checked.
+E3_LABELS = ["Cash", "Receivables", "Other", "Total assets"]
+
+
+def e3_structured_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # filings: cik = custkey, one filing per order; line items from the
+    # order's lineitems, labeled by linenumber band; reported total =
+    # o_totalprice (naturally yields a spread of match classes).
+    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_custkey").cast("string").alias("cik"),
+        F.concat(F.lit("N"), F.col("o_orderkey")).alias("name"),
+        F.col("o_orderdate").cast("date").cast("string").alias("filing_date"),
+        (F.year("o_orderdate") - 1).cast("int").alias("fiscal_year"),
+        F.concat(F.lit("Line "), F.col("l_linenumber")).alias("lineitem"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    totals = orders.select(
+        F.col("o_custkey").cast("string").alias("cik"),
+        F.concat(F.lit("N"), F.col("o_orderkey")).alias("name"),
+        F.col("o_orderdate").cast("date").cast("string").alias("filing_date"),
+        (F.year("o_orderdate") - 1).cast("int").alias("fiscal_year"),
+        F.lit("Total assets reported").alias("lineitem"),
+        F.col("o_totalprice").alias("value"),
+    )
+    long_df = lines.unionByName(totals)
+    label_map = spark.createDataFrame(
+        [
+            ("Line 1", "Cash"),
+            ("Line 2", "Cash"),
+            ("Line 3", "Receivables"),
+            ("Line 4", "Receivables"),
+            ("Line 5", "Other"),
+            ("Line 6", "Other"),
+            ("Line 7", "Other"),
+            ("Total assets reported", "Total assets"),
+        ],
+        ["lineitem", "label"],
+    )
+    out = build_structured_assets(long_df, label_map, E3_LABELS)
+    return out.select(
+        "cik",
+        "fiscal_year",
+        "name",
+        F.col("Cash").alias("cash"),
+        F.col("Receivables").alias("receivables"),
+        F.col("Other").alias("other"),
+        F.col("Total assets").alias("total_assets"),
+        F.round("reconstructed_total_assets", 4).alias("recon_total"),
+        F.round("relative_error", 8).alias("rel_err"),
+        "total_asset_check",
+    )
+
+
+E3_SQL = """
+WITH long_tbl AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS cik, 'N' || CAST(o_orderkey AS VARCHAR) AS name,
+         strftime(o_orderdate, '%Y-%m-%d') AS filing_date,
+         CAST(year(o_orderdate) - 1 AS INT) AS fiscal_year,
+         CASE WHEN l_linenumber <= 2 THEN 'Cash'
+              WHEN l_linenumber <= 4 THEN 'Receivables'
+              ELSE 'Other' END AS label,
+         l_extendedprice AS value
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT CAST(o_custkey AS VARCHAR), 'N' || CAST(o_orderkey AS VARCHAR),
+         strftime(o_orderdate, '%Y-%m-%d'),
+         CAST(year(o_orderdate) - 1 AS INT),
+         'Total assets', o_totalprice
+  FROM orders
+),
+piv AS (
+  SELECT cik, name, filing_date, fiscal_year,
+         CAST(SUM(CAST(CASE WHEN label = 'Cash' THEN value END AS DECIMAL(27,6))) AS DOUBLE) AS cash,
+         CAST(SUM(CAST(CASE WHEN label = 'Receivables' THEN value END AS DECIMAL(27,6))) AS DOUBLE) AS receivables,
+         CAST(SUM(CAST(CASE WHEN label = 'Other' THEN value END AS DECIMAL(27,6))) AS DOUBLE) AS other,
+         CAST(SUM(CAST(CASE WHEN label = 'Total assets' THEN value END AS DECIMAL(27,6))) AS DOUBLE) AS total_assets
+  FROM long_tbl GROUP BY 1, 2, 3, 4
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY cik, fiscal_year
+                               ORDER BY filing_date ASC, name ASC) AS rn
+  FROM piv
+),
+recon AS (
+  SELECT cik, fiscal_year, name, cash, receivables, other, total_assets,
+         coalesce(cash, 0) + coalesce(receivables, 0) + coalesce(other, 0) AS recon_total
+  FROM dedup WHERE rn = 1
+)
+SELECT cik, fiscal_year, name, cash, receivables, other, total_assets,
+       round(recon_total, 4) AS recon_total,
+       round(CASE WHEN total_assets IS NULL THEN NULL
+                  WHEN total_assets = 0 AND recon_total <> 0 THEN NULL
+                  ELSE abs(recon_total - total_assets) / total_assets END, 8) AS rel_err,
+       CASE WHEN total_assets IS NULL THEN 'NOT FOUND'
+            WHEN total_assets = 0 AND recon_total <> 0 THEN 'GROSS MISMATCH'
+            WHEN abs(recon_total - total_assets) / total_assets = 0 THEN 'PERFECT MATCH'
+            WHEN abs(recon_total - total_assets) / total_assets < 0.01 THEN 'BOUNDED MATCH'
+            ELSE 'GROSS MISMATCH' END AS total_asset_check
+FROM recon
+"""
+
+
+# K1 — the mutating subtotal scan (totals_check). Expected output is not
+# SQL-expressible on arbitrary values (drops depend on running float
+# sums), so the driver records a rows-only check; semantics are golden-
+# tested in tests/test_totals_check.py.
+def k1_totals_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _filing_lines(spark, sf_dir).withColumn("side", F.lit("asset"))
+    return remove_subtotals(base).select(
+        "cik", "row_idx", "lineitem", "value", "total_flag"
+    )
+
+
+# J7 — fuzzy sequence merge (difflib opcodes + partial ratio): not
+# SQL-expressible; rows-only + golden tests in tests/test_splits_merge.py.
+def j7_special_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _filing_lines(spark, sf_dir)
+    # PDF side: all rows; PNG side: drops row 3, renames row 5. The
+    # explicit full projection keeps the self-cogroup from pruning the
+    # unmodified columns off the B side.
+    a = base
+    b = base.filter(F.col("row_idx") != 3).select(
+        "cik",
+        "filing_date",
+        "row_idx",
+        F.when(
+            F.col("row_idx") == 5, F.concat(F.col("lineitem"), F.lit(" (restated)"))
+        )
+        .otherwise(F.col("lineitem"))
+        .alias("lineitem"),
+        "value",
+    )
+    return special_merge(a, b)
+
+
+# F4 — conjoined-row split through the cogrouped TEXT map (rows-only:
+# the alignment rules are golden-tested; here the full Spark plumbing
+# runs at scale).
+def k4_row_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    keys = orders.select(
+        F.col("o_orderkey").cast("string").alias("cik"),
+        F.lit("2020-06-30").alias("filing_date"),
+    )
+    df = keys.select(
+        "cik",
+        "filing_date",
+        F.posexplode(
+            F.array(
+                F.struct(F.lit("Cash on hand").alias("l"), F.lit("1,000").alias("v")),
+                F.struct(
+                    F.lit("Securities Held Total Assets").alias("l"),
+                    F.lit("$ 9,112 13,151").alias("v"),
+                ),
+            )
+        ).alias("row_idx", "s"),
+    ).select("cik", "filing_date", "row_idx", F.col("s.l").alias("lineitem"), F.col("s.v").alias("raw_value"))
+    text = keys.select(
+        "cik",
+        "filing_date",
+        F.posexplode(
+            F.array(F.lit("Securities Held"), F.lit("Total Assets"))
+        ).alias("line_idx", "line_text"),
+    )
+    return split_conjoined_rows(df, text).select(
+        "cik", "row_idx", "lineitem", "raw_value", "split_flag"
+    )
+
+
+K4_SQL = """
+WITH f AS (SELECT CAST(o_orderkey AS VARCHAR) AS cik FROM orders WHERE o_orderkey % 10 = 0)
+SELECT cik, i.row_idx, i.lineitem, i.raw_value, 1 AS split_flag
+FROM f CROSS JOIN (VALUES
+  (0, 'Cash on hand', '1,000'),
+  (1, 'Securities Held', '9,112'),
+  (2, 'Total Assets', '13,151')) i(row_idx, lineitem, raw_value)
+"""
+
+
+QUERIES = {
+    "k2_balance_split": k2_balance_split,
+    "k3_merge_columns": k3_merge_columns,
+    "k4_row_split": k4_row_split,
+    "k5_unit_scale": k5_unit_scale,
+    "e3_structured_assets": e3_structured_assets,
+    "k1_totals_check": k1_totals_check,
+    "j7_special_merge": j7_special_merge,
+}
+
+ORACLES = {
+    "k2_balance_split": K2_SQL,
+    "k3_merge_columns": K3_SQL,
+    "k4_row_split": K4_SQL,
+    "k5_unit_scale": K5_SQL,
+    "e3_structured_assets": E3_SQL,
+}
