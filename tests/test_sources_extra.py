@@ -1,0 +1,133 @@
+"""Tests for the HTML table source (S2), binary document corpus (S5),
+CSV/JSON scans (S3/S4), partitioned sinks (S8/S10), and the X6
+cross-validated tuner."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from x17a5_spark.sources.binary_docs import read_document_corpus, slice_pages
+from x17a5_spark.sources.html_table import parse_html_tables, read_html_tables
+
+
+# ----------------------------------------------------------------- S2
+def test_parse_html_tables_fallback():
+    doc = """
+    <html><body>
+    <table><tr><th>Form</th><th>CIK</th></tr>
+           <tr><td>X-17A-5</td><td>885639</td></tr>
+           <tr><td>10-K</td><td><b>123</b>456</td></tr></table>
+    <table><tr><td>single &amp; cell</td></tr></table>
+    </body></html>
+    """
+    tables = parse_html_tables(doc)
+    assert len(tables) == 2
+    assert tables[0][0] == ["Form", "CIK"]
+    assert tables[0][2] == ["10-K", "123456"]  # nested markup stripped
+    assert tables[1][0] == ["single & cell"]  # entity decoded
+
+
+def test_read_html_tables_spark(spark):
+    doc = "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>"
+    df = spark.createDataFrame([("doc1", doc), ("doc2", "<p>no tables</p>")],
+                               ["doc_key", "html"])
+    out = read_html_tables(df).toPandas()
+    assert set(out.doc_key) == {"doc1"}
+    assert len(out) == 4
+    got = out.set_index(["row_idx", "col_idx"]).cell
+    assert got[(0, 0)] == "a" and got[(1, 1)] == "d"
+
+
+# ----------------------------------------------------------------- S5
+def test_binary_document_corpus(spark, tmp_path):
+    for name, content in [
+        ("885639-2020-02-28.pdf", b"%PDF-fake-1"),
+        ("123456-2019-12-31.pdf", b"%PDF-fake-2"),
+    ]:
+        (tmp_path / name).write_bytes(content)
+    df = read_document_corpus(spark, str(tmp_path))
+    rows = {r["cik"]: r for r in df.collect()}
+    assert rows["885639"]["filing_date"] == "2020-02-28"
+    assert rows["123456"]["n_bytes"] == 11
+    # page slice without pypdf: content passes through, schema stable
+    sliced = slice_pages(df)
+    assert sliced.schema == df.schema
+    assert sliced.count() == 2
+
+
+# ------------------------------------------------------- S3/S4 scans
+def test_csv_json_round_trip(spark, tmp_path):
+    csv_dir = os.path.join(tmp_path, "csv")
+    json_dir = os.path.join(tmp_path, "json")
+    src = spark.createDataFrame(
+        [("356628", "GOLDMAN", 1.5), ("123456", "MS & CO", -2.0)],
+        "cik string, name string, score double",
+    )
+    src.write.mode("overwrite").option("header", True).csv(csv_dir)
+    back_csv = spark.read.csv(csv_dir, header=True, inferSchema=True)
+    assert back_csv.count() == 2
+    assert {r["name"] for r in back_csv.collect()} == {"GOLDMAN", "MS & CO"}
+
+    src.write.mode("overwrite").json(json_dir)
+    back_json = spark.read.json(json_dir)
+    assert back_json.count() == 2
+
+
+# --------------------------------------------------- S8/S10 sinks
+def test_partitioned_parquet_sink(spark, tmp_path):
+    out_dir = os.path.join(tmp_path, "stage")
+    df = spark.createDataFrame(
+        [("1", "2020-01-01", "Cash", 1.0), ("1", "2020-01-01", "Total", 1.0),
+         ("2", "2020-06-30", "Cash", 5.0)],
+        "cik string, filing_date string, lineitem string, value double",
+    )
+    df.write.partitionBy("cik").mode("overwrite").parquet(out_dir)
+    # partition pruning: reading one cik touches only its directory
+    assert os.path.isdir(os.path.join(out_dir, "cik=1"))
+    one = spark.read.parquet(out_dir).filter(F.col("cik") == "1")
+    assert one.count() == 2
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_error_ledger_json_sink(spark, tmp_path):
+    ledger_dir = os.path.join(tmp_path, "errors")
+    errors = spark.createDataFrame(
+        [("2", "2020-01-01", "RuntimeError: stub OCR failure")],
+        "cik string, filing_date string, error string",
+    )
+    errors.write.mode("overwrite").json(ledger_dir)
+    files = [
+        f
+        for f in os.listdir(ledger_dir)
+        if f.endswith(".json") and os.path.getsize(os.path.join(ledger_dir, f)) > 0
+    ]
+    assert files  # empty-partition part files excluded
+    with open(os.path.join(ledger_dir, files[0])) as fh:
+        rec = json.loads(fh.readline())
+    assert rec["cik"] == "2" and "stub OCR" in rec["error"]
+
+
+# ----------------------------------------------------------------- X6
+def test_cross_validated_tuner(spark):
+    from x17a5_spark.ml.classifier import tune_lineitem_classifier
+
+    base = [
+        ("Cash", "Cash"), ("Cash equivalents", "Cash"), ("Cash on hand", "Cash"),
+        ("Receivables from brokers", "Receivables"),
+        ("Receivables from customers", "Receivables"),
+        ("Net receivables due", "Receivables"),
+    ]
+    training = spark.createDataFrame(base * 6, ["lineitem", "label"])
+    model, metrics = tune_lineitem_classifier(training, num_folds=2)
+    assert len(metrics) == 3  # one per grid point
+    assert max(metrics) > 0.8
+    preds = model.transform(
+        spark.createDataFrame([("Cash balances",)], ["lineitem"]).withColumn(
+            "label", F.lit("?")
+        )
+    )
+    assert preds.first()["predicted_label"] == "Cash"

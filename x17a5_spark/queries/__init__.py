@@ -19,6 +19,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from x17a5_spark.queries import (
         dedup,
         domain,
+        maps,
         misc,
         relational,
         scalars,
@@ -30,7 +31,18 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, windows, scalars, textops, dedup, similarity, streaming, domain, misc):
+    for mod in (
+        relational,
+        windows,
+        scalars,
+        textops,
+        dedup,
+        similarity,
+        streaming,
+        domain,
+        misc,
+        maps,
+    ):
         for name, fn in mod.QUERIES.items():
             if name in queries:
                 raise ValueError(f"duplicate query name {name!r}")
