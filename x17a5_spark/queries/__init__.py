@@ -17,6 +17,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from x17a5_spark.queries import (
+        analytics,
         dedup,
         domain,
         maps,
@@ -42,6 +43,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         domain,
         misc,
         maps,
+        analytics,
     ):
         for name, fn in mod.QUERIES.items():
             if name in queries:
