@@ -171,13 +171,11 @@ def u5_conditional_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             F.concat_ws(
-                ",",
-                F.when(F.col("o_custkey") % 2 == 0, F.reverse(keys)).otherwise(keys),
+                ",", F.when(reverse_flag, F.reverse(keys)).otherwise(keys)
             ).alias("ordered_keys"),
             F.size("seq").alias("n_orders"),
         )
     )
-    _ = reverse_flag
 
 
 U5_SQL = """
