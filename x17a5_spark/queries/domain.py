@@ -360,7 +360,92 @@ FROM f CROSS JOIN (VALUES
 """
 
 
+# K6 — step-4 table accept/stitch (OCRTextract.py readTable state
+# machine). Filings cycle four planted layouts: combined table /
+# asset-then-liability split / liability-then-asset (reversed, the JPM
+# case) / table-of-contents only (rejected). The oracle derives the
+# expected stitched rows per layout independently.
+def k6_table_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.operators.table_select import select_balance_sheet
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    v = (F.col("o_orderkey") / 20 % 4).cast("int")
+    combined = [
+        (0, 0, "Cash", "$ 100"), (0, 1, "Receivables", "200"),
+        (0, 2, "Total assets", "$ 300"), (0, 3, "Total liabilities", "$ 120"),
+    ]
+    assets_t = [(0, 0, "Cash", "$ 100"), (0, 1, "Total assets", "$ 300")]
+    liabs_t = [(1, 0, "Payables", "$ 80"), (1, 1, "Total liabilities", "$ 120")]
+    toc = [(0, 0, "Table of contents", None), (0, 1, "Notes", None)]
+
+    def plant(rows):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_idx"),
+                    F.lit(r).alias("row_idx"),
+                    F.lit(c0).alias("col0"),
+                    F.lit(c1).cast("string").alias("col1"),
+                )
+                for t, r, c0, c1 in rows
+            ]
+        )
+
+    layout = (
+        F.when(v == 0, plant(combined))
+        .when(v == 1, plant(assets_t + liabs_t))
+        .when(v == 2, plant(liabs_t + [(t + 2, r, c0, c1) for t, r, c0, c1 in assets_t]))
+        .otherwise(plant(toc))
+    )
+    cells = orders.select(
+        F.col("o_orderkey").cast("string").alias("cik"),
+        F.lit("2020-06-30").alias("filing_date"),
+        F.lit(0).alias("page"),
+        F.explode(layout).alias("s"),
+    ).select(
+        "cik",
+        "filing_date",
+        "page",
+        F.col("s.table_idx").alias("table_idx"),
+        F.col("s.row_idx").alias("row_idx"),
+        F.col("s.col0").alias("col0"),
+        F.col("s.col1").alias("col1"),
+        F.lit(None).cast("string").alias("col2"),
+    )
+    return select_balance_sheet(cells).select(
+        "cik", "bs_order", "table_idx", "row_idx", "col0", "col1"
+    )
+
+
+K6_SQL = """
+WITH f AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS cik,
+         CAST(o_orderkey / 20 % 4 AS INT) AS v
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+-- expected stitched output per layout (bs_order follows the state
+-- machine: reversed case emits assets first)
+expected AS (
+  SELECT * FROM (VALUES
+    -- v0: combined single table
+    (0, 0, 0, 0, 'Cash', '$ 100'), (0, 0, 0, 1, 'Receivables', '200'),
+    (0, 0, 0, 2, 'Total assets', '$ 300'), (0, 0, 0, 3, 'Total liabilities', '$ 120'),
+    -- v1: asset table then liability table
+    (1, 0, 0, 0, 'Cash', '$ 100'), (1, 0, 0, 1, 'Total assets', '$ 300'),
+    (1, 1, 1, 0, 'Payables', '$ 80'), (1, 1, 1, 1, 'Total liabilities', '$ 120'),
+    -- v2: liability first -> reversed (assets get bs_order 0)
+    (2, 0, 2, 0, 'Cash', '$ 100'), (2, 0, 2, 1, 'Total assets', '$ 300'),
+    (2, 1, 1, 0, 'Payables', '$ 80'), (2, 1, 1, 1, 'Total liabilities', '$ 120')
+    -- v3: table of contents -> no rows
+  ) t(v, bs_order, table_idx, row_idx, col0, col1)
+)
+SELECT f.cik, e.bs_order, e.table_idx, e.row_idx, e.col0, e.col1
+FROM f JOIN expected e ON f.v = e.v
+"""
+
+
 QUERIES = {
+    "k6_table_select": k6_table_select,
     "k2_balance_split": k2_balance_split,
     "k3_merge_columns": k3_merge_columns,
     "k4_row_split": k4_row_split,
@@ -371,6 +456,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "k6_table_select": K6_SQL,
     "k2_balance_split": K2_SQL,
     "k3_merge_columns": K3_SQL,
     "k4_row_split": K4_SQL,
