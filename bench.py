@@ -25,14 +25,17 @@ HEADLINE = [
     "q3_order_revenue",
     "q5_region_volume",
     "a2_pivot_segment",
+    "a16_unpivot",
     "w1_running_and_lookback",
     "w5_dedup_keep_first",
+    "j8_asof_join",
     "f1_parse_accounting",
     "t2_quality_score",
     "d1_exact_dedup",
     "d3_minhash_lsh",
     "s1_cosine_topk",
     "st3_session_window",
+    "e3_structured_assets",
 ]
 
 
