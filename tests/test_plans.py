@@ -1,0 +1,78 @@
+"""Plan-discipline tests: the physical plans the engine promises in
+SCALE.md, enforced. A regression that silently drops pushdown or turns
+a broadcast star into a cartesian product fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from x17a5_spark.queries.domain import e3_structured_assets
+from x17a5_spark.queries.relational import (
+    p7_threshold_keylist,
+    q1_pricing_summary,
+    q5_region_volume,
+)
+from x17a5_spark.queries.similarity import s1_cosine_topk
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(q1_pricing_summary(spark, SF))
+    # filter reaches the parquet scan
+    assert "PushedFilters" in plan or "DataFilters: [isnotnull(l_shipdate" in plan
+    # column pruning: unneeded lineitem columns never read
+    assert "l_partkey" not in plan.split("ReadSchema")[0].split("FileScan")[-1]
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_suppkey" not in scan_line and "l_partkey" not in scan_line
+
+
+def test_q5_star_is_broadcast_at_this_sf(spark):
+    plan = _plan(q5_region_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_p7_semi_structure_no_cartesian(spark):
+    plan = _plan(p7_threshold_keylist(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_e3_no_cartesian_and_bounded_exchanges(spark):
+    plan = _plan(e3_structured_assets(spark, SF))
+    assert "CartesianProduct" not in plan
+    # two-phase pivot + dedup window: shuffles stay on filing-ish keys
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l
+    )
+    assert n_exchanges <= 4, f"e3 exchange count regressed: {n_exchanges}"
+
+
+def test_s1_broadcast_nested_loop_is_intentional(spark):
+    plan = _plan(s1_cosine_topk(spark, SF))
+    # tiny query set broadcast against the candidate scan: BNLJ is the
+    # designed plan; the big side must be the streamed side
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE hides codegen spans until the final plan materializes
+    df = q1_pricing_summary(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "WholeStageCodegen" in plan
+
+
+@pytest.mark.parametrize("qname", ["q1_pricing_summary", "q5_region_volume"])
+def test_aqe_enabled_in_session(spark, qname):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
