@@ -65,12 +65,16 @@ def test_s1_broadcast_nested_loop_is_intentional(spark):
 
 
 def test_whole_stage_codegen_active(spark):
-    # AQE hides codegen spans until the final plan materializes
+    import io
+    from contextlib import redirect_stdout
+
     df = q1_pricing_summary(spark, SF)
-    df.collect()
-    plan = _plan(df)
-    assert "isFinalPlan=true" in plan
-    assert "WholeStageCodegen" in plan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("codegen")
+    txt = buf.getvalue()
+    assert "WholeStageCodegen" in txt
+    assert "Found" in txt  # "Found N WholeStageCodegen subtrees"
 
 
 @pytest.mark.parametrize("qname", ["q1_pricing_summary", "q5_region_volume"])
