@@ -162,11 +162,91 @@ def s2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# D5 — embedding-cosine near-duplicate detection: pairs above a cosine
+# threshold, with planted exact copies (vec_id + 100000) the pipeline
+# must recover. Candidate generation reuses the multi-table LSH buckets
+# (equi-join, no cross product); planted copies always share every
+# bucket, so recall on true duplicates is exact. The oracle recomputes
+# pairs brute-force — at oracle scale that is fine, and any LSH-missed
+# organic pair would surface as a row-count mismatch.
+def d5_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    aug = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    vecs = aug.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("norm", _norm(F.col("vec")))
+    buckets = vecs.select(
+        "vec_id",
+        "vec",
+        "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket_expr(F.col("vec"), t).alias("b"),
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "vec", "norm", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+            F.col("a.norm").alias("norm_a"),
+            F.col("b.norm").alias("norm_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = F.round(
+        _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")), 4
+    )
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.99)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+D5_SQL = """
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(1, len(a.vec) + 1),
+                                       i -> a.vec[i] * b.vec[i]))
+               / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 4) AS cos_sim
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.99
+"""
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_ann": s2_lsh_ann,
+    "d5_embedding_cosine_dedup": d5_embedding_cosine_dedup,
 }
 
 ORACLES = {
     "s1_cosine_topk": S1_SQL,
+    "d5_embedding_cosine_dedup": D5_SQL,
 }
