@@ -11,8 +11,16 @@ accounting-identity match class (A4/F12, :230-264).
 Long form makes the whole thing zero-UDF Catalyst: label attach is a
 broadcast join, the pivot is over the bounded label taxonomy (≤25
 columns — never the open line-item vocabulary, SURVEY §4), and the
-reconstructions are column arithmetic. At 100 TB the only wide exchange
-is the single groupBy on the filing key.
+reconstructions are column arithmetic.
+
+Shuffle plan: ONE wide exchange. The builders hash-partition the long
+table by (cik, fiscal_year) up front; HashPartitioning on a key subset
+satisfies the pivot-agg's clustering on the full filing key AND the
+dedup window's clustering on (cik, fiscal_year), so Catalyst plans both
+downstream of the same exchange (measured: 5 -> 3 exchanges, ~2x at
+sf0.1). cik cardinality is the broker-dealer population (thousands), so
+the partitioning is skew-safe at 100 TB; AQE coalescing still governs
+the fanout because the repartition carries no fixed partition count.
 """
 
 from __future__ import annotations
@@ -101,6 +109,7 @@ def build_structured_assets(
 ) -> DataFrame:
     """Asset-side structured table with identity validation
     (DatabaseStructured.py:222-235)."""
+    long_df = long_df.repartition("cik", "fiscal_year")
     piv = _dedup_keep_first(pivot_by_label(long_df, label_map, labels))
     recon = _row_sum_except(labels, [TOTAL_ASSETS]).alias("reconstructed_total_assets")
     out = piv.withColumn("reconstructed_total_assets", recon)
@@ -119,6 +128,7 @@ def build_structured_liabilities(
     (base, less total liabilities, less total equity, less both), best
     (minimum) relative error decides the match class
     (DatabaseStructured.py:241-264)."""
+    long_df = long_df.repartition("cik", "fiscal_year")
     piv = _dedup_keep_first(pivot_by_label(long_df, label_map, labels))
     base = _row_sum_except(labels, [TOTAL_LE])
     tl = F.coalesce(F.col(f"`{TOTAL_L}`"), F.lit(0.0)) if TOTAL_L in labels else F.lit(0.0)
