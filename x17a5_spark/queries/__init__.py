@@ -22,6 +22,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         domain,
         maps,
         misc,
+        multimodal,
         relational,
         scalars,
         similarity,
@@ -44,6 +45,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         misc,
         maps,
         analytics,
+        multimodal,
     ):
         for name, fn in mod.QUERIES.items():
             if name in queries:

@@ -307,11 +307,74 @@ FROM perbit GROUP BY doc_id
 """
 
 
+# D6 — dedup resolution: pair graph -> connected components -> one
+# canonical doc per cluster (operators/components.py). The fixture
+# builds a deterministic pair graph with nontrivial topology: 7-block
+# stars (doc -> its block head) overlaid with chain links every third
+# doc, so blocks merge pairwise and the min label needs several
+# propagation rounds to reach every member. The oracle derives the SAME
+# clusters independently via a recursive-CTE transitive closure, so a
+# hash match proves the fixpoint, not just the plumbing.
+def _d6_edges(docs: DataFrame) -> DataFrame:
+    ids = docs.select("doc_id")
+    star = ids.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - F.col("doc_id") % 7).alias("dst"),
+    )
+    chain = (
+        ids.filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+        .join(ids.withColumnRenamed("doc_id", "dst"), "dst", "left_semi")
+    )
+    return star.unionByName(chain)
+
+
+def d6_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.operators.components import (
+        canonicalize_duplicates,
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(_d6_edges(docs), "src", "dst")
+    return canonicalize_duplicates(docs.select("doc_id"), comp).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
+D6_SQL = """
+WITH RECURSIVE edges0 AS (
+  SELECT doc_id AS src, doc_id - doc_id % 7 AS dst FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, doc_id + 1 FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id + 1 IN (SELECT doc_id FROM documents)
+),
+sym AS (
+  SELECT src AS u, dst AS v FROM edges0 WHERE src <> dst
+  UNION
+  SELECT dst, src FROM edges0 WHERE src <> dst
+),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+),
+comp AS (
+  SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       coalesce(c.comp, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(c.comp, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
     "d4_simhash": d4_simhash,
+    "d6_dedup_components": d6_dedup_components,
 }
 
 ORACLES = {
@@ -319,4 +382,5 @@ ORACLES = {
     "d2_ngram_jaccard": D2_SQL,
     "d3_minhash_lsh": D3_SQL,
     "d4_simhash": D4_SQL,
+    "d6_dedup_components": D6_SQL,
 }

@@ -169,11 +169,58 @@ FROM documents
 """
 
 
+# T5 — BPE-ish subword piece counting: a GPT-2-style pre-tokenizer
+# split (letter runs | digit runs | other-symbol runs), the standard
+# first stage before byte-pair merging. The pattern uses only character
+# classes + alternation so Java regex (Spark) and RE2 (DuckDB) agree
+# byte-for-byte. Fertility (pieces per whitespace word) is the usual
+# tokenizer-quality diagnostic over a training corpus.
+_BPE_SPLIT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def t5_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_SPLIT), 0)
+    n_words = F.size(tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.filter(pieces, lambda t: t.rlike("^[A-Za-z]"))).alias("n_alpha"),
+        F.size(F.filter(pieces, lambda t: t.rlike("^[0-9]"))).alias("n_num"),
+        F.aggregate(
+            pieces, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).alias("piece_chars"),
+        F.round(
+            F.size(pieces) / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+        ).alias("fertility"),
+    )
+
+
+T5_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS pieces,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))
+             AS n_words
+  FROM documents
+)
+SELECT doc_id,
+       len(pieces) AS n_pieces,
+       len(list_filter(pieces, t -> regexp_matches(t, '^[A-Za-z]'))) AS n_alpha,
+       len(list_filter(pieces, t -> regexp_matches(t, '^[0-9]'))) AS n_num,
+       CAST(coalesce(list_sum(list_transform(pieces, t -> length(t))), 0) AS INT)
+           AS piece_chars,
+       round(len(pieces) / nullif(CAST(n_words AS DOUBLE), 0.0), 6) AS fertility
+FROM p
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
     "t3_lang_id": t3_lang_id,
     "t4_fingerprint": t4_fingerprint,
+    "t5_bpe_pieces": t5_bpe_pieces,
 }
 
 ORACLES = {
@@ -181,4 +228,5 @@ ORACLES = {
     "t2_quality_score": T2_SQL,
     "t3_lang_id": T3_SQL,
     "t4_fingerprint": T4_SQL,
+    "t5_bpe_pieces": T5_SQL,
 }
