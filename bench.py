@@ -39,6 +39,10 @@ HEADLINE = [
     "t2_quality_score",
     "d1_exact_dedup",
     "d3_minhash_lsh",
+    "d5_embedding_cosine_dedup",
+    "d6_dedup_components",
+    "t5_bpe_pieces",
+    "m2_multimodal_features",
     "s1_cosine_topk",
     "st3_session_window",
     "e3_structured_assets",
