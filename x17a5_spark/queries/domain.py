@@ -283,6 +283,81 @@ FROM recon
 """
 
 
+# E2 — the full per-filing cleaning pipeline end-to-end (reference
+# clean_wrapper chain, OCRClean.py:663-753 via OCRTextract.py:677):
+# purge -> 3->2 merge -> conjoined split -> accounting parse -> unit
+# scale w/ fuzzy marker -> bisection -> mutating subtotal scan. The
+# plant is engineered so every stage's effect is closed-form: values
+# (2, 5, 7=total, 11, 11=total) admit no accidental lookback-sum match,
+# the footnote row dies at the merge (both value cells null, previous
+# row not fully populated), '(in Millions)' drives the fuzzy scaler on
+# even ciks only, and both planted totals are provably dropped with
+# TOTAL_EXPLAINED. A hash match therefore proves the COMPOSITION of
+# all six kernels, not just each in isolation (those have their own
+# oracles: k1-k6).
+def e2_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.pipeline import clean_filings
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 15 == 0)
+    plant = [
+        (0, "Cash", "$ 2"),
+        (1, "Receivables", "5"),
+        (2, "Total assets", "7"),
+        (3, "Payables", "11"),
+        (4, "Total liabilities and equity", "11"),
+        (5, "See accompanying notes", None),
+    ]
+    raw = orders.select(
+        F.col("o_orderkey").cast("string").alias("cik"),
+        F.lit("2021-06-30").alias("filing_date"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        F.lit(n).alias("col0"),
+                        F.lit(v).cast("string").alias("col1"),
+                    )
+                    for i, n, v in plant
+                ]
+            )
+        ).alias("r"),
+    ).select(
+        "cik",
+        "filing_date",
+        "r.row_idx",
+        "r.col0",
+        "r.col1",
+        F.lit(None).cast("string").alias("col2"),
+    )
+    text = orders.select(
+        F.col("o_orderkey").cast("string").alias("cik"),
+        F.lit("2021-06-30").alias("filing_date"),
+        F.lit(0).alias("line_idx"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("(in Millions)"))
+        .otherwise(F.lit("Statement of Financial Condition"))
+        .alias("line_text"),
+    )
+    return clean_filings(raw, text)
+
+
+E2_SQL = """
+WITH filings AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS cik,
+         CASE WHEN o_orderkey % 2 = 0 THEN 1000000.0 ELSE 1.0 END AS s
+  FROM orders WHERE o_orderkey % 15 = 0
+)
+SELECT cik, '2021-06-30' AS filing_date, r.side, CAST(r.row_idx AS INT) AS row_idx,
+       r.lineitem, r.v * s AS value, CAST(1 AS INT) AS total_flag,
+       r.amt * s AS total_amt
+FROM filings CROSS JOIN (VALUES
+  ('asset', 0, 'Cash', 2.0, 7.0),
+  ('asset', 1, 'Receivables', 5.0, 7.0),
+  ('liability', 3, 'Payables', 11.0, 11.0)
+) r(side, row_idx, lineitem, v, amt)
+"""
+
+
 # K1 — the mutating subtotal scan (totals_check). Expected output is not
 # SQL-expressible on arbitrary values (drops depend on running float
 # sums), so the driver records a rows-only check; semantics are golden-
@@ -451,11 +526,13 @@ QUERIES = {
     "k4_row_split": k4_row_split,
     "k5_unit_scale": k5_unit_scale,
     "e3_structured_assets": e3_structured_assets,
+    "e2_clean_pipeline": e2_clean_pipeline,
     "k1_totals_check": k1_totals_check,
     "j7_special_merge": j7_special_merge,
 }
 
 ORACLES = {
+    "e2_clean_pipeline": E2_SQL,
     "k6_table_select": K6_SQL,
     "k2_balance_split": K2_SQL,
     "k3_merge_columns": K3_SQL,
