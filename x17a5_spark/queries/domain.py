@@ -358,30 +358,107 @@ FROM filings CROSS JOIN (VALUES
 """
 
 
-# K1 — the mutating subtotal scan (totals_check). Expected output is not
-# SQL-expressible on arbitrary values (drops depend on running float
-# sums), so the driver records a rows-only check; semantics are golden-
-# tested in tests/test_totals_check.py.
+# K1 — the mutating subtotal scan (totals_check,
+# DatabaseUnstructured.py:108-184). The plant is engineered so every
+# equivalence channel fires exactly once and the expected surviving set
+# is closed-form: 10003 is the exact sum of the two rows above it;
+# 14009 epsilon-matches the running sum 14008 *only because the 10003
+# subtotal was already dropped* (proving the scan mutates); 190150 is
+# 10x the surviving running sum 19015 (power-of-ten channel); and the
+# 'Total assets' row equals the full surviving sum 19178, so it drops
+# with TOTAL_EXPLAINED and total_amt = 19178. Values are non-round so
+# the digit-drop substring rule cannot fire accidentally (kernel-
+# simulated; arbitrary-value behavior is golden-tested in
+# tests/test_totals_check.py).
+K1_PLANT = [
+    (0, "Cash", 3001.0),
+    (1, "Receivables", 7002.0),
+    (2, "Subtotal current", 10003.0),       # exact lookback match -> drop
+    (3, "Securities owned", 4005.0),
+    (4, "Memo subtotal", 14009.0),          # epsilon vs mutated sum 14008 -> drop
+    (5, "Deposits", 5007.0),
+    (6, "Subtotal scaled", 190150.0),       # 10x running sum 19015 -> drop
+    (7, "Other assets", 163.0),
+    (8, "Total assets", 19178.0),           # exact full sum -> drop, flag=1
+]
+
+
 def k1_totals_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _filing_lines(spark, sf_dir).withColumn("side", F.lit("asset"))
-    return remove_subtotals(base).select(
-        "cik", "row_idx", "lineitem", "value", "total_flag"
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 15 == 0)
+    rows = orders.select(
+        F.col("o_orderkey").cast("string").alias("cik"),
+        F.lit("2020-06-30").alias("filing_date"),
+        F.lit("asset").alias("side"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        F.lit(n).alias("lineitem"),
+                        F.lit(v).alias("value"),
+                    )
+                    for i, n, v in K1_PLANT
+                ]
+            )
+        ).alias("r"),
+    ).select("cik", "filing_date", "side", "r.row_idx", "r.lineitem", "r.value")
+    return remove_subtotals(rows).select(
+        "cik", "row_idx", "lineitem", "value", "total_flag", "total_amt"
     )
 
 
-# J7 — fuzzy sequence merge (difflib opcodes + partial ratio): not
-# SQL-expressible; rows-only + golden tests in tests/test_splits_merge.py.
+K1_SQL = """
+WITH f AS (SELECT CAST(o_orderkey AS VARCHAR) AS cik FROM orders WHERE o_orderkey % 15 = 0)
+SELECT cik, s.row_idx, s.lineitem, s.value,
+       CAST(1 AS INT) AS total_flag, 19178.0 AS total_amt
+FROM f CROSS JOIN (VALUES
+  (0, 'Cash', 3001.0),
+  (1, 'Receivables', 7002.0),
+  (3, 'Securities owned', 4005.0),
+  (5, 'Deposits', 5007.0),
+  (7, 'Other assets', 163.0)) s(row_idx, lineitem, value)
+"""
+
+
+# J7 — fuzzy sequence merge (difflib opcodes + partial ratio,
+# DatabaseUnstructured.py:186-257). A planted per-filing sequence of
+# n = 1 + orderkey % 7 lines (the testdata lineitem table has duplicate
+# and non-contiguous line numbers, so a plant is the only deterministic
+# base — same pattern as k1/k2). The PNG side drops row 3, renames
+# row 5 to a near-duplicate ("(restated)" suffix, partial ratio 100 ->
+# collapse to the PDF row), and replaces row 2 with a dissimilar
+# heading (partial ratio 33 -> keep BOTH sides). The expected output is
+# then closed-form per line count (kernel-simulated for n=1..7):
+# 'Item 4' is consumed by the zip-truncated replace block, the
+# dissimilar heading lands right after 'Item 3' with row 3's value, and
+# 'Item k' keeps row_idx k-1 — so the oracle derives it in SQL and the
+# driver hash-checks the alignment semantics, not just row plumbing.
+# Arbitrary sequences are golden-tested in tests/test_splits_merge.py.
 def j7_special_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _filing_lines(spark, sf_dir)
-    # PDF side: all rows; PNG side: drops row 3, renames row 5. The
-    # explicit full projection keeps the self-cogroup from pruning the
-    # unmodified columns off the B side.
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    n = F.col("o_orderkey") % 7 + 1
+    base = (
+        orders.select(
+            F.col("o_orderkey").cast("string").alias("cik"),
+            F.lit("2020-06-30").alias("filing_date"),
+            F.col("o_totalprice").alias("base_v"),
+            F.explode(F.sequence(F.lit(1), n)).alias("k"),
+        )
+        .select(
+            "cik",
+            "filing_date",
+            (F.col("k") - 1).cast("int").alias("row_idx"),
+            F.concat(F.lit("Item "), F.col("k")).alias("lineitem"),
+            (F.col("base_v") + F.col("k")).alias("value"),
+        )
+    )
     a = base
     b = base.filter(F.col("row_idx") != 3).select(
         "cik",
         "filing_date",
         "row_idx",
-        F.when(
+        F.when(F.col("row_idx") == 2, F.lit("Totally different heading"))
+        .when(
             F.col("row_idx") == 5, F.concat(F.col("lineitem"), F.lit(" (restated)"))
         )
         .otherwise(F.col("lineitem"))
@@ -389,6 +466,30 @@ def j7_special_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return special_merge(a, b)
+
+
+J7_SQL = """
+WITH o AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS cik,
+         o_orderkey % 7 + 1 AS n,
+         o_totalprice AS base_v
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+li AS (
+  SELECT cik, n, unnest(generate_series(1, CAST(n AS BIGINT))) AS k, base_v
+  FROM o
+)
+SELECT cik, '2020-06-30' AS filing_date,
+       CAST(k - 1 AS INT) AS row_idx,
+       'Item ' || CAST(k AS VARCHAR) AS lineitem,
+       base_v + k AS value
+FROM li
+WHERE NOT (n >= 3 AND k = 4)
+UNION ALL
+SELECT cik, '2020-06-30', CAST(3 AS INT), 'Totally different heading',
+       base_v + 3 AS value
+FROM li WHERE n >= 3 AND k = 3
+"""
 
 
 # F4 — conjoined-row split through the cogrouped TEXT map (rows-only:
@@ -539,4 +640,6 @@ ORACLES = {
     "k4_row_split": K4_SQL,
     "k5_unit_scale": K5_SQL,
     "e3_structured_assets": E3_SQL,
+    "k1_totals_check": K1_SQL,
+    "j7_special_merge": J7_SQL,
 }

@@ -152,12 +152,17 @@ def p2_null_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
         .groupBy("lang")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
     )
 
 
+# NB: DuckDB types integer sum() as HUGEINT (int128), which the driver's
+# hasher renders differently from Spark's BIGINT — cast explicitly.
 P2_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE text IS NOT NULL AND trim(text) <> ''
 GROUP BY lang

@@ -256,15 +256,17 @@ def f21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return events.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"),
+        F.sum(k).cast("long").alias("sum_k"),
         F.count(k).alias("n_k"),
         F.max(k).alias("max_k"),
     )
 
 
+# NB: DuckDB types integer sum() as HUGEINT (int128), which the driver's
+# hasher renders differently from Spark's BIGINT — cast explicitly.
 F21_SQL = """
 SELECT event_type,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        count(CAST(props->>'$.k' AS BIGINT)) AS n_k,
        max(CAST(props->>'$.k' AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
