@@ -1,5 +1,6 @@
-"""E2 — the per-filing OCR-to-clean chain (reference
-OCRClean.py:663-753 ``clean_wrapper`` + run_build_database stages),
+"""E1/E2 — the end-to-end pipeline (reference run_main.py:86-144
+steps main_p1..main_p3) and the per-filing OCR-to-clean chain
+(OCRClean.py:663-753 ``clean_wrapper`` + run_build_database stages),
 composed from the engine's operators as one DataFrame flow:
 
     raw OCR cells (3 columns, dirty strings)
@@ -20,7 +21,9 @@ operators/structured.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from x17a5_spark.functions.accounting import parse_accounting_number
@@ -72,4 +75,101 @@ def clean_filings(raw: DataFrame, text: DataFrame) -> DataFrame:
     return no_subtotals.select(
         "cik", "filing_date", "side", "row_idx", "lineitem", "value",
         "total_flag", "total_amt",
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1 — the whole run_main flow: bronze (binary docs -> OCR cells) ->
+# silver (clean long rows) -> gold (structured asset table), each stage
+# PERSISTED as a parquet table and guarded by the incremental anti-join
+# (run_main.py:66-74's rerun_job ladder / run_ocr.py:136-141's
+# skip-if-exists): re-running appends only filings whose key is absent
+# from the stage sink, so the pipeline is idempotent and restart-safe
+# with no bookkeeping files. Stage layout under ``out_dir``:
+#   bronze_cells/  OCR table cells        (key: cik, filing_date)
+#   ocr_errors/    S10 quarantine ledger
+#   silver/        clean long rows
+#   gold_assets/   structured asset table
+# At 100 TB each stage write is a partitioned append and each guard is
+# one key-projection anti-join (AQE broadcasts the key listing when
+# small); no stage ever re-reads more than its own sink's keys.
+# ---------------------------------------------------------------------------
+
+FILING_KEY = ["cik", "filing_date"]
+
+
+def _incremental_stage(
+    spark: SparkSession, inp: DataFrame, transform, path: str
+) -> DataFrame:
+    """Run ``transform`` over only the filings of ``inp`` whose key is
+    not yet in the parquet sink at ``path`` (the skip-if-exists guard),
+    append, and return the full sink. The guard sits on the stage
+    INPUT, so already-processed filings are never recomputed — the
+    whole point of the reference's rerun ladder."""
+    from x17a5_spark.streaming.incremental import incremental_todo
+
+    if os.path.isdir(path):
+        inp = incremental_todo(inp, spark.read.parquet(path), FILING_KEY)
+    transform(inp).write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    text: DataFrame,
+    out_dir: str,
+    label_map: DataFrame,
+    labels: list[str],
+    ocr_backend_factory=None,
+) -> DataFrame:
+    """Bronze -> silver -> gold with persisted, incrementally-appended
+    stage tables; returns the gold structured asset table.
+
+    ``docs``: (cik, filing_date, content binary) document corpus;
+    ``text``: (cik, filing_date, line_idx, line_text) page-text channel.
+    """
+    from x17a5_spark.operators.structured import build_structured_assets
+    from x17a5_spark.sources.ocr import OcrSource, StubOcrBackend, quarantine
+
+    source = OcrSource(backend_factory=ocr_backend_factory or StubOcrBackend)
+
+    # Steps 1-2 (main_p1/main_p2): OCR only the docs not yet in bronze;
+    # failures go to the S10 quarantine ledger, not the job.
+    err_path = os.path.join(out_dir, "ocr_errors")
+
+    def ocr_stage(todo_docs: DataFrame) -> DataFrame:
+        # persist so the external OCR calls run once, not once per sink
+        ocr_out = source.run(todo_docs).persist()
+        cells, errors = quarantine(ocr_out)
+        errors.write.mode("append").parquet(err_path)
+        return cells
+
+    bronze = _incremental_stage(
+        spark, docs, ocr_stage, os.path.join(out_dir, "bronze_cells")
+    )
+
+    # Step 3 (clean chain): clean only the bronze filings not in silver.
+    silver = _incremental_stage(
+        spark,
+        bronze.select("cik", "filing_date", "row_idx", "col0", "col1", "col2"),
+        lambda todo: clean_filings(todo, text),
+        os.path.join(out_dir, "silver"),
+    )
+
+    # Step 4 (main_p3): structured gold from the asset side.
+    def gold_stage(todo: DataFrame) -> DataFrame:
+        return build_structured_assets(
+            todo.filter(F.col("side") == "asset")
+            .withColumn("name", F.concat(F.lit("N"), F.col("cik")))
+            .withColumn(
+                "fiscal_year",
+                (F.substring("filing_date", 1, 4).cast("int") - 1),
+            ),
+            label_map,
+            labels,
+        )
+
+    return _incremental_stage(
+        spark, silver, gold_stage, os.path.join(out_dir, "gold_assets")
     )

@@ -283,6 +283,57 @@ FROM recon
 """
 
 
+# U6 — the on-demand wide unstructured database
+# (DatabaseUnstructured.py:291-348): pivot the long table over an
+# explicit allowlist, congruent names summed, id cols first, all-null
+# columns pruned. 'Goodwill' is in the allowlist but never occurs, so
+# the query itself proves the pruning: selecting it would raise.
+# Filings whose lines are all outside the allowlist surface as all-null
+# rows (the reference's concat keeps them too).
+U6_ALLOW = ["Line 1", "Line 2", "Line 3", "Goodwill"]
+
+
+def u6_unstructured_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.operators.unstructured import build_unstructured
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    long_df = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_custkey").cast("string").alias("cik"),
+        F.concat(F.lit("N"), F.col("o_orderkey")).alias("name"),
+        F.col("o_orderdate").cast("date").cast("string").alias("filing_date"),
+        (F.year("o_orderdate") - 1).cast("int").alias("fiscal_year"),
+        F.concat(F.lit("Line "), F.col("l_linenumber")).alias("lineitem"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    wide = build_unstructured(long_df, U6_ALLOW)
+    return wide.select(
+        "cik",
+        "name",
+        "filing_date",
+        "fiscal_year",
+        F.col("Line 1").alias("line1"),
+        F.col("Line 2").alias("line2"),
+        F.col("Line 3").alias("line3"),
+    )
+
+
+U6_SQL = """
+SELECT CAST(o_custkey AS VARCHAR) AS cik,
+       'N' || CAST(o_orderkey AS VARCHAR) AS name,
+       strftime(o_orderdate, '%Y-%m-%d') AS filing_date,
+       CAST(year(o_orderdate) - 1 AS INT) AS fiscal_year,
+       CAST(SUM(CAST(CASE WHEN l_linenumber = 1 THEN l_extendedprice END
+                AS DECIMAL(27,6))) AS DOUBLE) AS line1,
+       CAST(SUM(CAST(CASE WHEN l_linenumber = 2 THEN l_extendedprice END
+                AS DECIMAL(27,6))) AS DOUBLE) AS line2,
+       CAST(SUM(CAST(CASE WHEN l_linenumber = 3 THEN l_extendedprice END
+                AS DECIMAL(27,6))) AS DOUBLE) AS line3
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2, 3, 4
+"""
+
+
 # E2 — the full per-filing cleaning pipeline end-to-end (reference
 # clean_wrapper chain, OCRClean.py:663-753 via OCRTextract.py:677):
 # purge -> 3->2 merge -> conjoined split -> accounting parse -> unit
@@ -417,6 +468,82 @@ FROM f CROSS JOIN (VALUES
   (3, 'Securities owned', 4005.0),
   (5, 'Deposits', 5007.0),
   (7, 'Other assets', 163.0)) s(row_idx, lineitem, value)
+"""
+
+
+# E1 — the WHOLE pipeline end-to-end (run_main.py:86-144): binary
+# document corpus -> stub OCR (S6) -> quarantine (S10) -> clean chain
+# (E2) -> structured gold (E3), with every stage persisted to parquet
+# and guarded by the incremental anti-join (S7/J6). The document
+# content is the same closed-form plant as e2, delivered as bytes the
+# OCR backend parses — so the oracle derives the gold table from the
+# plant and a hash match proves the COMPOSITION bronze->silver->gold
+# including the sink round-trips. Idempotence (second run appends 0
+# rows) is asserted in tests/test_pipeline_e1.py.
+E1_DOC = (
+    "Cash|$ 2\n"
+    "Receivables|5\n"
+    "Total assets|7\n"
+    "Payables|11\n"
+    "Total liabilities and equity|11\n"
+    "See accompanying notes"
+)
+
+
+def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from x17a5_spark.pipeline import run_pipeline
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    docs = orders.select(
+        F.col("o_orderkey").cast("string").alias("cik"),
+        F.lit("2021-06-30").alias("filing_date"),
+        F.encode(F.lit(E1_DOC), "UTF-8").alias("content"),
+    )
+    text = orders.select(
+        F.col("o_orderkey").cast("string").alias("cik"),
+        F.lit("2021-06-30").alias("filing_date"),
+        F.lit(0).alias("line_idx"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("(in Millions)"))
+        .otherwise(F.lit("Statement of Financial Condition"))
+        .alias("line_text"),
+    )
+    label_map = spark.createDataFrame(
+        [("Cash", "Cash"), ("Receivables", "Receivables")],
+        ["lineitem", "label"],
+    )
+    labels = ["Cash", "Receivables", "Total assets"]
+    out_dir = tempfile.mkdtemp(prefix="x17a5_e1_")
+    gold = run_pipeline(spark, docs, text, out_dir, label_map, labels)
+    return gold.select(
+        "cik",
+        "name",
+        "filing_date",
+        "fiscal_year",
+        F.col("Cash").alias("cash"),
+        F.col("Receivables").alias("receivables"),
+        F.col("Total assets").alias("total_assets"),
+        F.round("reconstructed_total_assets", 4).alias("recon_total"),
+        F.round("relative_error", 8).alias("rel_err"),
+        "total_asset_check",
+    )
+
+
+E1_SQL = """
+WITH filings AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS cik,
+         CASE WHEN o_orderkey % 2 = 0 THEN 1000000.0 ELSE 1.0 END AS s
+  FROM orders WHERE o_orderkey % 25 = 0
+)
+SELECT cik, 'N' || cik AS name, '2021-06-30' AS filing_date,
+       CAST(2020 AS INT) AS fiscal_year,
+       2.0 * s AS cash, 5.0 * s AS receivables,
+       CAST(NULL AS DOUBLE) AS total_assets,
+       round(7.0 * s, 4) AS recon_total,
+       CAST(NULL AS DOUBLE) AS rel_err,
+       'NOT FOUND' AS total_asset_check
+FROM filings
 """
 
 
@@ -630,9 +757,13 @@ QUERIES = {
     "e2_clean_pipeline": e2_clean_pipeline,
     "k1_totals_check": k1_totals_check,
     "j7_special_merge": j7_special_merge,
+    "u6_unstructured_wide": u6_unstructured_wide,
+    "e1_full_pipeline": e1_full_pipeline,
 }
 
 ORACLES = {
+    "u6_unstructured_wide": U6_SQL,
+    "e1_full_pipeline": E1_SQL,
     "e2_clean_pipeline": E2_SQL,
     "k6_table_select": K6_SQL,
     "k2_balance_split": K2_SQL,

@@ -532,6 +532,75 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Window-budget composites: the driver hash-checks only the first 50
+# registry entries, so these carry several §2 ops in one oracle-checked
+# query each. The per-op queries stay registered (and locally gated)
+# after the window.
+
+
+# C1 — P3 (left-semi) + P4 (left-anti) in one tagged result: orders
+# with vs without lineitems, counted by status. Both branches are
+# non-empty at every SF (the testdata has line-less orders).
+def c1_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    on = orders.o_orderkey == F.col("l_orderkey")
+    semi = orders.join(li, on, "left_semi")
+    anti = orders.join(li, on, "left_anti")
+    return (
+        semi.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .withColumn("membership", F.lit("has_lines"))
+        .unionByName(
+            anti.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+            .withColumn("membership", F.lit("no_lines"))
+        )
+    )
+
+
+C1_SQL = """
+SELECT o_orderstatus, count(*) AS n, 'has_lines' AS membership
+FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderstatus
+UNION ALL
+SELECT o_orderstatus, count(*), 'no_lines'
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderstatus
+"""
+
+
+# C2 — U1 (union) + U2 (intersect) + U3 (except) + U4 (distinct) in one
+# tagged result over two part-key sets chosen so all three classes are
+# deterministically non-empty (the testdata is dense: every part ships,
+# so natural predicates degenerate; the modulus split cannot).
+def c2_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = part.filter(F.col("p_size") <= 25).select(F.col("p_partkey").alias("key"))
+    b = (
+        li.filter(F.col("l_partkey") % 3 == 0)
+        .select(F.col("l_partkey").alias("key"))
+        .distinct()
+    )
+    both = a.intersect(b).withColumn("op", F.lit("both"))
+    a_only = a.exceptAll(b).withColumn("op", F.lit("a_only"))
+    b_only = b.exceptAll(a).withColumn("op", F.lit("b_only"))
+    return both.unionByName(a_only).unionByName(b_only)
+
+
+C2_SQL = """
+WITH a AS (SELECT p_partkey AS key FROM part WHERE p_size <= 25),
+     b AS (SELECT DISTINCT l_partkey AS key FROM lineitem WHERE l_partkey % 3 = 0)
+SELECT key, 'both' AS op FROM (SELECT key FROM a INTERSECT SELECT key FROM b)
+UNION ALL
+SELECT key, 'a_only' FROM (SELECT key FROM a EXCEPT SELECT key FROM b)
+UNION ALL
+SELECT key, 'b_only' FROM (SELECT key FROM b EXCEPT SELECT key FROM a)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_order_revenue": q3_order_revenue,
@@ -555,9 +624,13 @@ QUERIES = {
     "u3_except": u3_except,
     "u4_distinct": u4_distinct,
     "o4_topk_per_group": o4_topk_per_group,
+    "c1_semi_anti": c1_semi_anti,
+    "c2_setops": c2_setops,
 }
 
 ORACLES = {
+    "c1_semi_anti": C1_SQL,
+    "c2_setops": C2_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_order_revenue": Q3_SQL,
     "q5_region_volume": Q5_SQL,

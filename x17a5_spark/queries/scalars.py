@@ -273,6 +273,84 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# C5 — window-budget composite (driver hash-checks the first 50 registry
+# entries): the full accounting-check chain in one lineitem scan — F1
+# parse (dirty-pattern strip), F10 power-of-ten equivalence, F11 epsilon
+# one-digit match, F12 relative-error class, plus the row-wise A9/A10
+# greatest/least. This mirrors how the reference actually composes them
+# (DatabaseUnstructured.py:32-184 runs all checks per row in one pass);
+# the per-op queries stay registered after the window.
+def c5_accounting_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = F.floor("l_extendedprice").cast("long")
+    grp = F.format_number(base, 0)
+    variant = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5
+    dirty = (
+        F.when(variant == 0, F.concat(F.lit("$ "), grp))
+        .when(variant == 1, F.concat(F.lit("("), grp, F.lit(")")))
+        .when(variant == 2, F.regexp_replace(grp, "1", "I"))
+        .when(variant == 3, F.concat(grp, F.lit("-")))
+        .otherwise(F.concat(grp, F.lit(".123")))
+    )
+    a = (F.floor("l_extendedprice") + 1).cast("double")
+    scaled = ((F.col("l_orderkey") + F.col("l_linenumber")) % 2) == 0
+    b = F.when(scaled, a * 1000.0).otherwise(a * 37.0 + 11.0)
+    x1 = (F.floor("l_extendedprice") % 900000 + 100000).cast("double")
+    bump = (
+        F.when((F.col("l_orderkey") % 3) == 0, F.lit(0.0))
+        .when((F.col("l_orderkey") % 3) == 1, F.lit(1.0))
+        .otherwise(F.lit(30000.0))
+    )
+    recon = F.floor(F.col("l_extendedprice") / 100) * 100
+    err = F.when(
+        F.col("l_orderkey") % 7 != 0,
+        F.abs(F.col("l_extendedprice") - recon) / F.col("l_extendedprice"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        parse_accounting_number(dirty).alias("parsed"),
+        is_power_of_ten_ratio(a, b).alias("is_multiple"),
+        epsilon_one_digit_match(x1, x1 + bump).alias("is_epsilon_match"),
+        relative_error_class(err).alias("match_class"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+C5_SQL = """
+WITH e AS (
+  SELECT l_orderkey, l_linenumber, l_discount, l_tax,
+         CAST(floor(l_extendedprice) % 900000 + 100000 AS DOUBLE) AS x1,
+         CAST(floor(l_extendedprice) % 900000 + 100000 AS DOUBLE)
+         + (CASE l_orderkey % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 ELSE 30000.0 END) AS x2,
+         CASE WHEN l_orderkey % 7 <> 0
+              THEN abs(l_extendedprice - floor(l_extendedprice / 100) * 100)
+                   / l_extendedprice
+         END AS err,
+         CAST(CASE (l_orderkey * 7 + l_linenumber) % 5
+              WHEN 1 THEN -floor(l_extendedprice)
+              WHEN 4 THEN floor(l_extendedprice) * 1000 + 123
+              ELSE floor(l_extendedprice) END AS DOUBLE) AS parsed
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, parsed,
+       (l_orderkey + l_linenumber) % 2 = 0 AS is_multiple,
+       x1 <> 0 AND x2 <> 0
+       AND length(CAST(x1 AS VARCHAR)) = length(CAST(x2 AS VARCHAR))
+       AND levenshtein(CAST(x1 AS VARCHAR), CAST(x2 AS VARCHAR)) = 1
+       AND abs((x1 - x2) / x1) <= 0.01 AS is_epsilon_match,
+       CASE WHEN err IS NULL THEN 'NOT FOUND'
+            WHEN err = 0 THEN 'PERFECT MATCH'
+            WHEN err < 0.01 THEN 'BOUNDED MATCH'
+            ELSE 'GROSS MISMATCH' END AS match_class,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate
+FROM e
+"""
+
+
 QUERIES = {
     "f1_parse_accounting": f1_parse_accounting,
     "f2_levenshtein_ratio": f2_levenshtein_ratio,
@@ -284,9 +362,11 @@ QUERIES = {
     "f16_fiscal_year": f16_fiscal_year,
     "f17_year_qtr_enum": f17_year_qtr_enum,
     "f21_json_extract": f21_json_extract,
+    "c5_accounting_chain": c5_accounting_chain,
 }
 
 ORACLES = {
+    "c5_accounting_chain": C5_SQL,
     "f1_parse_accounting": F1_SQL,
     "f2_levenshtein_ratio": F2_SQL,
     "f3_conjoined_detect": F3_SQL,

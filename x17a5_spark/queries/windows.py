@@ -198,6 +198,98 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# Window-budget composites (driver hash-checks the first 50 registry
+# entries): each folds two §2 window ops that share the same partition
+# key + order into ONE window pass — also strictly better engineering
+# (one exchange + one sort instead of two queries' worth).
+
+
+# C3 — W2 (first-match position) + W3 (last-match split point) over the
+# same per-user position CTE.
+def c3_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    with_pos = events.withColumn("pos", F.row_number().over(w))
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("pos"))
+    ).alias("first_purchase_pos")
+    return (
+        with_pos.groupBy("user_id")
+        .agg(
+            first_purchase,
+            F.count("*").alias("n_events"),
+            F.max(F.when(F.col("event_type") == "click", F.col("pos"))).alias(
+                "last_click_pos"
+            ),
+            F.max(F.when(F.col("event_type") == "error", F.col("pos"))).alias(
+                "last_error_pos"
+            ),
+        )
+        .withColumn(
+            "in_top_half",
+            F.when(
+                F.col("first_purchase_pos").isNotNull(),
+                F.col("first_purchase_pos") <= F.col("n_events") / 2,
+            ),
+        )
+    )
+
+
+C3_SQL = """
+WITH pos AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS pos
+  FROM events
+)
+SELECT user_id,
+       min(CASE WHEN event_type = 'purchase' THEN pos END) AS first_purchase_pos,
+       count(*) AS n_events,
+       max(CASE WHEN event_type = 'click' THEN pos END) AS last_click_pos,
+       max(CASE WHEN event_type = 'error' THEN pos END) AS last_error_pos,
+       CASE WHEN min(CASE WHEN event_type = 'purchase' THEN pos END) IS NOT NULL
+            THEN min(CASE WHEN event_type = 'purchase' THEN pos END) <= count(*) / 2
+       END AS in_top_half
+FROM pos GROUP BY user_id
+"""
+
+
+# C4 — W1 (running + lookback frames) + W4 (lag previous-row) over the
+# same per-customer order window.
+def c4_sequence_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(*_ord())
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lookback = w.rowsBetween(-3, -1)
+    price_dec = F.col("o_totalprice").cast("decimal(27,6)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(price_dec).over(running).cast("double").alias("running_total"),
+        F.sum(price_dec).over(lookback).cast("double").alias("lookback3_sum"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        (F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w)).alias("price_delta"),
+    )
+
+
+C4_SQL = f"""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+            OVER (PARTITION BY o_custkey ORDER BY {_ORD_SQL}
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+            OVER (PARTITION BY o_custkey ORDER BY {_ORD_SQL}
+                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+           AS lookback3_sum,
+       lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY {_ORD_SQL}) AS prev_price,
+       o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY {_ORD_SQL})
+           AS price_delta
+FROM orders
+"""
+
+
 QUERIES = {
     "w1_running_and_lookback": w1_running_and_lookback,
     "w2_first_match_position": w2_first_match_position,
@@ -205,9 +297,13 @@ QUERIES = {
     "w4_lag_previous": w4_lag_previous,
     "w5_dedup_keep_first": w5_dedup_keep_first,
     "w6_carry_forward": w6_carry_forward,
+    "c3_match_positions": c3_match_positions,
+    "c4_sequence_scan": c4_sequence_scan,
 }
 
 ORACLES = {
+    "c3_match_positions": C3_SQL,
+    "c4_sequence_scan": C4_SQL,
     "w1_running_and_lookback": W1_SQL,
     "w2_first_match_position": W2_SQL,
     "w3_last_match_split": W3_SQL,
