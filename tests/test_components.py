@@ -58,11 +58,25 @@ def test_canonicalize_covers_singletons(spark):
     }
 
 
-def test_round_cap_partial_progress(spark):
-    # with max_rounds=1 a 4-hop chain cannot fully converge, but every
-    # node must still carry a label no larger than its own id
+def test_round_cap_raises_instead_of_silent_partial_result(spark):
+    import pytest
+
+    # a 4-hop chain cannot converge in one round (= 2 batched steps):
+    # the cap must surface as a clear error, never a half-resolved map
     df = spark.createDataFrame([(i, i + 1) for i in range(4)], ["src", "dst"])
-    out = {r.id: r.comp for r in connected_components(df, max_rounds=1).collect()}
-    assert all(c <= i for i, c in out.items())
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=1)
     full = {r.id: r.comp for r in connected_components(df).collect()}
     assert full == {i: 0 for i in range(5)}
+
+
+def test_diameter_beyond_default_budget_raises(spark):
+    import pytest
+
+    # chain of 60 nodes: diameter 59 > 2 * max_rounds(25) = 50 hops
+    df = spark.createDataFrame([(i, i + 1) for i in range(59)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="alternating-star"):
+        connected_components(df, max_rounds=4)  # small cap: fail fast
+    # and a budget sized to the diameter resolves it fully
+    full = {r.id: r.comp for r in connected_components(df, max_rounds=30).collect()}
+    assert full == {i: 0 for i in range(60)}

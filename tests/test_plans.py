@@ -64,6 +64,22 @@ def test_s1_broadcast_nested_loop_is_intentional(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_o1_window_sits_above_the_aggregate(spark):
+    # o1's unpartitioned (global) window is acceptable ONLY because it
+    # ranks a bounded post-aggregation table ("never global-sort raw
+    # data", SCALE.md). Physical plans print top-down, so the Window
+    # must appear before (= downstream of) the final HashAggregate; a
+    # refactor that moves the window upstream of the aggregate flips
+    # that order and fails here.
+    from x17a5_spark.queries.misc import o1_global_rank
+
+    plan = _plan(o1_global_rank(spark, SF))
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    agg = next(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    assert win < agg, "global window moved upstream of the aggregate"
+
+
 def test_whole_stage_codegen_active(spark):
     import io
     from contextlib import redirect_stdout

@@ -1,0 +1,146 @@
+"""Bit-compat sklearn inference route (ml/sklearn_compat.py): the hash
+is pinned to MurmurHash3's published reference vectors, the vectorizer
+semantics to hand-derived expectations, and — when sklearn is
+importable — token-for-token and probability-for-probability to the
+real ``HashingVectorizer``/``LogisticRegression``."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from x17a5_spark.ml.sklearn_compat import (
+    LogRegParams,
+    hashing_vectorize,
+    murmurhash3_32,
+    murmurhash3_32_signed,
+    predict_proba,
+    sklearn_predict_labels,
+    tokenize,
+)
+
+# Austin Appleby's reference vectors for MurmurHash3 x86_32.
+MMH3_VECTORS = [
+    (b"", 0, 0x00000000),
+    (b"", 1, 0x514E28B7),
+    (b"", 0xFFFFFFFF, 0x81F16F39),
+    (b"a", 0, 0x3C2569B2),
+    (b"abc", 0, 0xB3DD93FA),
+    (b"hello", 0, 0x248BFA47),
+    (b"Hello, world!", 0, 0xC0363E43),
+    (b"The quick brown fox jumps over the lazy dog", 0, 0x2E4FF723),
+    (b"aaaa", 0x9747B28C, 0x5A97808A),
+]
+
+
+def test_murmurhash3_reference_vectors():
+    for data, seed, want in MMH3_VECTORS:
+        assert murmurhash3_32(data, seed) == want, data
+    # signed view is the two's-complement reinterpretation
+    assert murmurhash3_32_signed(b"abc") == 0xB3DD93FA - (1 << 32)
+    assert murmurhash3_32_signed(b"hello") == 0x248BFA47
+
+
+def test_tokenizer_matches_sklearn_analyzer_semantics():
+    # lowercase, unicode accent strip, >=2 word chars per token
+    assert tokenize("Cash & cash Équivalents, a 12") == [
+        "cash", "cash", "equivalents", "12",
+    ]
+    assert tokenize("A") == []
+
+
+def test_vectorizer_rows_are_l2_normalized_and_signed():
+    X = hashing_vectorize(pd.Series(["cash cash equivalents", "", None]), 64)
+    norms = np.linalg.norm(X, axis=1)
+    assert norms[0] == pytest.approx(1.0)
+    assert norms[1] == norms[2] == 0.0
+    # repeated token accumulates before normalization: the 'cash' slot
+    # carries twice the weight of the 'equivalents' slot
+    nz = np.nonzero(X[0])[0]
+    assert sorted(abs(X[0, nz]) / min(abs(X[0, nz]))) == pytest.approx([1.0, 2.0])
+
+
+def _toy_params() -> LogRegParams:
+    # 8-feature space, 3 classes with hand-placed coefficients
+    rng = np.random.RandomState(7)
+    return LogRegParams(
+        classes=("Cash", "Receivables", "Other"),
+        coef=rng.randn(3, 8),
+        intercept=rng.randn(3),
+    )
+
+
+def test_predict_proba_matches_independent_softmax():
+    params = _toy_params()
+    X = hashing_vectorize(pd.Series(["cash on hand", "due from brokers"]), 8)
+    got = predict_proba(X, params)
+    scores = X @ params.coef.T + params.intercept
+    want = np.exp(scores) / np.exp(scores).sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    np.testing.assert_allclose(got.sum(axis=1), 1.0)
+
+
+def test_binary_model_uses_sigmoid():
+    params = LogRegParams(
+        classes=("no", "yes"),
+        coef=np.ones((1, 4)),
+        intercept=np.array([-0.5]),
+    )
+    X = np.eye(4)[:2]
+    got = predict_proba(X, params)
+    want1 = 1.0 / (1.0 + np.exp(-(X @ params.coef.T + params.intercept)[:, 0]))
+    np.testing.assert_allclose(got[:, 1], want1)
+    np.testing.assert_allclose(got.sum(axis=1), 1.0)
+
+
+def test_spark_route_matches_local_route(spark):
+    params = _toy_params()
+    items = ["Cash on hand", "Receivables from customers", "Goodwill", "cash ON HAND"]
+    df = spark.createDataFrame([(s,) for s in items], ["lineitem"])
+    got = {
+        r["lineitem"]: (r["label"], r["max_score"])
+        for r in sklearn_predict_labels(df, params, n_features=8).collect()
+    }
+    assert len(got) == 4
+    X = hashing_vectorize(pd.Series(items), 8)
+    proba = predict_proba(X, params)
+    for i, s in enumerate(items):
+        label, score = got[s]
+        assert label == params.classes[proba[i].argmax()]
+        assert score == pytest.approx(proba[i].max(), rel=1e-12)
+
+
+def test_exact_match_against_real_sklearn_if_available(spark):
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.feature_extraction.text import HashingVectorizer
+    from sklearn.linear_model import LogisticRegression
+
+    texts = [
+        "Cash and cash equivalents",
+        "Receivables from broker-dealers",
+        "Securities owned, at fair value",
+        "Goodwill and intangibles",
+        "Payable to customers",
+        "Subordinated borrowings",
+    ]
+    labels = ["Cash", "Receivables", "Securities", "Other", "Payables", "Debt"]
+    # the reference's exact vectorizer (run_build_database.py:331-336)
+    vec = HashingVectorizer(
+        strip_accents="unicode", lowercase=True, analyzer="word",
+        n_features=1000, norm="l2",
+    )
+    X_ref = vec.transform(texts).toarray()
+    X_ours = hashing_vectorize(pd.Series(texts), 1000)
+    np.testing.assert_allclose(X_ours, X_ref, atol=1e-12)
+
+    mdl = LogisticRegression(C=10, class_weight="balanced", max_iter=500)
+    mdl.fit(X_ref, labels)
+    params = LogRegParams.from_sklearn(mdl)
+    df = spark.createDataFrame([(s,) for s in texts], ["lineitem"])
+    got = {
+        r["lineitem"]: r["label"]
+        for r in sklearn_predict_labels(df, params).collect()
+    }
+    want = dict(zip(texts, mdl.predict(X_ref)))
+    assert got == want

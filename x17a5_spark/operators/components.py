@@ -44,6 +44,21 @@ def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def _propagate(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label step: comp(v) <- min(comp(v), min over neighbors).
+    ``_changed`` marks rows the step improved."""
+    neighbor_min = (
+        sym.join(labels, sym["v"] == labels["id"])
+        .groupBy("u")
+        .agg(F.min("comp").alias("nmin"))
+    )
+    return labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left").select(
+        "id",
+        F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+        (F.col("nmin") < F.col("comp")).alias("_changed"),
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 25
 ) -> DataFrame:
@@ -51,6 +66,14 @@ def connected_components(
     id reachable in the component. Output covers every node incident to
     an edge; left-join back to the corpus and ``coalesce(comp, id)``
     for singletons (see :func:`canonicalize_duplicates`).
+
+    Each driver round-trip batches TWO propagation steps (one
+    checkpoint + one convergence action per pair), so ``max_rounds``
+    rounds admit ``2 * max_rounds`` hops of label travel. A graph whose
+    diameter exceeds that budget raises rather than returning silently
+    unresolved clusters — the escape hatch for such (adversarial)
+    inputs is the alternating large-star/small-star scheme cited in the
+    module docstring, or simply a larger ``max_rounds``.
     """
     sym = _symmetrize(edges, src, dst).localCheckpoint(eager=True)
     labels = (
@@ -60,27 +83,18 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
-        neighbor_min = (
-            sym.join(labels, sym["v"] == labels["id"])
-            .groupBy("u")
-            .agg(F.min("comp").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias(
-                    "comp"
-                ),
-                (F.col("nmin") < F.col("comp")).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = updated.filter(F.col("_changed")).isEmpty() is False
+        first = _propagate(sym, labels).drop("_changed")
+        updated = _propagate(sym, first).localCheckpoint(eager=True)
+        changed = not updated.filter(F.col("_changed")).isEmpty()
         labels = updated.drop("_changed")
         if not changed:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_rounds} rounds "
+        f"({2 * max_rounds} propagation steps); the pair graph's diameter "
+        "exceeds the budget. Raise max_rounds, or switch to the "
+        "alternating-star contraction for long-chain graphs."
+    )
 
 
 def canonicalize_duplicates(
