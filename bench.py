@@ -46,6 +46,10 @@ HEADLINE = [
     "s1_cosine_topk",
     "st3_session_window",
     "e3_structured_assets",
+    # round 2 additions: the wide unstructured build and the one-pass
+    # accounting-check chain
+    "u6_unstructured_wide",
+    "c5_accounting_chain",
 ]
 
 
