@@ -283,6 +283,143 @@ FROM recon
 """
 
 
+# E3L — the liability-side structured build (DatabaseStructured.py:
+# 241-264): pivot over the liability taxonomy, then FOUR reconstruction
+# variants (base, less total-liabilities, less total-equity, less both)
+# with the best (minimum) relative error deciding the match class.
+# Plant: payables/debt lines from lineitem bands, a planted 60/40
+# TL/TE split of o_totalprice, and o_totalprice as the reported
+# total-L&E — every variant's error is closed-form in SQL.
+E3L_LABELS = [
+    "Payables",
+    "Debt",
+    "Total liabilities",
+    "Total shareholder's equity",
+    "Total liabilities and shareholder's equity",
+]
+
+
+def e3l_structured_liabilities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.operators.structured import build_structured_liabilities
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = [
+        F.col("o_custkey").cast("string").alias("cik"),
+        F.concat(F.lit("N"), F.col("o_orderkey")).alias("name"),
+        F.col("o_orderdate").cast("date").cast("string").alias("filing_date"),
+        (F.year("o_orderdate") - 1).cast("int").alias("fiscal_year"),
+    ]
+    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        *keys,
+        F.concat(F.lit("Line "), F.col("l_linenumber")).alias("lineitem"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    totals = orders.select(
+        *keys,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("TL reported").alias("lineitem"),
+                    (F.col("o_totalprice") * 0.6).alias("value"),
+                ),
+                F.struct(
+                    F.lit("TE reported").alias("lineitem"),
+                    (F.col("o_totalprice") * 0.4).alias("value"),
+                ),
+                F.struct(
+                    F.lit("TLE reported").alias("lineitem"),
+                    F.col("o_totalprice").alias("value"),
+                ),
+            )
+        ).alias("r"),
+    ).select("cik", "name", "filing_date", "fiscal_year", "r.lineitem", "r.value")
+    long_df = lines.unionByName(totals)
+    label_map = spark.createDataFrame(
+        [
+            ("Line 1", "Payables"),
+            ("Line 2", "Payables"),
+            ("Line 3", "Payables"),
+            ("Line 4", "Debt"),
+            ("Line 5", "Debt"),
+            ("Line 6", "Debt"),
+            ("Line 7", "Debt"),
+            ("TL reported", "Total liabilities"),
+            ("TE reported", "Total shareholder's equity"),
+            ("TLE reported", "Total liabilities and shareholder's equity"),
+        ],
+        ["lineitem", "label"],
+    )
+    out = build_structured_liabilities(long_df, label_map, E3L_LABELS)
+    return out.select(
+        "cik",
+        "fiscal_year",
+        "name",
+        F.col("Payables").alias("payables"),
+        F.col("Debt").alias("debt"),
+        F.col("Total liabilities").alias("total_liab"),
+        F.col("Total shareholder's equity").alias("total_equity"),
+        F.col("Total liabilities and shareholder's equity").alias("total_le"),
+        F.round("relative_error", 8).alias("rel_err"),
+        "total_le_check",
+    )
+
+
+E3L_SQL = """
+WITH long_tbl AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS cik, 'N' || CAST(o_orderkey AS VARCHAR) AS name,
+         strftime(o_orderdate, '%Y-%m-%d') AS filing_date,
+         CAST(year(o_orderdate) - 1 AS INT) AS fiscal_year,
+         CASE WHEN l_linenumber <= 3 THEN 'Payables' ELSE 'Debt' END AS label,
+         l_extendedprice AS value
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT CAST(o_custkey AS VARCHAR), 'N' || CAST(o_orderkey AS VARCHAR),
+         strftime(o_orderdate, '%Y-%m-%d'), CAST(year(o_orderdate) - 1 AS INT),
+         t.label, o_totalprice * t.frac
+  FROM orders CROSS JOIN (VALUES
+    ('Total liabilities', 0.6),
+    ('Total shareholder''s equity', 0.4),
+    ('Total liabilities and shareholder''s equity', 1.0)) t(label, frac)
+),
+piv AS (
+  SELECT cik, name, filing_date, fiscal_year,
+         CAST(SUM(CAST(CASE WHEN label = 'Payables' THEN value END AS DECIMAL(27,6))) AS DOUBLE) AS payables,
+         CAST(SUM(CAST(CASE WHEN label = 'Debt' THEN value END AS DECIMAL(27,6))) AS DOUBLE) AS debt,
+         CAST(SUM(CAST(CASE WHEN label = 'Total liabilities' THEN value END AS DECIMAL(27,6))) AS DOUBLE) AS total_liab,
+         CAST(SUM(CAST(CASE WHEN label = 'Total shareholder''s equity' THEN value END AS DECIMAL(27,6))) AS DOUBLE) AS total_equity,
+         CAST(SUM(CAST(CASE WHEN label = 'Total liabilities and shareholder''s equity' THEN value END AS DECIMAL(27,6))) AS DOUBLE) AS total_le
+  FROM long_tbl GROUP BY 1, 2, 3, 4
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY cik, fiscal_year
+                               ORDER BY filing_date ASC, name ASC) AS rn
+  FROM piv
+),
+recon AS (
+  SELECT cik, fiscal_year, name, payables, debt, total_liab, total_equity, total_le,
+         coalesce(payables, 0) + coalesce(debt, 0)
+         + coalesce(total_liab, 0) + coalesce(total_equity, 0) AS base
+  FROM dedup WHERE rn = 1
+),
+errs AS (
+  SELECT *, least(
+           abs(base - total_le) / total_le,
+           abs(base - coalesce(total_liab, 0) - total_le) / total_le,
+           abs(base - coalesce(total_equity, 0) - total_le) / total_le,
+           abs(base - coalesce(total_liab, 0) - coalesce(total_equity, 0) - total_le)
+             / total_le) AS best_err
+  FROM recon
+)
+SELECT cik, fiscal_year, name, payables, debt, total_liab, total_equity, total_le,
+       round(best_err, 8) AS rel_err,
+       CASE WHEN best_err = 0 THEN 'PERFECT MATCH'
+            WHEN best_err < 0.01 THEN 'BOUNDED MATCH'
+            ELSE 'GROSS MISMATCH' END AS total_le_check
+FROM errs
+"""
+
+
 # U6 — the on-demand wide unstructured database
 # (DatabaseUnstructured.py:291-348): pivot the long table over an
 # explicit allowlist, congruent names summed, id cols first, all-null
@@ -399,8 +536,8 @@ WITH filings AS (
   FROM orders WHERE o_orderkey % 15 = 0
 )
 SELECT cik, '2021-06-30' AS filing_date, r.side, CAST(r.row_idx AS INT) AS row_idx,
-       r.lineitem, r.v * s AS value, CAST(1 AS INT) AS total_flag,
-       r.amt * s AS total_amt
+       r.lineitem, CAST(r.v * s AS DOUBLE) AS value, CAST(1 AS INT) AS total_flag,
+       CAST(r.amt * s AS DOUBLE) AS total_amt
 FROM filings CROSS JOIN (VALUES
   ('asset', 0, 'Cash', 2.0, 7.0),
   ('asset', 1, 'Receivables', 5.0, 7.0),
@@ -460,8 +597,8 @@ def k1_totals_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 K1_SQL = """
 WITH f AS (SELECT CAST(o_orderkey AS VARCHAR) AS cik FROM orders WHERE o_orderkey % 15 = 0)
-SELECT cik, s.row_idx, s.lineitem, s.value,
-       CAST(1 AS INT) AS total_flag, 19178.0 AS total_amt
+SELECT cik, s.row_idx, s.lineitem, CAST(s.value AS DOUBLE) AS value,
+       CAST(1 AS INT) AS total_flag, CAST(19178.0 AS DOUBLE) AS total_amt
 FROM f CROSS JOIN (VALUES
   (0, 'Cash', 3001.0),
   (1, 'Receivables', 7002.0),
@@ -538,9 +675,9 @@ WITH filings AS (
 )
 SELECT cik, 'N' || cik AS name, '2021-06-30' AS filing_date,
        CAST(2020 AS INT) AS fiscal_year,
-       2.0 * s AS cash, 5.0 * s AS receivables,
+       CAST(2.0 * s AS DOUBLE) AS cash, CAST(5.0 * s AS DOUBLE) AS receivables,
        CAST(NULL AS DOUBLE) AS total_assets,
-       round(7.0 * s, 4) AS recon_total,
+       CAST(round(7.0 * s, 4) AS DOUBLE) AS recon_total,
        CAST(NULL AS DOUBLE) AS rel_err,
        'NOT FOUND' AS total_asset_check
 FROM filings
@@ -759,11 +896,13 @@ QUERIES = {
     "j7_special_merge": j7_special_merge,
     "u6_unstructured_wide": u6_unstructured_wide,
     "e1_full_pipeline": e1_full_pipeline,
+    "e3l_structured_liabilities": e3l_structured_liabilities,
 }
 
 ORACLES = {
     "u6_unstructured_wide": U6_SQL,
     "e1_full_pipeline": E1_SQL,
+    "e3l_structured_liabilities": E3L_SQL,
     "e2_clean_pipeline": E2_SQL,
     "k6_table_select": K6_SQL,
     "k2_balance_split": K2_SQL,
