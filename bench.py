@@ -50,6 +50,10 @@ HEADLINE = [
     # accounting-check chain
     "u6_unstructured_wide",
     "c5_accounting_chain",
+    # round 2 corpus-prep layer: the cleaning composite and the packing
+    # kernel
+    "e4_corpus_pipeline",
+    "k7_sequence_pack",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Corpus-prep layer: chunking boundaries, stratified-split invariants,
+and the sequence-packing kernel's greedy semantics (budget boundary,
+oversize document, determinism under repartitioning)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from x17a5_spark.operators.packing import pack_sequences
+from x17a5_spark.queries.corpus import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    t6_chunk_documents,
+    t7_stratified_split,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pack_rows(spark, rows, budget, parts=1):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=s, n_tokens=n) for i, (s, n) in enumerate(rows)]
+    )
+    if parts > 1:
+        df = df.repartition(parts)
+    out = pack_sequences(df, budget).orderBy("group_key", "doc_id").collect()
+    return [(r.group_key, r.n_tokens, r.bin_id, r.bin_fill) for r in out]
+
+
+def test_pack_greedy_boundary_and_oversize(spark):
+    rows = [
+        ("a", 300),  # bin 0, fill 300
+        ("a", 212),  # 300+212=512 == budget -> stays, fill 512
+        ("a", 1),    # overflow -> bin 1, fill 1
+        ("a", 600),  # oversize -> bin 2 alone, fill 600
+        ("a", 10),   # fill 600 already over -> bin 3
+        ("b", 700),  # first row oversize -> bin 0, fill 700
+        ("b", 5),    # bin 1
+    ]
+    got = _pack_rows(spark, rows, budget=512)
+    assert got == [
+        ("a", 300, 0, 300),
+        ("a", 212, 0, 512),
+        ("a", 1, 1, 1),
+        ("a", 600, 2, 600),
+        ("a", 10, 3, 10),
+        ("b", 700, 0, 700),
+        ("b", 5, 1, 5),
+    ]
+
+
+def test_pack_invariant_under_partitioning(spark):
+    rows = [("s%d" % (i % 3), 50 + (i * 37) % 400) for i in range(60)]
+    assert _pack_rows(spark, rows, 512, parts=1) == _pack_rows(
+        spark, rows, 512, parts=7
+    )
+
+
+def test_chunks_cover_text_exactly(spark):
+    out = t6_chunk_documents(spark, SF)
+    # every chunk except a doc's last has the full CHUNK_SIZE; strides
+    # tile the document so the last chunk ends exactly at text end
+    docs = out.groupBy("doc_id").agg(
+        F.max("chunk_idx").alias("last_idx"),
+        F.sum(F.when(F.col("chunk_len") < CHUNK_SIZE, 1).otherwise(0)).alias(
+            "n_short"
+        ),
+    )
+    assert docs.filter(F.col("n_short") > 1).count() == 0
+    joined = (
+        out.groupBy("doc_id")
+        .agg(F.max(F.col("chunk_idx") * CHUNK_STRIDE + F.col("chunk_len")).alias("covered"))
+    )
+    from x17a5_spark.tables import load_table
+
+    lens = load_table(spark, SF, "documents").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    bad = joined.join(lens, "doc_id").filter(F.col("covered") != F.col("n"))
+    assert bad.count() == 0
+
+
+def test_stratified_split_proportions(spark):
+    out = t7_stratified_split(spark, SF)
+    per = (
+        out.groupBy("lang")
+        .pivot("split", ["train", "val", "test"])
+        .count()
+        .fillna(0)
+        .collect()
+    )
+    for r in per:
+        n = r.train + r.val + r.test
+        assert r.train == int(0.8 * n)
+        assert r.train + r.val == int(0.9 * n)
+    # deterministic: same assignment on re-run
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in t7_stratified_split(spark, SF).collect()}
+    assert a == b

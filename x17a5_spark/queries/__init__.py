@@ -87,6 +87,7 @@ DRIVER_WINDOW = 50
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from x17a5_spark.queries import (
         analytics,
+        corpus,
         dedup,
         domain,
         maps,
@@ -115,6 +116,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         maps,
         analytics,
         multimodal,
+        corpus,
     ):
         for name, fn in mod.QUERIES.items():
             if name in merged:

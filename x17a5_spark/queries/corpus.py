@@ -1,0 +1,280 @@
+"""Corpus-preparation operators — the training-data-pipeline layer on
+top of the text/dedup primitives: document chunking (t6), deterministic
+stratified train/val/test splitting (t7), and the end-to-end corpus
+cleaning composite (e4) that chains lang-ID -> quality filter -> exact
+dedup -> per-language stats the way a real pretraining-data build does.
+
+Scale notes (100 TB):
+  * t6 is a stateless explode — no shuffle at all; output size is
+    bounded by ``~len/stride`` chunks per document.
+  * t7 needs one shuffle on the stratum key. Per-stratum ``row_number``
+    windows skew when one language dominates a corpus; the hash-order
+    invariant means the window can equivalently run per (stratum,
+    hash-prefix) shard with offsets composed from shard counts — the
+    doc-level assignment here is the semantics contract.
+  * e4's only shuffles are the dedup groupBy (map-side combined md5
+    fingerprints) and the final tiny per-language aggregate; every
+    filter runs scan-side before any exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from x17a5_spark.functions.text import (
+    normalized_fingerprint,
+    punct_ratio,
+    token_count,
+    tokens,
+)
+from x17a5_spark.queries.textops import STOPWORDS, _hits_sql
+from x17a5_spark.tables import load_table
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+# T6 — overlapping character chunking (the RAG / context-window prep
+# step): fixed size, fixed stride, 1-based substring in both engines.
+def t6_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((F.length("text") - CHUNK_SIZE) / F.lit(CHUNK_STRIDE)) + 1).cast(
+            "int"
+        ),
+    )
+    chunked = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.col("text"),
+    )
+    chunk_text = F.substring(
+        "text", F.col("chunk_idx") * CHUNK_STRIDE + 1, F.lit(CHUNK_SIZE)
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).alias("chunk_len"),
+    )
+
+
+T6_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((length(text) - {CHUNK_SIZE})
+                               / {CHUNK_STRIDE}.0) AS INT) + 1) AS n_chunks
+  FROM documents
+),
+e AS (
+  SELECT doc_id, text, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx
+  FROM d
+)
+SELECT doc_id, chunk_idx,
+       substring(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}) AS chunk_text,
+       length(substring(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}))
+           AS chunk_len
+FROM e
+"""
+
+
+# T7 — deterministic stratified train/val/test split: order each
+# language stratum by md5(doc_id) (a stable pseudo-random permutation
+# both engines compute identically), then cut at exact 80/10/10 row
+# boundaries. Reproducible across engines, runs, and partitionings.
+def t7_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    n = Window.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(n).alias("n_lang"),
+    )
+    split = (
+        F.when(F.col("rn") <= F.floor(0.8 * F.col("n_lang")), F.lit("train"))
+        .when(F.col("rn") <= F.floor(0.9 * F.col("n_lang")), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return ranked.select("doc_id", "lang", F.col("rn").alias("stratum_rank"), split.alias("split"))
+
+
+T7_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT doc_id, lang, rn AS stratum_rank,
+       CASE WHEN rn <= floor(0.8 * n_lang) THEN 'train'
+            WHEN rn <= floor(0.9 * n_lang) THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
+# E4 — the corpus-prep composite: stopword-voting lang-ID keeps docs
+# with a confident prediction, the t2 quality score gates at 0.5, exact
+# dedup keeps the lowest doc_id per normalized fingerprint, and the
+# survivors aggregate to per-language corpus stats. One scan, filters
+# before every exchange.
+QUALITY_GATE = 0.5
+
+
+def e4_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks_l = tokens(F.lower(F.col("text")))
+
+    def hits(words: list[str]):
+        wordlist = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks_l, lambda t: F.array_contains(wordlist, t)))
+
+    hit_cols = {lang: hits(words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in ("en", "de", "fr", "es"):
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+
+    n_tok = token_count("text")
+    stop_hits_en = F.size(
+        F.filter(tokens(F.col("text")), lambda t: F.lower(t).isin(*STOPWORDS["en"]))
+    )
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(stop_hits_en / n_tok)
+    quality = (
+        0.5 * F.least(F.length("text") / 1000.0, F.lit(1.0))
+        + 0.3 * (1.0 - punct_ratio(F.col("text")))
+        + 0.2 * stop_ratio
+    )
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        F.round(quality, 6).alias("quality"),
+        n_tok.alias("n_tokens"),
+        normalized_fingerprint(F.col("text")).alias("fingerprint"),
+    ).filter((F.col("pred_lang") != "unknown") & (F.col("quality") >= QUALITY_GATE))
+
+    keep_w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    survivors = scored.withColumn("rn", F.row_number().over(keep_w)).filter(
+        F.col("rn") == 1
+    )
+    # avg over micro-unit integers: float summation is partition-order
+    # dependent; summing exact 1e-6-grained longs is not
+    q_micro = F.round(F.col("quality") * 1e6).cast("long")
+    return survivors.groupBy("lang", "pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum(q_micro) / F.count("*") / 1e6, 6).alias("avg_quality"),
+    )
+
+
+E4_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CASE WHEN greatest({_hits_sql('en')}, {_hits_sql('de')},
+                            {_hits_sql('fr')}, {_hits_sql('es')}) = 0 THEN 'unknown'
+              WHEN {_hits_sql('en')} = greatest({_hits_sql('en')}, {_hits_sql('de')},
+                            {_hits_sql('fr')}, {_hits_sql('es')}) THEN 'en'
+              WHEN {_hits_sql('de')} = greatest({_hits_sql('en')}, {_hits_sql('de')},
+                            {_hits_sql('fr')}, {_hits_sql('es')}) THEN 'de'
+              WHEN {_hits_sql('fr')} = greatest({_hits_sql('en')}, {_hits_sql('de')},
+                            {_hits_sql('fr')}, {_hits_sql('es')}) THEN 'fr'
+              ELSE 'es' END AS pred_lang,
+         round(0.5 * least(length(text) / 1000.0, 1.0)
+               + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                             / length(text) END)
+               + 0.2 * (CASE WHEN len(list_filter(regexp_split_to_array(trim(text),
+                             '\\s+'), x -> x <> '')) = 0 THEN 0.0
+                        ELSE len(list_filter(list_filter(regexp_split_to_array(
+                                 trim(text), '\\s+'), x -> x <> ''),
+                                 x -> list_contains({"['" + "', '".join(STOPWORDS["en"]) + "']"}, lower(x))))
+                             / len(list_filter(regexp_split_to_array(trim(text),
+                                 '\\s+'), x -> x <> '')) END), 6) AS quality,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
+             AS n_tokens,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE pred_lang <> 'unknown' AND quality >= {QUALITY_GATE}
+),
+survivors AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+)
+SELECT lang, pred_lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e6, 6) AS avg_quality
+FROM survivors
+GROUP BY lang, pred_lang
+"""
+
+
+# K7 — sequence packing: greedy first-fit-in-order token binning per
+# source (operators/packing.py kernel). The oracle expresses the same
+# linear recursion as a DuckDB recursive CTE over row_number-chained
+# rows — the kernel's stateful scan is SQL-checkable, not rows-only.
+PACK_BUDGET = 512
+
+
+def k7_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        with_tokens, PACK_BUDGET, group_col="source", order_col="doc_id"
+    )
+
+
+K7_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+r AS (
+  SELECT source, rn, doc_id, n_tokens,
+         CAST(0 AS INT) AS bin_id, n_tokens AS bin_fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+         CAST(CASE WHEN r.bin_fill + t.n_tokens <= {PACK_BUDGET}
+                   THEN r.bin_id ELSE r.bin_id + 1 END AS INT),
+         CAST(CASE WHEN r.bin_fill + t.n_tokens <= {PACK_BUDGET}
+                   THEN r.bin_fill + t.n_tokens ELSE t.n_tokens END AS INT)
+  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
+)
+SELECT doc_id, source AS group_key, n_tokens, bin_id, bin_fill FROM r
+"""
+
+
+QUERIES = {
+    "t6_chunk_documents": t6_chunk_documents,
+    "t7_stratified_split": t7_stratified_split,
+    "e4_corpus_pipeline": e4_corpus_pipeline,
+    "k7_sequence_pack": k7_sequence_pack,
+}
+
+ORACLES = {
+    "t6_chunk_documents": T6_SQL,
+    "t7_stratified_split": T7_SQL,
+    "e4_corpus_pipeline": E4_SQL,
+    "k7_sequence_pack": K7_SQL,
+}
