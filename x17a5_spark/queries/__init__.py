@@ -90,6 +90,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         corpus,
         dedup,
         domain,
+        filtering,
         maps,
         misc,
         multimodal,
@@ -117,6 +118,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         analytics,
         multimodal,
         corpus,
+        filtering,
     ):
         for name, fn in mod.QUERIES.items():
             if name in merged:

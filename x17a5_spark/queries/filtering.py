@@ -1,0 +1,314 @@
+"""Training-data filtering layer over the ``documents`` table — the
+corpus-hygiene operators every large-scale LLM data pipeline runs
+between raw scrape and tokenization: heuristic quality gating (Gopher
+rules), intra-document repetition detection, PII redaction, and
+benchmark decontamination.
+
+All four are deterministic and oracle-checked (identical formulas on
+both engines). Scale notes per operator:
+
+* t8 / t10 are stateless column expressions — embarrassingly parallel
+  scans, zero shuffle, whole-stage codegen.
+* t9 uses explode + two-level groupBy — the distributed shape for
+  per-doc n-gram frequency (a per-row ``transform(array_distinct(...))``
+  count would be O(distinct x n) per document, quadratic for repetitive
+  docs, exactly the docs this filter exists to catch).
+* t11 broadcasts the (small, distinct) eval-set gram table into a
+  semi-join against the train-side gram stream — candidate generation
+  is an equi-join on the gram hash, never a cross product; at 100 TB
+  the eval set (benchmark suites) stays a few MB, so the broadcast
+  holds at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from x17a5_spark.functions.text import tokens, word_shingles
+from x17a5_spark.queries.textops import STOPWORDS
+from x17a5_spark.tables import load_table
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_EN_LIST_SQL = "['" + "', '".join(STOPWORDS["en"]) + "']"
+
+
+# T8 — Gopher-style heuristic quality gate (Rae et al. 2021 §A1.1):
+# word-count bounds, mean-word-length band, alphabetic-word fraction,
+# and a minimum stopword count. The synthetic corpus has no
+# punctuation, so the symbol-ratio rule is represented by the
+# non-alphabetic-character ratio. Emits the signals AND the keep flag
+# so downstream composition can re-threshold without a rescan.
+def t8_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    total_word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        total_word_chars / n_words
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    frac_alpha = F.when(n_words == 0, F.lit(0.0)).otherwise(alpha_words / n_words)
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"])))
+    keep = (
+        (n_words >= 20)
+        & (n_words <= 100000)
+        & (mean_word_len >= 2.0)
+        & (mean_word_len <= 10.0)
+        & (frac_alpha >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        keep.alias("keep"),
+    )
+
+
+T8_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, x -> length(x))) AS word_chars,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+         len(list_filter(toks, x -> list_contains({_EN_LIST_SQL}, lower(x))))
+             AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(CASE WHEN n_words = 0 THEN 0.0 ELSE word_chars / n_words END, 6)
+           AS mean_word_len,
+       round(CASE WHEN n_words = 0 THEN 0.0 ELSE alpha_words / n_words END, 6)
+           AS frac_alpha_words,
+       CAST(stop_hits AS BIGINT) AS stopword_hits,
+       (n_words >= 20 AND n_words <= 100000
+        AND (CASE WHEN n_words = 0 THEN 0.0 ELSE word_chars / n_words END)
+            BETWEEN 2.0 AND 10.0
+        AND (CASE WHEN n_words = 0 THEN 0.0 ELSE alpha_words / n_words END) >= 0.8
+        AND stop_hits >= 2) AS keep
+FROM s
+"""
+
+
+# T9 — intra-document repetition (Gopher §A1.1 "repetition removal"):
+# fraction of duplicate word 2-grams and the share held by the single
+# most frequent 2-gram. Distributed shape: explode the grams, count by
+# (doc_id, gram), re-aggregate by doc_id — two key-local shuffles, both
+# with map-side combine; nothing per-row is quadratic.
+def t9_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=2)).alias("gram")
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total_grams"),
+        F.count("*").alias("distinct_grams"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    dup_frac = 1.0 - F.col("distinct_grams") / F.col("total_grams")
+    top_share = F.col("top_cnt") / F.col("total_grams")
+    return per_doc.select(
+        "doc_id",
+        F.col("total_grams").cast("long").alias("total_grams"),
+        F.col("distinct_grams").cast("long").alias("distinct_grams"),
+        F.round(dup_frac, 6).alias("dup_gram_frac"),
+        F.round(top_share, 6).alias("top_gram_share"),
+        (dup_frac <= 0.2).alias("keep"),
+    )
+
+
+T9_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM t
+  WHERE len(toks) >= 2
+),
+pg AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+),
+pd AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS total_grams,
+         CAST(count(*) AS BIGINT) AS distinct_grams,
+         max(cnt) AS top_cnt
+  FROM pg GROUP BY doc_id
+)
+SELECT doc_id, total_grams, distinct_grams,
+       round(1.0 - distinct_grams / total_grams, 6) AS dup_gram_frac,
+       round(top_cnt / total_grams, 6) AS top_gram_share,
+       (1.0 - distinct_grams / total_grams <= 0.2) AS keep
+FROM pd
+"""
+
+
+# T10 — PII redaction. The synthetic corpus carries no real PII, so the
+# query PLANTS a deterministic contact block derived from (doc_id,
+# source) — identically on both engines — then redacts emails and
+# phone-shaped tokens with the production regexes and reports match
+# counts plus a digest of the redacted text. This exercises the real
+# redaction machinery (multi-pattern regexp_replace + match counting)
+# under an exact oracle instead of a vacuously all-zero one.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+
+def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or +001-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" today"),
+    )
+    with_pii = docs.select("doc_id", planted.alias("text"))
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return with_pii.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+T10_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +001-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' today' AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5,
+       CAST(length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                                  '{_PHONE_RE}', '[PHONE]', 'g')) AS BIGINT)
+           AS redacted_len
+FROM p
+"""
+
+
+# T11 — benchmark decontamination: flag training documents sharing word
+# 2-grams with a pinned "evaluation" subset (doc_id % 97 == 0 stands in
+# for the benchmark suite). Shape: the eval side collapses to DISTINCT
+# grams (a few hundred rows here; a few MB of benchmark n-grams in
+# production) and is BROADCAST into an inner join against the exploded
+# train-side gram stream — one scan of the corpus, no shuffle of the
+# train side, no cross product. k=2 grams keep the overlap signal
+# non-degenerate on the tiny synthetic vocabulary; production pipelines
+# use 8-13-gram hashes, which only shrinks the broadcast.
+def t11_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 97 == 0).alias("is_eval"),
+        F.explode(word_shingles(F.col("text"), k=2)).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("is_eval")).select("gram").distinct()
+    )
+    train = grams.filter(~F.col("is_eval"))
+    hits = (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_contaminated_grams"),
+            F.countDistinct("gram").cast("long").alias("n_distinct_hits"),
+        )
+    )
+    totals = train.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("total_grams")
+    )
+    joined = totals.join(hits, "doc_id", "left").na.fill(
+        0, ["n_contaminated_grams", "n_distinct_hits"]
+    )
+    frac = F.col("n_contaminated_grams") / F.col("total_grams")
+    return joined.select(
+        "doc_id",
+        "total_grams",
+        "n_contaminated_grams",
+        "n_distinct_hits",
+        F.round(frac, 6).alias("contaminated_frac"),
+        (frac > 0.8).alias("contaminated"),
+    )
+
+
+T11_SQL = f"""
+WITH t AS (
+  SELECT doc_id, (doc_id % 97 = 0) AS is_eval, {_TOKS_SQL} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, is_eval,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM t
+  WHERE len(toks) >= 2
+),
+ev AS (
+  SELECT DISTINCT gram FROM g WHERE is_eval
+),
+tr AS (
+  SELECT doc_id, gram FROM g WHERE NOT is_eval
+),
+hits AS (
+  SELECT tr.doc_id,
+         CAST(count(*) AS BIGINT) AS n_contaminated_grams,
+         CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_distinct_hits
+  FROM tr JOIN ev ON tr.gram = ev.gram
+  GROUP BY tr.doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS total_grams FROM tr GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.total_grams,
+       coalesce(hits.n_contaminated_grams, 0) AS n_contaminated_grams,
+       coalesce(hits.n_distinct_hits, 0) AS n_distinct_hits,
+       round(coalesce(hits.n_contaminated_grams, 0) / tot.total_grams, 6)
+           AS contaminated_frac,
+       (coalesce(hits.n_contaminated_grams, 0) / tot.total_grams > 0.8)
+           AS contaminated
+FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+"""
+
+
+QUERIES = {
+    "t8_gopher_quality": t8_gopher_quality,
+    "t9_repetition_filter": t9_repetition_filter,
+    "t10_pii_redaction": t10_pii_redaction,
+    "t11_decontamination": t11_decontamination,
+}
+
+ORACLES = {
+    "t8_gopher_quality": T8_SQL,
+    "t9_repetition_filter": T9_SQL,
+    "t10_pii_redaction": T10_SQL,
+    "t11_decontamination": T11_SQL,
+}

@@ -24,6 +24,12 @@ def windowed_event_counts(
     win = (
         F.window("ts", window) if slide is None else F.window("ts", window, slide)
     )
+    # Parquet TIMESTAMP without isAdjustedToUTC arrives as TIMESTAMP_NTZ,
+    # which withWatermark rejects; event-time state tracking needs the
+    # instant (LTZ) type. Session tz is pinned to UTC, so the cast is
+    # deterministic and stream==batch equality is preserved (both paths
+    # go through this function).
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(win.alias("w"), "event_type")
@@ -41,6 +47,7 @@ def sessionized_stream(
     events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
     """Watermarked session windows per user (stateful merge op)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
