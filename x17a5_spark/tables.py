@@ -35,13 +35,64 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_SAFE = {"region", "nation"}
 
 
+# path -> row-group count for the small-scan remedy below (footer read
+# once per path per process; None = not a single plain parquet file).
+_ROW_GROUP_CACHE: dict[str, int | None] = {}
+
+
+def _scan_fanout(spark: SparkSession, path: str) -> int | None:
+    """Parallelism remedy for row-group-starved scans.
+
+    A parquet scan parallelizes to at most its row-group count: Spark
+    cuts byte-range splits, but every split that contains no row-group
+    midpoint reads zero rows. The driver's testdata tables are single
+    files with ONE row group each, so without intervention every scan
+    stage — including the heavy map-side work fused into it (parsing,
+    shingling, signatures) — runs on one core while the other 31 idle.
+
+    Returns the core count to round-robin ``repartition()`` to when the
+    scan is row-group-starved (row groups < half the cores) and the
+    table is worth fanning out (>= 200 KB — below that, dimension
+    tables stay single-partition so broadcast plans are untouched).
+    At production scale a 100 TB table has millions of row groups, this
+    returns None, and the loader adds nothing — the remedy is strictly
+    a small-file/local-mode fix, not a standing shuffle.
+    """
+    if path not in _ROW_GROUP_CACHE:
+        n_rg: int | None = None
+        try:
+            if os.path.isfile(path):
+                import pyarrow.parquet as pq
+
+                n_rg = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            n_rg = None
+        _ROW_GROUP_CACHE[path] = n_rg
+    n_rg = _ROW_GROUP_CACHE[path]
+    if n_rg is None:
+        return None
+    cores = spark.sparkContext.defaultParallelism
+    size = os.path.getsize(path)
+    if n_rg < max(cores // 2, 2) and 200_000 <= size <= (1 << 30):
+        return cores
+    return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+        df = _load_events(spark, path)
+    else:
+        df = spark.read.parquet(path)
+    fanout = _scan_fanout(spark, path)
+    if fanout is not None:
+        # RoundRobinPartitioning: filters and column pruning still reach
+        # the scan (Catalyst pushes both through Repartition), so the
+        # shuffle carries only the pruned, filtered columns.
+        df = df.repartition(fanout)
+    return df
 
 
 def _load_events(spark: SparkSession, path: str):
