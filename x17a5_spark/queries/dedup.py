@@ -149,22 +149,16 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work than a 16-function family, one map-side-combined groupBy.
     # Empty buckets (rare for >.100-shingle docs) densify to the 'z'
     # sentinel (sorts after every hex digest) in both engines.
-    # The distinct-shingle set rides in the same single pass; the
-    # resulting per-doc frame is small and cached.
     h = F.md5("shingle")
     bucket = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
-    hashed = sh.select("doc_id", "shingle", h.alias("h"), bucket.alias("bk"))
+    hashed = sh.select("doc_id", h.alias("h"), bucket.alias("bk"))
     minhash_cols = [
         F.coalesce(
             F.min(F.when(F.col("bk") == i, F.col("h"))), F.lit("z")
         ).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
-    sigs = (
-        hashed.groupBy("doc_id")
-        .agg(*minhash_cols, F.collect_set("shingle").alias("sh_set"))
-        .persist()
-    )
+    sigs = hashed.groupBy("doc_id").agg(*minhash_cols)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -195,17 +189,37 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # confirm candidates with true Jaccard at *doc* granularity: carry
-    # each side's distinct-shingle set as an array and intersect —
-    # two doc-key joins against the cached sigs frame, no shingle-level
-    # shuffles.
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b"))
-    common = F.size(F.array_intersect("set_a", "set_b"))
-    jac = common / (F.size("set_a") + F.size("set_b") - common)
+    # confirm candidates with true Jaccard by RE-JOINING the shingle
+    # table on the pair keys — no per-doc shingle arrays ride through
+    # the plan (a collect_set per doc is O(doc length) memory and
+    # re-shuffles the corpus' shingle mass; at 100 TB that's the
+    # bottleneck). Both shingle streams are first semi-join-pruned to
+    # candidate docs, so the confirm joins touch only the candidates'
+    # shingles (bounded by the duplicate rate, not corpus size), keyed
+    # by doc_id — the shingle table's natural key.
+    candidates = candidates.persist()
+    cand_docs = (
+        candidates.select(F.col("id_a").alias("doc_id"))
+        .union(candidates.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # ONE pass over the corpus' shingles, pruned to candidate docs; the
+    # persisted frame is bounded by the duplicate rate, not corpus size.
+    cand_sh = sh.join(cand_docs, "doc_id", "left_semi").persist()
+    sh_a = cand_sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sh_b = cand_sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes_a = sh_a.groupBy("id_a").agg(F.count("*").alias("n_a"))
+    sizes_b = sh_b.groupBy("id_b").agg(F.count("*").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
+        common.join(sizes_a, "id_a")
+        .join(sizes_b, "id_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")

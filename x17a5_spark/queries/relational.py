@@ -29,7 +29,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors the reference's per-label pivot-sum core (DatabaseStructured.py
     :73-89 does groupby-sum over label classes); here over lineitem.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # fanout=True: pure scan->partial-agg shape, no downstream exchange
+    # beyond the 6-group hash agg — measured 0.75x with the fan-out on.
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -27,7 +27,9 @@ from x17a5_spark.tables import load_table
 # match proves the parser's semantics (paren negatives, I->1, trailing
 # minus, misplaced-decimal removal).
 def f1_parse_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # fanout=True: per-row string-render/parse chain fused into the scan,
+    # no downstream exchange — the measured fan-out winner shape.
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
     base = F.floor("l_extendedprice").cast("long")
     grp = F.format_number(base, 0)  # comma-grouped integer rendering
     variant = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5
@@ -282,7 +284,9 @@ FROM events GROUP BY event_type
 # (DatabaseUnstructured.py:32-184 runs all checks per row in one pass);
 # the per-op queries stay registered after the window.
 def c5_accounting_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # fanout=True: pure codegen scalar chain (no exchange at all) —
+    # measured 2.7x faster with the scan fanned out across cores.
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
     base = F.floor("l_extendedprice").cast("long")
     grp = F.format_number(base, 0)
     variant = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5

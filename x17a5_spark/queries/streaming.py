@@ -103,14 +103,95 @@ FROM sessions GROUP BY user_id, sess_id
 """
 
 
+# ST4 — watermark late-data drop, batch-deterministic form.
+#
+# Spark Structured Streaming drops a row when its event time is below
+# the watermark, and the watermark is max(event time seen in PREVIOUS
+# micro-batches) - delay. The events lake arrives exactly in ts order,
+# so to exercise the drop path deterministically we derive a synthetic
+# arrival time (ts + md5-hash jitter of up to 20 min — both engines
+# compute the identical hash), cut 10-minute arrival micro-batches,
+# advance the watermark per batch (5 min delay), and drop late rows
+# before the tumbling aggregation — the exact semantics of
+# ``withWatermark("ts", "5 minutes")`` over that arrival stream
+# (streaming/events.py runs the real streaming form).
+#
+# Scale: the per-batch max is a map-side-combined aggregation down to
+# one row per 10 minutes of wall clock (bounded by time, not data
+# volume), the running-max window runs over that tiny frame, and the
+# watermark table broadcast-joins back to the events — no global sort
+# or single-partition pass over the fact table at any scale.
+def st4_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    h8 = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    arrival_sec = F.unix_timestamp("ts") + h8 % 1200
+    b = events.withColumn("batch_id", (arrival_sec - arrival_sec % 600) / 600)
+    bmax = b.groupBy("batch_id").agg(F.max("ts").alias("batch_max"))
+    wm = bmax.select(
+        "batch_id",
+        (
+            F.max("batch_max").over(
+                Window.orderBy("batch_id").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            - F.expr("INTERVAL 5 MINUTES")
+        ).alias("watermark"),
+    )
+    kept = b.join(F.broadcast(wm), "batch_id").filter(
+        F.col("watermark").isNull() | (F.col("ts") >= F.col("watermark"))
+    )
+    return (
+        kept.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ST4_SQL = f"""
+WITH arr AS (
+  SELECT *,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + CAST('0x' || md5(CAST(event_id AS VARCHAR))[1:8] AS BIGINT) % 1200
+           AS arrival_sec
+  FROM events
+),
+b AS (SELECT *, arrival_sec // 600 AS batch_id FROM arr),
+bmax AS (SELECT batch_id, max(ts) AS batch_max FROM b GROUP BY batch_id),
+wm AS (
+  SELECT batch_id,
+         max(batch_max) OVER (ORDER BY batch_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL 5 MINUTE AS watermark
+  FROM bmax
+)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, {dec_sql('value')} AS total_value
+FROM b JOIN wm USING (batch_id)
+WHERE watermark IS NULL OR ts >= watermark
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "st1_tumbling_window": st1_tumbling_window,
     "st2_sliding_window": st2_sliding_window,
     "st3_session_window": st3_session_window,
+    "st4_watermark_drop": st4_watermark_drop,
 }
 
 ORACLES = {
     "st1_tumbling_window": ST1_SQL,
     "st2_sliding_window": ST2_SQL,
     "st3_session_window": ST3_SQL,
+    "st4_watermark_drop": ST4_SQL,
 }

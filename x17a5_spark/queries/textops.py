@@ -30,7 +30,7 @@ STOPWORDS = {
 
 def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + char stats per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -55,7 +55,7 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length + punctuation + stopword-ratio features
     combined into one deterministic score (both engines evaluate the
     identical formula)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = tokens(F.col("text"))
     n_tok = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"])))
@@ -99,7 +99,7 @@ FROM s
 def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-voting language ID: hits per language list, argmax with
     a fixed tiebreak order (en > de > fr > es > unknown)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = tokens(F.lower(F.col("text")))
 
     def hits(words: list[str]):
@@ -151,7 +151,7 @@ FROM h
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over normalized text (exact-dup key)
     plus a leading-64-bit integer form for bucketing."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     fp = normalized_fingerprint(F.col("text"))
     return docs.select(
         "doc_id",
@@ -179,7 +179,7 @@ _BPE_SPLIT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
 
 
 def t5_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_SPLIT), 0)
     n_words = F.size(tokens(F.col("text")))
     return docs.select(

@@ -35,13 +35,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_SAFE = {"region", "nation"}
 
 
-# path -> row-group count for the small-scan remedy below (footer read
-# once per path per process; None = not a single plain parquet file).
-_ROW_GROUP_CACHE: dict[str, int | None] = {}
+# (path, mtime_ns, size) -> (row-group count, size) for the small-scan
+# remedy below (footer read once per file version per process; None =
+# not a single plain parquet file).
+_ROW_GROUP_CACHE: dict[tuple[str, int, int], int | None] = {}
 
 
 def _scan_fanout(spark: SparkSession, path: str) -> int | None:
-    """Parallelism remedy for row-group-starved scans.
+    """Parallelism remedy for row-group-starved scans — OPT-IN only.
 
     A parquet scan parallelizes to at most its row-group count: Spark
     cuts byte-range splits, but every split that contains no row-group
@@ -49,6 +50,15 @@ def _scan_fanout(spark: SparkSession, path: str) -> int | None:
     files with ONE row group each, so without intervention every scan
     stage — including the heavy map-side work fused into it (parsing,
     shingling, signatures) — runs on one core while the other 31 idle.
+
+    The remedy pays a full round-robin exchange of the (pruned,
+    filtered) scan output. That is a win ONLY when the downstream work
+    is map-heavy with no exchange of its own (measured: q1 0.75x,
+    t2 0.77x, t5 0.76x of the un-fanned time). When the query's next
+    step is a join/window/groupBy hash exchange anyway, the fan-out
+    inserts a second shuffle where one sufficed (measured: q3 6.7x,
+    a16 4.6x SLOWER) — hence ``load_table(..., fanout=True)`` is
+    opt-in for the measured winners, never the default.
 
     Returns the core count to round-robin ``repartition()`` to when the
     scan is row-group-starved (row groups < half the cores) and the
@@ -58,7 +68,12 @@ def _scan_fanout(spark: SparkSession, path: str) -> int | None:
     returns None, and the loader adds nothing — the remedy is strictly
     a small-file/local-mode fix, not a standing shuffle.
     """
-    if path not in _ROW_GROUP_CACHE:
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+    if key not in _ROW_GROUP_CACHE:
         n_rg: int | None = None
         try:
             if os.path.isfile(path):
@@ -67,18 +82,22 @@ def _scan_fanout(spark: SparkSession, path: str) -> int | None:
                 n_rg = pq.ParquetFile(path).metadata.num_row_groups
         except Exception:
             n_rg = None
-        _ROW_GROUP_CACHE[path] = n_rg
-    n_rg = _ROW_GROUP_CACHE[path]
+        _ROW_GROUP_CACHE[key] = n_rg
+    n_rg = _ROW_GROUP_CACHE[key]
     if n_rg is None:
         return None
     cores = spark.sparkContext.defaultParallelism
-    size = os.path.getsize(path)
-    if n_rg < max(cores // 2, 2) and 200_000 <= size <= (1 << 30):
+    if n_rg < max(cores // 2, 2) and 200_000 <= st.st_size <= (1 << 30):
         return cores
     return None
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, fanout: bool = False
+) -> DataFrame:
+    """Load one lake table. ``fanout=True`` opts into the row-group
+    fan-out repartition (see ``_scan_fanout``) — only for map-heavy
+    pipelines with no downstream exchange of their own."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -86,12 +105,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = _load_events(spark, path)
     else:
         df = spark.read.parquet(path)
-    fanout = _scan_fanout(spark, path)
-    if fanout is not None:
-        # RoundRobinPartitioning: filters and column pruning still reach
-        # the scan (Catalyst pushes both through Repartition), so the
-        # shuffle carries only the pruned, filtered columns.
-        df = df.repartition(fanout)
+    if fanout:
+        n = _scan_fanout(spark, path)
+        if n is not None:
+            # RoundRobinPartitioning: filters and column pruning still
+            # reach the scan (Catalyst pushes both through Repartition),
+            # so the shuffle carries only the pruned, filtered columns.
+            df = df.repartition(n)
     return df
 
 
