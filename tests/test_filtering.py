@@ -65,10 +65,33 @@ def test_repetition_fraction_on_planted_repeat(spark, tmp_path):
 def test_pii_redaction_removes_all_planted_pii(spark):
     out = t10_pii_redaction(spark, SF)
     # every doc gets exactly one planted email + one planted phone, and
-    # the redacted digest is PII-free by construction (counts prove the
-    # regexes matched; a second extraction pass on the redacted text
-    # must find nothing)
+    # the second extraction pass over the REDACTED text finds nothing —
+    # a replacement that matched but left PII fragments behind fails
     assert out.filter((F.col("n_emails") != 1) | (F.col("n_phones") != 1)).count() == 0
+    assert (
+        out.filter(
+            (F.col("n_emails_after") != 0) | (F.col("n_phones_after") != 0)
+        ).count()
+        == 0
+    )
+
+
+def test_gopher_quality_language_gating(spark, tmp_path):
+    # a good German doc must NOT be rejected by English stopwords, and a
+    # language with no stopword list gets the criterion waived
+    de_text = "der hund ist und von mit nicht das " + "wort " * 12
+    xx_text = "lorem ipsum dolor sit amet " + "verba " * 15
+    rows = [
+        (1, de_text, "de", "s", 0),
+        (2, xx_text, "la", "s", 0),
+        (3, "the cat sat on a mat " + "word " * 14, "en", "s", 0),
+    ]
+    out_dir = str(tmp_path / "docs")
+    _docs(spark, rows).write.parquet(out_dir + "/documents.parquet")
+    got = {r["doc_id"]: r for r in t8_gopher_quality(spark, out_dir).collect()}
+    assert got[1]["keep"] and got[1]["stopword_hits"] >= 2
+    assert got[2]["keep"] and got[2]["stopword_hits"] is None
+    assert got[3]["keep"]
 
 
 def test_decontamination_excludes_eval_docs_and_bounds(spark):

@@ -58,6 +58,49 @@ def test_binary_document_corpus(spark, tmp_path):
     assert sliced.count() == 2
 
 
+def _minimal_pdf(n_pages: int) -> bytes:
+    """Handwritten uncompressed PDF 1.4 with n_pages empty pages and a
+    correct xref table — parseable by pypdf, no library needed to build."""
+    objs = []
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    for _ in range(n_pages):
+        objs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>")
+    out = b"%PDF-1.4\n"
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return out
+
+
+def test_page_slice_with_pypdf(spark, tmp_path):
+    """Real first-N-pages slice (reference FocusReportSlicing.py:78-109);
+    skip-guarded like the sklearn parity test when pypdf is absent."""
+    import pytest
+
+    pypdf = pytest.importorskip("pypdf")
+    (tmp_path / "885639-2020-02-28.pdf").write_bytes(_minimal_pdf(5))
+    df = read_document_corpus(spark, str(tmp_path))
+    out = slice_pages(df, max_pages=2).collect()
+    assert len(out) == 1
+    import io
+
+    reader = pypdf.PdfReader(io.BytesIO(bytes(out[0]["content"])))
+    assert len(reader.pages) == 2
+
+
 # ------------------------------------------------------- S3/S4 scans
 def test_csv_json_round_trip(spark, tmp_path):
     csv_dir = os.path.join(tmp_path, "csv")

@@ -4,8 +4,17 @@ consistency preserved), written as properly split parquet (multiple
 files per table) so scan parallelism behaves like a real lake instead
 of the driver's single-row-group files.
 
-Usage: python tools/make_scaled_sf.py [K] [out_dir]
+Usage: python tools/make_scaled_sf.py [K] [out_dir] [--unique-text]
 Default: K=5 -> ~sf0.5 at .scaled/sf0.5 (gitignored).
+
+``--unique-text`` de-duplicates the copies' CONTENT: documents get a
+per-copy token suffix (no shared shingles across copies) and embedding
+vectors are rotated by the copy index (rotation preserves the norm but
+decorrelates cosine). Key-shifted copies with identical text multiply
+every near-dup cluster by K — useful for stress-testing the quadratic
+confirm path, but it conflates "more data" with "more duplication".
+Unique-text mode holds the duplication RATE constant while volume
+scales, isolating the dedup family's true per-byte exponent.
 """
 
 from __future__ import annotations
@@ -35,13 +44,44 @@ SHIFT_KEYS = {
 SINGLE_COPY = {"region", "nation"}
 
 
+def _uniquify(name: str, c, i: int):
+    """Make copy i's content distinct from copy 0's (unique-text mode)."""
+    if i == 0:
+        return c
+    if name == "documents":
+        # suffix every token: copy i shares no word shingle with copy 0,
+        # so cross-copy near-dup pairs vanish; organic within-copy
+        # duplicates survive in every copy (constant duplication rate)
+        return c.withColumn(
+            "text", F.regexp_replace("text", "(\\S+)", f"$1_{i}")
+        )
+    if name == "embeddings":
+        # rotate the vector by i positions: norm-preserving, and for
+        # near-random vectors the rotated copy decorrelates (cosine ~ 0
+        # to the original), so cross-copy cosine dups vanish
+        dim = F.size("vec")
+        rot = F.lit(1) + ((F.lit(i) % dim + dim) % dim)
+        return c.withColumn(
+            "vec",
+            F.when(rot == 1, F.col("vec")).otherwise(
+                F.concat(
+                    F.slice("vec", rot, dim), F.slice("vec", 1, rot - 1)
+                )
+            ),
+        )
+    return c
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    unique_text = "--unique-text" in sys.argv
+    k = int(args[0]) if args else 5
     base = os.environ.get("SPARK_GRAFT_BASE_SF", "/root/testdata/sf0.1")
+    suffix = f"sf0.{k}u" if unique_text else f"sf0.{k}"
     out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaled", f"sf0.{k}")
+        args[1]
+        if len(args) > 1
+        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaled", suffix)
     )
     spark = get_spark("make_scaled_sf")
     for name in TABLE_NAMES:
@@ -54,7 +94,10 @@ def main() -> None:
                 c = df
                 for col, off in offsets.items():
                     c = c.withColumn(col, F.col(col) + F.lit(i * off))
+                if unique_text:
+                    c = _uniquify(name, c, i)
                 copies.append(c)
+            df = copies[0]
             for c in copies[1:]:
                 df = df.unionByName(c)
         (
@@ -63,7 +106,7 @@ def main() -> None:
             .parquet(os.path.join(out, f"{name}.parquet"))
         )
         print(f"{name}: written")
-    print(f"scaled x{k} -> {out}")
+    print(f"scaled x{k}{' unique-text' if unique_text else ''} -> {out}")
 
 
 if __name__ == "__main__":

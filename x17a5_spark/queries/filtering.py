@@ -39,6 +39,12 @@ _EN_LIST_SQL = "['" + "', '".join(STOPWORDS["en"]) + "']"
 # punctuation, so the symbol-ratio rule is represented by the
 # non-alphabetic-character ratio. Emits the signals AND the keep flag
 # so downstream composition can re-threshold without a rescan.
+#
+# The stopword criterion is LANGUAGE-GATED: each doc is scored against
+# its own language's stopword list (en/de/fr/es); for languages without
+# a list the criterion is waived (stopword_hits = null) — a fixed
+# English list would systematically reject every non-English document,
+# a corpus bias this gate must not introduce.
 def t8_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
@@ -53,14 +59,24 @@ def t8_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
     frac_alpha = F.when(n_words == 0, F.lit(0.0)).otherwise(alpha_words / n_words)
-    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"])))
+
+    def hits_for(lang: str):
+        return F.size(
+            F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS[lang]))
+        )
+
+    stop_hits = F.lit(None).cast("int")
+    for lang in STOPWORDS:
+        stop_hits = F.when(F.col("lang") == lang, hits_for(lang)).otherwise(
+            stop_hits
+        )
     keep = (
         (n_words >= 20)
         & (n_words <= 100000)
         & (mean_word_len >= 2.0)
         & (mean_word_len <= 10.0)
         & (frac_alpha >= 0.8)
-        & (stop_hits >= 2)
+        & (stop_hits.isNull() | (stop_hits >= 2))
     )
     return docs.select(
         "doc_id",
@@ -72,17 +88,30 @@ def t8_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_list_sql(lang: str) -> str:
+    return "['" + "', '".join(STOPWORDS[lang]) + "']"
+
+
+_STOP_HITS_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN len(list_filter(toks,"
+        f" x -> list_contains({_lang_list_sql(lang)}, lower(x))))"
+        for lang in STOPWORDS
+    )
+    + " END"
+)
+
 T8_SQL = f"""
 WITH t AS (
-  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+  SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
 ),
 s AS (
   SELECT doc_id,
          len(toks) AS n_words,
          list_sum(list_transform(toks, x -> length(x))) AS word_chars,
          len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
-         len(list_filter(toks, x -> list_contains({_EN_LIST_SQL}, lower(x))))
-             AS stop_hits
+         {_STOP_HITS_SQL} AS stop_hits
   FROM t
 )
 SELECT doc_id,
@@ -96,7 +125,7 @@ SELECT doc_id,
         AND (CASE WHEN n_words = 0 THEN 0.0 ELSE word_chars / n_words END)
             BETWEEN 2.0 AND 10.0
         AND (CASE WHEN n_words = 0 THEN 0.0 ELSE alpha_words / n_words END) >= 0.8
-        AND stop_hits >= 2) AS keep
+        AND (stop_hits IS NULL OR stop_hits >= 2)) AS keep
 FROM s
 """
 
@@ -160,59 +189,82 @@ FROM pd
 # T10 — PII redaction. The synthetic corpus carries no real PII, so the
 # query PLANTS a deterministic contact block derived from (doc_id,
 # source) — identically on both engines — then redacts emails and
-# phone-shaped tokens with the production regexes and reports match
-# counts plus a digest of the redacted text. This exercises the real
-# redaction machinery (multi-pattern regexp_replace + match counting)
-# under an exact oracle instead of a vacuously all-zero one.
-_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
-_PHONE_RE = "\\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+# phone-shaped tokens and reports pre- AND post-redaction match counts
+# plus a digest of the redacted text (post counts must be zero — the
+# redaction's own regexes find nothing in their output). The patterns
+# cover case variants, '+'-tagged local parts, and dash/dot/space
+# separated phones; they are oracle-test patterns exercising the
+# redaction machinery, not a production-grade PII detector (production
+# would add obfuscated forms, international formats, NER-based names).
+# Character classes + bounded quantifiers only, so Java regex (Spark)
+# and RE2 (DuckDB) agree byte-for-byte.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3,4}[-. ]?[0-9]{4}"
 
 
 def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     planted = F.concat(
         F.col("text"),
-        F.lit(" contact user"),
+        F.lit(" contact User"),
         F.col("doc_id"),
-        F.lit("@example.com or +001-555-"),
+        F.lit("+tag@Example.com or +001 (555) 867-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         F.lit(" today"),
     )
     with_pii = docs.select("doc_id", planted.alias("text"))
-    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0))
-    n_phones = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), 0))
+
+    def counts(col):
+        return (
+            F.size(F.regexp_extract_all(col, F.lit(_EMAIL_RE), 0)),
+            F.size(F.regexp_extract_all(col, F.lit(_PHONE_RE), 0)),
+        )
+
+    n_emails, n_phones = counts(F.col("text"))
     redacted = F.regexp_replace(
         F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
         _PHONE_RE,
         "[PHONE]",
     )
+    res_emails, res_phones = counts(redacted)
     return with_pii.select(
         "doc_id",
         n_emails.cast("long").alias("n_emails"),
         n_phones.cast("long").alias("n_phones"),
+        res_emails.cast("long").alias("n_emails_after"),
+        res_phones.cast("long").alias("n_phones_after"),
         F.md5(redacted).alias("redacted_md5"),
         F.length(redacted).cast("long").alias("redacted_len"),
     )
 
 
+_RED_SQL = (
+    f"regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),"
+    f" '{_PHONE_RE}', '[PHONE]', 'g')"
+)
+
 T10_SQL = f"""
 WITH p AS (
   SELECT doc_id,
-         text || ' contact user' || CAST(doc_id AS VARCHAR)
-              || '@example.com or +001-555-'
+         text || ' contact User' || CAST(doc_id AS VARCHAR)
+              || '+tag@Example.com or +001 (555) 867-'
               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
               || ' today' AS text
   FROM documents
+),
+r AS (
+  SELECT doc_id, text, {_RED_SQL} AS redacted FROM p
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
-       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
-                          '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5,
-       CAST(length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
-                                  '{_PHONE_RE}', '[PHONE]', 'g')) AS BIGINT)
-           AS redacted_len
-FROM p
+       CAST(len(regexp_extract_all(redacted, '{_EMAIL_RE}')) AS BIGINT)
+           AS n_emails_after,
+       CAST(len(regexp_extract_all(redacted, '{_PHONE_RE}')) AS BIGINT)
+           AS n_phones_after,
+       md5(redacted) AS redacted_md5,
+       CAST(length(redacted) AS BIGINT) AS redacted_len
+FROM r
 """
 
 
