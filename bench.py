@@ -54,6 +54,11 @@ HEADLINE = [
     # kernel
     "e4_corpus_pipeline",
     "k7_sequence_pack",
+    # round 3 additions: liability-side structured build, watermark-drop
+    # semantics, IVF cell-probe ANN
+    "e3l_structured_liabilities",
+    "st4_watermark_drop",
+    "s3_ivf_probe",
 ]
 
 

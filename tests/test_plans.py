@@ -96,3 +96,37 @@ def test_whole_stage_codegen_active(spark):
 @pytest.mark.parametrize("qname", ["q1_pricing_summary", "q5_region_volume"])
 def test_aqe_enabled_in_session(spark, qname):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_d3_confirm_carries_no_shingle_arrays(spark):
+    # the d3 confirm path re-joins the shingle table on pair keys; a
+    # regression back to collect_set arrays re-shuffles the corpus'
+    # shingle mass and OOMs at 100 TB
+    from x17a5_spark.queries.dedup import d3_minhash_lsh
+
+    plan = _plan(d3_minhash_lsh(spark, SF))
+    assert "collect_set" not in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_s3_ivf_probe_is_equi_join(spark):
+    # candidates come from the inverted-file equi-join on cell id with
+    # the tiny probe set broadcast — never a cross product
+    from x17a5_spark.queries.similarity import s3_ivf_probe
+
+    plan = _plan(s3_ivf_probe(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_st4_watermark_table_broadcasts(spark):
+    # the per-batch watermark frame is bounded by wall-clock time, so it
+    # must broadcast back to the events — a hash exchange of the fact
+    # table here would be a scale regression
+    from x17a5_spark.queries.streaming import st4_watermark_drop
+
+    plan = _plan(st4_watermark_drop(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -59,13 +59,14 @@ def _uniquify(name: str, c, i: int):
         # rotate the vector by i positions: norm-preserving, and for
         # near-random vectors the rotated copy decorrelates (cosine ~ 0
         # to the original), so cross-copy cosine dups vanish
-        dim = F.size("vec")
+        dim = F.size("embedding")
         rot = F.lit(1) + ((F.lit(i) % dim + dim) % dim)
         return c.withColumn(
-            "vec",
-            F.when(rot == 1, F.col("vec")).otherwise(
+            "embedding",
+            F.when(rot == 1, F.col("embedding")).otherwise(
                 F.concat(
-                    F.slice("vec", rot, dim), F.slice("vec", 1, rot - 1)
+                    F.slice("embedding", rot, dim),
+                    F.slice("embedding", 1, rot - 1),
                 )
             ),
         )

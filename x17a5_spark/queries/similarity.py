@@ -268,13 +268,152 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.99
 """
 
 
+# SIM3 — IVF cell-probe ANN, the coarse-quantizer scale path with a
+# FULL SQL oracle (s2's hyperplane bucketing is rows-only; this gives
+# the inverted-file structure a hash row). Centroids are md5-derived
+# deterministic vectors — not learned — so both engines construct the
+# identical codebook; assignment is argmax cell cosine (rounded to 6
+# decimals with cell-id tiebreak, so float noise can't flip the argmax
+# across engines); queries probe their N_PROBE nearest cells and rank
+# exact cosine within the probed inverted lists.
+#
+# Scale: the codebook is a literal broadcast (16×64 floats; a trained
+# IVF codebook at 100 TB is still ≤ MBs), assignment is one narrow
+# codegen pass over the corpus, and the probe join is an equi-join on
+# cell id — candidates are ~N_PROBE/N_CELLS of the corpus, never a
+# cross product. ml/clustering.py::ivf_assign provides the same
+# structure over LEARNED KMeans centroids.
+N_CELLS = 16
+N_PROBE = 2
+
+
+def _ivf_centroid(c: int, dim: int = 64) -> list[float]:
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"ivf:{c}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for d in range(dim)
+    ]
+
+
+def s3_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("norm", _norm(F.col("vec")))
+    cents = [(c, _ivf_centroid(c)) for c in range(N_CELLS)]
+    import math
+
+    def cell_scores(vec, norm):
+        """array<struct<negcos,c>> — array_min = (max cos, min c)."""
+        entries = []
+        for c, w in cents:
+            wcol = F.array(*[F.lit(x) for x in w])
+            wnorm = math.sqrt(sum(x * x for x in w))
+            cos = F.round(_dot(vec, wcol) / (norm * F.lit(wnorm)), 6)
+            entries.append(
+                F.struct((-cos).alias("negcos"), F.lit(c).alias("c"))
+            )
+        return F.array(*entries)
+
+    scored = vecs.withColumn(
+        "scores", cell_scores(F.col("vec"), F.col("norm"))
+    )
+    assigned = scored.select(
+        "vec_id", "vec", "norm", F.array_min("scores")["c"].alias("cell")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+            F.explode(F.slice(F.array_sort("scores"), 1, N_PROBE)).alias("p"),
+        )
+        .select("q_id", "q_vec", "q_norm", F.col("p.c").alias("cell"))
+    )
+    cands = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    sim = F.round(
+        _dot(F.col("q_vec"), F.col("vec")) / (F.col("q_norm") * F.col("norm")), 4
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("c_id").asc()
+    )
+    return (
+        cands.select(
+            "q_id", F.col("vec_id").alias("c_id"), sim.alias("cos_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "c_id", "cos_sim")
+    )
+
+
+S3_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+             AS norm
+  FROM embeddings
+),
+cent AS (
+  SELECT c,
+         list_transform(range(0, 64), d ->
+           (CAST('0x' || md5('ivf:' || c || ':' || d)[1:8] AS BIGINT)
+            % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(range(0, {N_CELLS})) AS c)
+),
+scores AS (
+  SELECT v.vec_id, cent.c,
+         round(list_sum(list_transform(range(1, 65), i -> v.vec[i] * cent.w[i]))
+               / (v.norm * sqrt(list_sum(list_transform(cent.w, x -> x * x)))), 6)
+             AS cos_c
+  FROM v CROSS JOIN cent
+),
+ranked_cells AS (
+  SELECT vec_id, c, row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos_c DESC, c ASC) AS rk
+  FROM scores
+),
+assigned AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS q_id, c AS cell FROM ranked_cells
+  WHERE vec_id < {N_QUERIES} AND rk <= {N_PROBE}
+),
+cands AS (
+  SELECT p.q_id, a.vec_id AS c_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.q_id
+),
+sims AS (
+  SELECT c.q_id, c.c_id,
+         round(list_sum(list_transform(range(1, 65), i -> q.vec[i] * x.vec[i]))
+               / (q.norm * x.norm), 4) AS cos_sim
+  FROM cands c
+  JOIN v q ON q.vec_id = c.q_id
+  JOIN v x ON x.vec_id = c.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim, row_number() OVER (
+           PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, rank, c_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_ann": s2_lsh_ann,
+    "s3_ivf_probe": s3_ivf_probe,
     "d5_embedding_cosine_dedup": d5_embedding_cosine_dedup,
 }
 
 ORACLES = {
     "s1_cosine_topk": S1_SQL,
+    "s3_ivf_probe": S3_SQL,
     "d5_embedding_cosine_dedup": D5_SQL,
 }
