@@ -12,10 +12,13 @@ key, map-side partials, no per-filing loop.
 
 Column pruning (`filterNaN`/`cleanCols`, reorder_columns :334-339) is a
 schema decision, so it needs driver knowledge; the engine derives it
-from the LONG table (one cheap pushed-down pass: which allowlisted
-line items ever carry a non-null value) instead of scanning the wide
-result twice. The driver-side result is bounded by len(allowlist) —
-metadata-scale, never data-scale.
+from the PIVOTED result (persisted, one row per filing): a single
+one-row count aggregate decides which allowlisted columns are all-null.
+That costs one pass over the filing-grained wide table instead of a
+second scan + distinct shuffle of the full long table — at 100 TB the
+long table is corpus-scale but the wide table is #filings x <=25
+columns. The driver-side result is one row of counts, bounded by
+len(allowlist) — metadata-scale, never data-scale.
 """
 
 from __future__ import annotations
@@ -44,22 +47,18 @@ def build_unstructured(
     """
     id_cols = list(id_cols)
     keep = list(allowlist)
-    if prune_empty:
-        # Bounded driver-side schema decision: at most len(allowlist)
-        # strings come back — metadata-scale, not data-scale.
-        present_rows = (
-            long_df.filter(
-                F.col("lineitem").isin(keep) & F.col("value").isNotNull()
-            )
-            .select("lineitem")
-            .distinct()
-            .collect()
-        )
-        present = {r[0] for r in present_rows}
-        keep = [c for c in keep if c in present]
     piv = (
         long_df.groupBy(*id_cols)
         .pivot("lineitem", keep)
         .agg(F.sum(F.col("value").cast("decimal(27,6)")).cast("double"))
     )
+    if prune_empty:
+        # Bounded driver-side schema decision from the PERSISTED wide
+        # result: one row of per-column non-null counts (metadata-scale)
+        # — the long table is scanned exactly once, by the pivot.
+        piv = piv.persist()
+        counts = piv.select(
+            *[F.count(F.col(f"`{c}`")).alias(f"c{i}") for i, c in enumerate(keep)]
+        ).first()
+        keep = [c for c, n in zip(keep, counts) if n > 0]
     return piv.select(*id_cols, *[F.col(f"`{c}`") for c in keep])

@@ -128,7 +128,7 @@ QUALITY_GATE = 0.5
 
 
 def e4_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks_l = tokens(F.lower(F.col("text")))
 
     def hits(words: list[str]):

@@ -46,7 +46,7 @@ _EN_LIST_SQL = "['" + "', '".join(STOPWORDS["en"]) + "']"
 # English list would systematically reject every non-English document,
 # a corpus bias this gate must not introduce.
 def t8_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = tokens(F.col("text"))
     n_words = F.size(toks)
     total_word_chars = F.aggregate(
@@ -136,7 +136,7 @@ FROM s
 # (doc_id, gram), re-aggregate by doc_id — two key-local shuffles, both
 # with map-side combine; nothing per-row is quadratic.
 def t9_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     grams = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), k=2)).alias("gram")
     )
@@ -278,7 +278,7 @@ FROM r
 # non-degenerate on the tiny synthetic vocabulary; production pipelines
 # use 8-13-gram hashes, which only shrinks the broadcast.
 def t11_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     grams = docs.select(
         "doc_id",
         (F.col("doc_id") % 97 == 0).alias("is_eval"),
