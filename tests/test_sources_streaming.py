@@ -80,6 +80,89 @@ def test_multimodal_plumbing(spark):
     assert list(feats.loc[1, "feature"]) == list(feats2.loc[1, "feature"])
 
 
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_rgb(rows, filter_type=0) -> bytes:
+    """Handwritten non-interlaced 8-bit RGB PNG; rows = [[(r,g,b)...]].
+    filter_type 0 (None) or 2 (Up) to exercise unfiltering."""
+    import struct
+    import zlib
+
+    h, w = len(rows), len(rows[0])
+    raw = b""
+    prev = [0] * (w * 3)
+    for row in rows:
+        line = [c for px in row for c in px]
+        if filter_type == 2:
+            filt = [(line[i] - prev[i]) & 0xFF for i in range(len(line))]
+        else:
+            filt = line
+        raw += bytes([filter_type]) + bytes(filt)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_real_container_headers(spark):
+    import struct
+
+    png = _png_rgb([[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (100, 110, 120)]])
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    jpg = (
+        b"\xff\xd8\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", 480, 640)
+        + b"\x03" + b"\x00" * 10
+    )
+    df = spark.createDataFrame(
+        [(1, "image", png), (2, "image", gif), (3, "image", jpg)],
+        "media_id bigint, kind string, media binary",
+    )
+    meta = decode_metadata(df).toPandas().set_index("media_id")
+    assert (meta.loc[1, "width"], meta.loc[1, "height"]) == (2, 2)
+    assert (meta.loc[2, "width"], meta.loc[2, "height"]) == (320, 200)
+    assert (meta.loc[3, "width"], meta.loc[3, "height"]) == (640, 480)
+    assert meta["error"].isna().all()
+
+
+def test_multimodal_png_pixel_stats(spark):
+    from x17a5_spark.sources.multimodal import decode_png_pixels, extract_pixel_stats
+
+    rows = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (100, 110, 120)]]
+    # unfiltering correctness: Up-filtered encoding decodes to the same
+    # pixels as the unfiltered one
+    for ft in (0, 2):
+        w, h, ch, pix = decode_png_pixels(_png_rgb(rows, filter_type=ft))
+        assert (w, h, ch) == (2, 2, 3)
+        assert list(pix) == [c for row in rows for px in row for c in px]
+
+    df = spark.createDataFrame(
+        [(1, "image", _png_rgb(rows, filter_type=2)), (2, "image", b"junk")],
+        "media_id bigint, kind string, media binary",
+    )
+    stats = extract_pixel_stats(df).toPandas().set_index("media_id")
+    exp_r = (10 + 40 + 70 + 100) / 4 / 255.0
+    assert abs(stats.loc[1, "mean"][0] - exp_r) < 1e-9
+    assert stats.loc[1, "channels"] == 3
+    assert stats.loc[2, "error"] is not None
+
+
 # -------------------------------------------------------- incremental
 def test_incremental_todo_idempotent(spark):
     cand = spark.createDataFrame(

@@ -103,7 +103,9 @@ def epsilon_one_digit_match(x1: Column, x2: Column, tol: float = 0.01) -> Column
         (x1 != 0)
         & (x2 != 0)
         & (F.length(s1) == F.length(s2))
-        & (F.levenshtein(s1, s2) == 1)
+        # bounded variant: banded O(n*k) early-exit instead of the full
+        # O(n^2) matrix; == 1 is unchanged (distance <= 2 is exact)
+        & (F.levenshtein(s1, s2, 2) == 1)
         & (F.abs((x1 - x2) / x1) <= tol)
     )
 

@@ -5,16 +5,24 @@ pipeline; graded alongside SURVEY §2).
 Design: media bytes stay in executor-side Arrow batches end-to-end;
 every transform is ``mapInPandas`` with an explicit output schema so
 the plumbing (schema, batch shape, partitioning) is real and tested.
-The actual codecs (PIL/ffmpeg/...) are not in this container, so the
-decode step is stubbed: a deterministic header parser for a tiny fake
-media format, and ``NotImplementedError`` for real codecs — swap the
-decoder, keep the plumbing.
+
+Decode support, no external codec needed (pure stdlib):
+  * PNG / JPEG / GIF header sniffing for (width, height) — the same
+    container-header parse production pipelines use to get dimensions
+    without a full pixel decode;
+  * full pixel decode for non-interlaced 8-bit PNG (zlib inflate +
+    scanline unfiltering) powering the per-channel stats extractor;
+  * the deterministic ``IMG|`` fake format for tests;
+  * other formats raise — swap in PIL/ffmpeg on a cluster image, keep
+    the plumbing.
 
 Fake media format (tests): b"IMG|<width>|<height>|" + payload.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,16 +35,130 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = "media_id bigint, feature array<double>, error string"
 
+PIXEL_STATS_SCHEMA = (
+    "media_id bigint, width int, height int, channels int, "
+    "mean array<double>, error string"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_size(content: bytes) -> tuple[int, int]:
+    # IHDR is always the first chunk: length(4) type(4) data(13) at byte 8
+    if len(content) < 24 or content[12:16] != b"IHDR":
+        raise ValueError("malformed PNG: missing IHDR")
+    w, h = struct.unpack(">II", content[16:24])
+    return w, h
+
+
+def _jpeg_size(content: bytes) -> tuple[int, int]:
+    # walk the marker stream to the first SOF0/1/2 frame header
+    i = 2
+    n = len(content)
+    while i + 9 < n:
+        if content[i] != 0xFF:
+            i += 1
+            continue
+        marker = content[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+        if marker in (0xC0, 0xC1, 0xC2):
+            h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+            return w, h
+        i += 2 + seg_len
+    raise ValueError("malformed JPEG: no SOF marker")
+
 
 def _decode_header(content: bytes) -> tuple[int, int]:
-    if not isinstance(content, (bytes, bytearray)) or not content.startswith(b"IMG|"):
+    if not isinstance(content, (bytes, bytearray)):
+        raise ValueError("media is not bytes")
+    if content.startswith(b"IMG|"):
+        _, w, h, _rest = content.split(b"|", 3)
+        return int(w), int(h)
+    if content.startswith(_PNG_SIG):
+        return _png_size(bytes(content))
+    if content.startswith(b"\xff\xd8\xff"):
+        return _jpeg_size(bytes(content))
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        return w, h
+    raise NotImplementedError(
+        "unsupported media container — PNG/JPEG/GIF headers and the "
+        "IMG| stub decode here; other codecs need PIL/ffmpeg on the "
+        "cluster image"
+    )
+
+
+# PNG color type -> samples per pixel (8-bit depth, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png_pixels(content: bytes) -> tuple[int, int, int, bytearray]:
+    """Pure-stdlib pixel decode for non-interlaced 8-bit PNG: inflate
+    the IDAT stream and undo the per-scanline filters (spec §9).
+    Returns (width, height, channels, raw samples row-major)."""
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[i : i + 4])
+        ctype = content[i + 4 : i + 8]
+        data = content[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if w is None:
+        raise ValueError("malformed PNG: missing IHDR")
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
         raise NotImplementedError(
-            "real image decoding requires a codec library (PIL/opencv) — "
-            "not available in this container; only the IMG| stub format "
-            "is decodable here"
+            f"PNG variant not supported by the stdlib decoder "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})"
         )
-    _, w, h, _rest = content.split(b"|", 3)
-    return int(w), int(h)
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for row in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[row * stride : (row + 1) * stride] = line
+        prev = line
+    return w, h, ch, out
 
 
 def decode_metadata(df: DataFrame, content_col: str = "media") -> DataFrame:
@@ -95,3 +217,47 @@ def extract_features(df: DataFrame, content_col: str = "media", dim: int = 8) ->
             )
 
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def extract_pixel_stats(df: DataFrame, content_col: str = "media") -> DataFrame:
+    """Real per-channel pixel statistics for PNG media (stdlib decoder):
+    (width, height, channels, per-channel mean in [0, 1]). Decode
+    failures route to the error column — one corrupt blob never fails
+    the stage. Same Arrow-batched mapInPandas contract a real
+    vision-embedding stage uses."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, chs, means, errors = [], [], [], [], []
+            for content in pdf[content_col]:
+                try:
+                    if content is None:
+                        raise ValueError("null media")
+                    w, h, ch, pix = decode_png_pixels(bytes(content))
+                    sums = [0] * ch
+                    for i, b in enumerate(pix):
+                        sums[i % ch] += b
+                    n_px = max(w * h, 1)
+                    ws.append(w)
+                    hs.append(h)
+                    chs.append(ch)
+                    means.append([s / n_px / 255.0 for s in sums])
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001
+                    ws.append(None)
+                    hs.append(None)
+                    chs.append(None)
+                    means.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "mean": means,
+                    "error": errors,
+                }
+            )
+
+    return df.mapInPandas(op, schema=PIXEL_STATS_SCHEMA)
