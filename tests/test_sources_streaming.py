@@ -163,6 +163,60 @@ def test_multimodal_png_pixel_stats(spark):
     assert stats.loc[2, "error"] is not None
 
 
+def _wav_16bit(rate, channels, frames) -> bytes:
+    """Handwritten PCM WAV; frames = [[ch0, ch1...], ...] int16."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", s) for frame in frames for s in frame
+    )
+    block = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block, block, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_multimodal_audio_and_video_metadata(spark):
+    import math
+    import struct
+
+    from x17a5_spark.sources.multimodal import (
+        decode_mp4_duration,
+        decode_wav,
+        extract_audio_stats,
+    )
+
+    # constant-amplitude stereo: RMS is exact
+    frames = [[16384, -8192]] * 100
+    wav = _wav_16bit(8000, 2, frames)
+    assert decode_wav(wav) == (8000, 2, 16, 100)
+
+    df = spark.createDataFrame(
+        [(1, "audio", wav), (2, "audio", b"not audio")],
+        "media_id bigint, kind string, media binary",
+    )
+    stats = extract_audio_stats(df).toPandas().set_index("media_id")
+    assert stats.loc[1, "sample_rate"] == 8000
+    assert abs(stats.loc[1, "duration_sec"] - 100 / 8000) < 1e-12
+    assert abs(stats.loc[1, "rms"][0] - 16384 / 32768) < 1e-9
+    assert abs(stats.loc[1, "rms"][1] - 8192 / 32768) < 1e-9
+    assert stats.loc[2, "error"] is not None
+    assert math.isfinite(stats.loc[1, "rms"][0])
+
+    # minimal MP4: ftyp + moov{mvhd v0: timescale 1000, duration 90500}
+    mvhd = b"\x00" * 12 + struct.pack(">II", 1000, 90500) + b"\x00" * 80
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    assert abs(decode_mp4_duration(ftyp + moov) - 90.5) < 1e-12
+
+
 # -------------------------------------------------------- incremental
 def test_incremental_todo_idempotent(spark):
     cand = spark.createDataFrame(

@@ -161,6 +161,130 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, int, bytearray]:
     return w, h, ch, out
 
 
+def decode_wav(content: bytes) -> tuple[int, int, int, int]:
+    """RIFF/WAVE header parse (pure stdlib): returns (sample_rate,
+    channels, bits_per_sample, n_frames) for PCM wav."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    i = 12
+    rate = ch = bits = None
+    n_data = 0
+    while i + 8 <= len(content):
+        ctype = content[i : i + 4]
+        (length,) = struct.unpack("<I", content[i + 4 : i + 8])
+        if ctype == b"fmt ":
+            ch, rate = struct.unpack("<HI", content[i + 10 : i + 16])
+            (bits,) = struct.unpack("<H", content[i + 22 : i + 24])
+        elif ctype == b"data":
+            n_data = length
+        i += 8 + length + (length & 1)
+    if rate is None:
+        raise ValueError("malformed WAV: missing fmt chunk")
+    frame_bytes = max(ch * (bits // 8), 1)
+    return rate, ch, bits, n_data // frame_bytes
+
+
+def decode_mp4_duration(content: bytes) -> float:
+    """ISO-BMFF (MP4) box walk to moov/mvhd: duration in seconds —
+    the container-level sniff a video pipeline runs before any codec."""
+    def walk(data: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack(">I", data[i : i + 4])
+            btype = data[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", data[i + 8 : i + 16])
+                body = i + 16
+            if size < 8:
+                break
+            if btype == b"moov":
+                got = walk(data, body, min(i + size, end))
+                if got is not None:
+                    return got
+            elif btype == b"mvhd":
+                version = data[body]
+                if version == 1:
+                    ts, dur = struct.unpack(">IQ", data[body + 20 : body + 32])
+                else:
+                    ts, dur = struct.unpack(">II", data[body + 12 : body + 20])
+                return dur / max(ts, 1)
+            i += size
+        return None
+
+    if len(content) < 12 or content[4:8] not in (b"ftyp", b"moov"):
+        raise ValueError("not an ISO-BMFF stream")
+    dur = walk(content, 0, len(content))
+    if dur is None:
+        raise ValueError("malformed MP4: no mvhd box")
+    return dur
+
+
+AUDIO_SCHEMA = (
+    "media_id bigint, sample_rate int, channels int, bits int, "
+    "n_frames bigint, duration_sec double, rms array<double>, error string"
+)
+
+
+def extract_audio_stats(df: DataFrame, content_col: str = "media") -> DataFrame:
+    """Real per-channel RMS + header metadata for 16-bit PCM WAV media
+    (stdlib decode); failures route to the error column."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rates, chs, bits_l, frames, durs, rmss, errors = (
+                [], [], [], [], [], [], [],
+            )
+            for content in pdf[content_col]:
+                try:
+                    if content is None:
+                        raise ValueError("null media")
+                    b = bytes(content)
+                    rate, ch, bits, n_frames = decode_wav(b)
+                    if bits != 16:
+                        raise NotImplementedError("only 16-bit PCM RMS")
+                    data_at = b.find(b"data") + 8
+                    acc = [0.0] * ch
+                    for f in range(n_frames):
+                        for c in range(ch):
+                            off = data_at + (f * ch + c) * 2
+                            (s,) = struct.unpack("<h", b[off : off + 2])
+                            acc[c] += s * s
+                    rates.append(rate)
+                    chs.append(ch)
+                    bits_l.append(bits)
+                    frames.append(n_frames)
+                    durs.append(n_frames / rate if rate else None)
+                    rmss.append(
+                        [math.sqrt(a / max(n_frames, 1)) / 32768.0 for a in acc]
+                    )
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001
+                    rates.append(None)
+                    chs.append(None)
+                    bits_l.append(None)
+                    frames.append(None)
+                    durs.append(None)
+                    rmss.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "bits": pd.array(bits_l, dtype="Int32"),
+                    "n_frames": pd.array(frames, dtype="Int64"),
+                    "duration_sec": durs,
+                    "rms": rmss,
+                    "error": errors,
+                }
+            )
+
+    return df.mapInPandas(op, schema=AUDIO_SCHEMA)
+
+
 def decode_metadata(df: DataFrame, content_col: str = "media") -> DataFrame:
     """Extract typed metadata (width/height/bytes) from binary media.
     Bad rows land in the ``error`` column, never fail the stage."""
