@@ -298,40 +298,65 @@ def _ivf_centroid(c: int, dim: int = 64) -> list[float]:
 
 
 def s3_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id", _as_double(F.col("embedding")).alias("vec")
     ).withColumn("norm", _norm(F.col("vec")))
-    cents = [(c, _ivf_centroid(c)) for c in range(N_CELLS)]
-    import math
-
-    def cell_scores(vec, norm):
-        """array<struct<negcos,c>> — array_min = (max cos, min c)."""
-        entries = []
-        for c, w in cents:
-            wcol = F.array(*[F.lit(x) for x in w])
-            wnorm = math.sqrt(sum(x * x for x in w))
-            cos = F.round(_dot(vec, wcol) / (norm * F.lit(wnorm)), 6)
-            entries.append(
-                F.struct((-cos).alias("negcos"), F.lit(c).alias("c"))
-            )
-        return F.array(*entries)
-
-    scored = vecs.withColumn(
-        "scores", cell_scores(F.col("vec"), F.col("norm"))
+    # codebook as a broadcast 16-row TABLE (norms precomputed) instead
+    # of 16 inlined literal arrays per output column — the expression
+    # tree stays one fold wide (fast to analyze/codegen), and the
+    # cell-score pass is a broadcast join over a bounded build side,
+    # the same shape as the SQL oracle's CROSS JOIN cent. A trained
+    # 100 TB codebook is still <= MBs, so the broadcast always holds.
+    cent_rows = [
+        (c, w, math.sqrt(sum(x * x for x in w)))
+        for c, w in ((c, _ivf_centroid(c)) for c in range(N_CELLS))
+    ]
+    cents = spark.createDataFrame(
+        cent_rows, "c int, w array<double>, wnorm double"
     )
-    assigned = scored.select(
-        "vec_id", "vec", "norm", F.array_min("scores")["c"].alias("cell")
+    cos_c = F.round(
+        _dot(F.col("vec"), F.col("w")) / (F.col("norm") * F.col("wnorm")), 6
+    )
+    # explode cell ids + equi-join the codebook: stays a hash join (no
+    # nested-loop/cartesian shape anywhere in the plan). Only the slim
+    # (vec_id, c, cos_c) triples ride the ranking exchange — the 64-d
+    # vectors cross the wire ONCE, in the re-attach join below, not 16x
+    # through the per-cell fan-out.
+    fanned = vecs.select(
+        "vec_id",
+        "vec",
+        "norm",
+        F.explode(F.sequence(F.lit(0), F.lit(N_CELLS - 1))).alias("c"),
+    )
+    scores = fanned.join(F.broadcast(cents), "c").select(
+        "vec_id", "c", cos_c.alias("cos_c")
+    )
+    # per-key (high-cardinality) window: hash exchange + a 16-row local
+    # sort per vector — scale-safe, never a global sort
+    cell_w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("c").asc()
+    )
+    ranked_cells = scores.withColumn("rk", F.row_number().over(cell_w))
+    assigned = (
+        ranked_cells.filter(F.col("rk") == 1)
+        .select("vec_id", F.col("c").alias("cell"))
+        .join(vecs, "vec_id")
     )
     probes = (
-        scored.filter(F.col("vec_id") < N_QUERIES)
+        ranked_cells.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("rk") <= N_PROBE)
+        )
+        .select("vec_id", F.col("c").alias("cell"))
+        .join(vecs, "vec_id")
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("vec").alias("q_vec"),
             F.col("norm").alias("q_norm"),
-            F.explode(F.slice(F.array_sort("scores"), 1, N_PROBE)).alias("p"),
+            "cell",
         )
-        .select("q_id", "q_vec", "q_norm", F.col("p.c").alias("cell"))
     )
     cands = assigned.join(F.broadcast(probes), "cell").filter(
         F.col("q_id") != F.col("vec_id")
