@@ -103,12 +103,86 @@ FROM codes
 """
 
 
+# M3 — REAL codec round trip, hash-checked: the kernel zlib-ENCODES a
+# constant-color Up-filtered PNG per document (sources/multimodal.py::
+# encode_png_constant), the pixel-stats stage zlib-DECODES it through
+# the full scanline unfilter, and the oracle derives the expected
+# dimensions and per-channel means closed-form from the plant
+# parameters — so a hash match proves the entire binary codec path
+# (encode -> Arrow round-trip -> inflate -> unfilter -> stats), not a
+# stub. Every 13th blob is junk and must route to the error channel.
+def m3_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from x17a5_spark.sources.multimodal import (
+        encode_png_constant,
+        extract_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (2 + F.col("doc_id") % 7).cast("int").alias("w"),
+        (2 + F.col("doc_id") % 5).cast("int").alias("h"),
+        (F.col("doc_id") % 256).cast("int").alias("r"),
+        ((F.col("doc_id") * 7) % 256).cast("int").alias("g"),
+        ((F.col("doc_id") * 13) % 256).cast("int").alias("b"),
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            medias = [
+                b"junk"
+                if mid % 13 == 0
+                else encode_png_constant(int(w), int(h), (int(r), int(g), int(b)))
+                for mid, w, h, r, g, b in zip(
+                    pdf["media_id"], pdf["w"], pdf["h"], pdf["r"], pdf["g"], pdf["b"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": "image", "media": medias}
+            )
+
+    media = base.mapInPandas(enc, "media_id bigint, kind string, media binary")
+    stats = extract_pixel_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.round(F.element_at("mean", 1), 6).alias("mean_r"),
+        F.round(F.element_at("mean", 2), 6).alias("mean_g"),
+        F.round(F.element_at("mean", 3), 6).alias("mean_b"),
+        F.col("error").isNotNull().alias("failed"),
+    )
+
+
+M3_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE CAST(2 + doc_id % 7 AS INT) END AS width,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE CAST(2 + doc_id % 5 AS INT) END AS height,
+       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(3 AS INT) END AS channels,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE round((doc_id % 256) / 255.0, 6) END AS mean_r,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE round(((doc_id * 7) % 256) / 255.0, 6) END AS mean_g,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE round(((doc_id * 13) % 256) / 255.0, 6) END AS mean_b,
+       doc_id % 13 = 0 AS failed
+FROM documents
+"""
+
+
 QUERIES = {
     "m1_multimodal_decode": m1_multimodal_decode,
     "m2_multimodal_features": m2_multimodal_features,
+    "m3_png_pixel_stats": m3_png_pixel_stats,
 }
 
 ORACLES = {
     "m1_multimodal_decode": M1_SQL,
     "m2_multimodal_features": M2_SQL,
+    "m3_png_pixel_stats": M3_SQL,
 }

@@ -95,6 +95,31 @@ def _decode_header(content: bytes) -> tuple[int, int]:
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_constant(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal real PNG encoder: constant-color non-interlaced 8-bit RGB
+    with Up-filtered scanlines (so decoding exercises the unfilter
+    path). Used by tests and the m3 oracle fixture."""
+    line = bytes(rgb) * w
+    raw = b"\x02" + line  # first row: Up against an all-zero prev row
+    raw += (b"\x02" + bytes(len(line))) * (h - 1)  # constant rows: all deltas 0
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png_pixels(content: bytes) -> tuple[int, int, int, bytearray]:
     """Pure-stdlib pixel decode for non-interlaced 8-bit PNG: inflate
     the IDAT stream and undo the per-scanline filters (spec §9).
