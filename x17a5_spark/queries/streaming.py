@@ -182,11 +182,63 @@ GROUP BY 1, 2
 """
 
 
+# ST5 — hypertable-style rollup cascade (continuous aggregates): the
+# daily level is re-aggregated FROM the hourly aggregate, never from
+# raw events — the timeseries-database pattern where each coarser
+# granularity costs a scan of the (tiny) finer aggregate instead of
+# the fact table. Totals stay exact DECIMAL through every level, so the
+# cascade is partition-order independent and the result is identical
+# to aggregating raw events directly — which is exactly what the
+# oracle does NOT do: it mirrors the cascade, and the pytest asserts
+# cascade == direct.
+def st5_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("dec_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "dec_value",
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("dec_value").cast("double").alias("total_value"),
+            F.count("*").alias("n_hours"),
+        )
+    )
+
+
+ST5_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         count(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(27,6))) AS dec_value
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', hour_start) AS TIMESTAMP) AS day_start, event_type,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(dec_value) AS DOUBLE) AS total_value,
+       count(*) AS n_hours
+FROM hourly GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "st1_tumbling_window": st1_tumbling_window,
     "st2_sliding_window": st2_sliding_window,
     "st3_session_window": st3_session_window,
     "st4_watermark_drop": st4_watermark_drop,
+    "st5_rollup_cascade": st5_rollup_cascade,
 }
 
 ORACLES = {
@@ -194,4 +246,5 @@ ORACLES = {
     "st2_sliding_window": ST2_SQL,
     "st3_session_window": ST3_SQL,
     "st4_watermark_drop": ST4_SQL,
+    "st5_rollup_cascade": ST5_SQL,
 }

@@ -215,12 +215,92 @@ FROM p
 """
 
 
+# T12 — KMV (k-minimum-values) distinct-count sketch per source. The
+# deterministic sketch alternative to HyperLogLog: hash every distinct
+# fingerprint to u in [0,1) (leading 60 bits of its md5 — identical in
+# both engines, unlike HLL register layouts), keep the k smallest, and
+# estimate n_distinct as (k-1)/u_k (Bar-Yossef et al. 2002). Exactly
+# reproducible, so the sketch itself is hash-checkable — HLL-based
+# approx_count_distinct never is across engines.
+#
+# Scale: pass 1 is a map-side-combined distinct+count per group; pass 2
+# pre-filters to u <= min(1, 4k/n) so only ~4k candidate hashes per
+# group reach the k-smallest selection — the top-k never scans a
+# group's full distinct set at 100 TB. (At the driver SFs n is small,
+# the threshold saturates at 1, and the filter is a no-op — same
+# result, both engines apply the same spec.)
+KMV_K = 16
+_TWO60 = float(1 << 60)
+
+
+def t12_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = normalized_fingerprint(F.col("text"))
+    u = (F.conv(F.substring(fp, 1, 15), 16, 10).cast("double") / F.lit(_TWO60))
+    d = docs.select("source", u.alias("u")).distinct()
+    counts = d.groupBy("source").agg(F.count("*").alias("n_exact"))
+    thresh = F.least(F.lit(1.0), F.lit(4.0 * KMV_K) / F.col("n_exact"))
+    surv = d.join(counts, "source").filter(F.col("u") <= thresh)
+    w = Window.partitionBy("source").orderBy("u")
+    kth = (
+        surv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == KMV_K)
+        .select("source", F.col("u").alias("u_k"))
+    )
+    est = F.when(
+        F.col("n_exact") < KMV_K, F.col("n_exact").cast("double")
+    ).otherwise((KMV_K - 1) / F.col("u_k"))
+    return counts.join(kth, "source", "left").select(
+        "source",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(est, 4).alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+T12_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT source,
+         CAST('0x' || md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))[1:15]
+              AS BIGINT) / {_TWO60} AS u
+  FROM documents
+),
+counts AS (SELECT source, count(*) AS n_exact FROM d GROUP BY source),
+surv AS (
+  SELECT d.source, d.u, c.n_exact
+  FROM d JOIN counts c ON d.source = c.source
+  WHERE d.u <= least(1.0, {4.0 * KMV_K} / c.n_exact)
+),
+kth AS (
+  SELECT source, u AS u_k FROM (
+    SELECT source, u, row_number() OVER (PARTITION BY source ORDER BY u) AS rk
+    FROM surv
+  ) WHERE rk = {KMV_K}
+),
+est AS (
+  SELECT c.source, c.n_exact,
+         CASE WHEN c.n_exact < {KMV_K} THEN CAST(c.n_exact AS DOUBLE)
+              ELSE {KMV_K - 1} / k.u_k END AS e
+  FROM counts c LEFT JOIN kth k ON c.source = k.source
+)
+SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+       round(e, 4) AS kmv_estimate,
+       round(abs(e - n_exact) / n_exact, 4) AS rel_err
+FROM est
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
     "t3_lang_id": t3_lang_id,
     "t4_fingerprint": t4_fingerprint,
     "t5_bpe_pieces": t5_bpe_pieces,
+    "t12_kmv_distinct": t12_kmv_distinct,
 }
 
 ORACLES = {
@@ -229,4 +309,5 @@ ORACLES = {
     "t3_lang_id": T3_SQL,
     "t4_fingerprint": T4_SQL,
     "t5_bpe_pieces": T5_SQL,
+    "t12_kmv_distinct": T12_SQL,
 }
