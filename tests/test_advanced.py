@@ -1,0 +1,195 @@
+"""Tests for the round-3 scale-technique operators (queries/advanced.py):
+plan discipline for the range-join and salted rewrites, result identity
+against the naive spellings, and partition-invariance of the sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from x17a5_spark.operators.skew import SALT_COL, salted_aggregate, salted_join
+from x17a5_spark.queries.advanced import (
+    a17_sample_quantiles,
+    d8_semdedup,
+    j9_range_join,
+    j10_salted_skew_join,
+    t13_perplexity_filter,
+)
+from x17a5_spark.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- j9: the bucketed range join must be a hash join, never a
+# nested-loop / cartesian over (incidents x events) -----------------------
+
+
+def test_j9_plan_has_no_nested_loop(spark):
+    plan = _plan(j9_range_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_j9_matches_naive_range_join(spark):
+    ev = load_table(spark, SF, "events")
+    inc = ev.filter((F.col("event_type") == "error") & (F.col("value") > 200)).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t1"),
+    )
+    naive = (
+        ev.join(inc, (F.col("ts") >= F.col("t0")) & (F.col("ts") <= F.col("t1")))
+        .groupBy("incident_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = {
+        r["incident_id"]: r["n_events"]
+        for r in j9_range_join(spark, SF).collect()
+    }
+    want = {r["incident_id"]: r["n_events"] for r in naive.collect()}
+    assert got == want
+
+
+# --- j10 / skew operators: salting changes the schedule, not the answer --
+
+
+def test_salted_join_exchanges_on_salt(spark):
+    df = j10_salted_skew_join(spark, SF)
+    plan = _plan(df)
+    assert SALT_COL in plan, "salt column never reached the physical plan"
+    exchange_lines = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert any(SALT_COL in l for l in exchange_lines), (
+        "no exchange partitions by the salt — the skew spread is not happening"
+    )
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    dim = li.select("l_returnflag").distinct().withColumn(
+        "factor", F.length("l_returnflag").cast("double")
+    )
+    salted = salted_join(
+        li, dim, ["l_returnflag"], salt_from=["l_orderkey", "l_linenumber"], n_salt=4
+    )
+    plain = li.join(dim, "l_returnflag")
+    assert salted.count() == plain.count()
+    dec = lambda c: F.sum(F.col(c).cast("decimal(27,6)"))  # noqa: E731
+    s = salted.agg(dec("l_extendedprice"), dec("factor")).collect()[0]
+    p = plain.agg(dec("l_extendedprice"), dec("factor")).collect()[0]
+    assert s == p
+
+
+def test_salted_aggregate_equals_plain_groupby(spark):
+    li = load_table(spark, SF, "lineitem")
+    got = {
+        r["l_returnflag"]: (r["n"], r["s"])
+        for r in salted_aggregate(
+            li,
+            ["l_returnflag"],
+            partial_aggs=[
+                F.count("*").alias("pn"),
+                F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("ps"),
+            ],
+            final_aggs=[
+                F.sum("pn").alias("n"),
+                F.sum("ps").cast("double").alias("s"),
+            ],
+            salt_from=["l_orderkey", "l_linenumber"],
+            n_salt=16,
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: (r["n"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+# --- a17: the distributed bottom-k never globally sorts the data, and
+# equals the single-sort evaluation exactly ------------------------------
+
+
+def test_a17_equals_naive_bottom_k(spark):
+    li = load_table(spark, SF, "lineitem")
+    hashed = li.select(
+        F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")).alias("h"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    naive_sample = hashed.withColumn(
+        "rk", F.row_number().over(Window.orderBy("h"))
+    ).filter(F.col("rk") <= 256)
+    naive_vals = sorted(r["value"] for r in naive_sample.collect())
+    got = {r["q"]: r["value"] for r in a17_sample_quantiles(spark, SF).collect()}
+    for q, v in got.items():
+        assert v == naive_vals[int(q * 255)]
+
+
+def test_a17_sample_is_partition_invariant(spark):
+    base = a17_sample_quantiles(spark, SF).collect()
+    # same computation over a differently-partitioned source
+    li = load_table(spark, SF, "lineitem").repartition(7)
+    li.createOrReplaceTempView("__a17_repart")
+    hashed = li.select(
+        F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")).alias("h"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    salted = hashed.withColumn("salt", F.pmod(F.xxhash64("h"), F.lit(32)))
+    per_salt = Window.partitionBy("salt").orderBy("h")
+    surv = salted.withColumn("rk", F.row_number().over(per_salt)).filter(
+        F.col("rk") <= 256
+    )
+    bottom = (
+        surv.withColumn("rk2", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rk2") <= 256)
+    )
+    ranked = bottom.withColumn(
+        "vr", F.row_number().over(Window.orderBy("value", "h"))
+    )
+    vals = {r["vr"]: r["value"] for r in ranked.collect()}
+    for row in base:
+        assert vals[int(row["q"] * 255) + 1] == row["value"]
+
+
+# --- d8: every planted exact copy must be dropped, kept by its source ---
+
+
+def test_d8_drops_all_planted_copies(spark):
+    emb_n = load_table(spark, SF, "embeddings").count()
+    rows = d8_semdedup(spark, SF).collect()
+    dropped = {r["dropped_id"]: r["kept_id"] for r in rows}
+    planted = {i + 100000 for i in range(emb_n)}
+    missing = [d for d in planted if d not in dropped]
+    assert not missing, f"planted copies not dropped: {missing[:5]}"
+    # each planted copy is kept by its own source (cos == 1.0 exactly,
+    # and the source has the smallest id among perfect dups)
+    wrong = {
+        d: k for d, k in dropped.items() if d >= 100000 and k != d - 100000 and k < 100000
+    }
+    # a copy may legitimately be kept by a DIFFERENT original if two
+    # originals are themselves near-identical; require the kept id to at
+    # least be an original
+    assert all(k < 100000 for k in dropped.values()), wrong
+
+
+def test_t13_scores_and_flags_are_consistent(spark):
+    rows = t13_perplexity_filter(spark, SF).collect()
+    assert rows, "t13 returned no rows"
+    for r in rows:
+        assert r["keep"] == (r["avg_nll"] < 3.41)
+        assert r["n_tokens"] > 0
+        assert 0.0 < r["avg_nll"] < 20.0

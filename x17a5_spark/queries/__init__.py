@@ -14,6 +14,14 @@ j8, k7, t6-t11, w7) plus the new st4 watermark-drop are pinned in;
 (a5, f9, f13-f15, f19, f21, j6, o1, p2, p7, q5, u5, w5, w6) rotate
 out. Everything stays registered; entries after the window are still
 value-checked by tools/check_correctness.py.
+
+Late-round-3 rotation: the ten operators built this round (s3 IVF, st5
+rollup cascade, t12 KMV, k8 sharded packing, m3 PNG pixel stats, j9
+range join, j10 salted skew join, a17 sample quantiles, d8 SemDeDup,
+t13 perplexity filter — all oracle-backed) swap in for ten queries
+whose green round-2 driver rows stand as evidence (d2, t1-t5, m1, st1,
+st2) plus s2, whose driver row is rows-only by design (its recall
+check lives in tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -39,24 +47,22 @@ WINDOW_ORDER = [
     "k5_unit_scale",
     "k6_table_select",
     "k7_sequence_pack",
+    "k8_sequence_pack_sharded",
     "j7_special_merge",
     "j8_asof_join",
     # --- LLM-data-pipeline: dedup / similarity / text / multimodal ---
     "d1_exact_dedup",
-    "d2_ngram_jaccard",
     "d3_minhash_lsh",
     "d4_simhash",
     "d5_embedding_cosine_dedup",
     "d6_dedup_components",
+    "d8_semdedup",
     "s1_cosine_topk",
-    "s2_lsh_ann",
-    "t1_token_stats",
-    "t2_quality_score",
-    "t3_lang_id",
-    "t4_fingerprint",
-    "t5_bpe_pieces",
-    "m1_multimodal_decode",
+    "s3_ivf_probe",
     "m2_multimodal_features",
+    "m3_png_pixel_stats",
+    "t12_kmv_distinct",
+    "t13_perplexity_filter",
     # --- corpus-prep + filtering layer (round-2 additions, first driver
     # rows this round) ---
     "t6_chunk_documents",
@@ -67,14 +73,16 @@ WINDOW_ORDER = [
     "t11_decontamination",
     "e4_corpus_pipeline",
     # --- streaming windows + watermark drop ---
-    "st1_tumbling_window",
-    "st2_sliding_window",
     "st3_session_window",
     "st4_watermark_drop",
+    "st5_rollup_cascade",
     # --- analytics family (first driver rows this round) ---
     "a14_percentiles",
     "a15_grouping_sets",
     "a16_unpivot",
+    "a17_sample_quantiles",
+    "j9_range_join",
+    "j10_salted_skew_join",
     "w7_ranking_family",
     # --- relational / composites ---
     "q1_pricing_summary",
@@ -90,6 +98,7 @@ DRIVER_WINDOW = 50
 
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from x17a5_spark.queries import (
+        advanced,
         analytics,
         corpus,
         dedup,
@@ -123,6 +132,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal,
         corpus,
         filtering,
+        advanced,
     ):
         for name, fn in mod.QUERIES.items():
             if name in merged:

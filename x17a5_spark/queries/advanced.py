@@ -1,0 +1,431 @@
+"""Round-3 scale-technique operators, each a result-identical rewrite of
+a plan Spark would otherwise execute badly at 100 TB:
+
+- j9  interval/range join via time-bucket equi-join (Spark has no range
+  join; the naive spelling is a broadcast-nested-loop or cartesian).
+- j10 salted skew join + two-level salted aggregation (hot-key
+  mitigation with a plain-join oracle proving result identity).
+- a17 distributed min-k-hash sample quantiles — the mergeable "bottom-k"
+  sketch (KMV's sibling) evaluated without any global sort of the data.
+- d8  SemDeDup-style embedding dedup scoped to IVF cells (Abbas et al.,
+  arXiv:2303.09540): candidate pairs only within a coarse-quantizer
+  cell, never across the corpus.
+- t13 unigram-LM perplexity quality filter (the CCNet/Gopher-style
+  corpus filter): corpus-derived language model, add-one smoothing,
+  per-doc average negative log-prob.
+
+Every query has a DuckDB oracle twin; floats go through the
+``functions/compat`` exact-DECIMAL route or per-value ``round(x, 6)``
+so the driver's value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from x17a5_spark.functions.compat import dec_sql, to_dec
+from x17a5_spark.functions.text import tokens
+from x17a5_spark.operators.skew import salted_aggregate, salted_join
+from x17a5_spark.queries.similarity import (
+    N_CELLS,
+    _as_double,
+    _dot,
+    _ivf_centroid,
+    _norm,
+)
+from x17a5_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# J9 — interval/range join via time-bucket equi-join.
+#
+# Task: for every high-value error event ("incident"), aggregate all
+# events inside its 10-minute window. A pure range predicate has no
+# equi-key, so Spark's only native plan is a nested-loop over
+# (incidents × events). The scale-correct rewrite buckets time into
+# interval-sized bins: an incident window spans exactly two bins, the
+# probe event lives in one, so a bin equi-join (hash exchange, AQE-
+# coalescible) produces a superset that one residual BETWEEN filter
+# trims. Work is O(events + incidents·matches), never O(n·m).
+# DuckDB's oracle runs the same query as a true IEJoin.
+# ---------------------------------------------------------------------------
+
+J9_BIN_S = 600  # bucket width == window width: spans exactly 2 buckets
+
+
+def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    inc = ev.filter((F.col("event_type") == "error") & (F.col("value") > 200)).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t1"),
+    )
+    b0 = F.floor(F.unix_timestamp("t0") / J9_BIN_S)
+    b1 = F.floor(F.unix_timestamp("t1") / J9_BIN_S)
+    inc_b = inc.withColumn("bin", F.explode(F.sequence(b0, b1)))
+    probe = ev.select(
+        "event_id",
+        "ts",
+        "value",
+        F.floor(F.unix_timestamp("ts") / J9_BIN_S).alias("bin"),
+    )
+    # an event occupies ONE bin, so each (incident, event) pair meets in
+    # at most one bin — no post-join dedup needed
+    joined = probe.join(inc_b, "bin").filter(
+        (F.col("ts") >= F.col("t0")) & (F.col("ts") <= F.col("t1"))
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(to_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+J9_SQL = f"""
+WITH inc AS (
+  SELECT event_id AS incident_id, ts AS t0, ts + INTERVAL 10 MINUTE AS t1
+  FROM events WHERE event_type = 'error' AND value > 200
+)
+SELECT i.incident_id, count(*) AS n_events,
+       {dec_sql("e.value")} AS sum_value
+FROM inc i JOIN events e ON e.ts >= i.t0 AND e.ts <= i.t1
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J10 — salted skew join + salted aggregation.
+#
+# l_returnflag has 3 values over the whole of lineitem — the textbook
+# hot key: a plain shuffle join/aggregate lands a third of the fact
+# table on one reducer. The salted rewrite spreads each flag across
+# N_SALT reducers (deterministic xxhash64 salt, dim exploded), then
+# re-aggregates partial DECIMAL sums. The oracle is the PLAIN join +
+# single-level GROUP BY: the driver's hash check proves salting changed
+# the schedule, not the answer.
+# ---------------------------------------------------------------------------
+
+J10_N_SALT = 8
+
+
+def j10_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("factor", (F.pmod(F.ascii("l_returnflag"), F.lit(5)) + 1) / 4.0)
+    )
+    fact = li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    joined = salted_join(
+        fact,
+        dim,
+        ["l_returnflag"],
+        salt_from=["l_orderkey", "l_linenumber"],
+        n_salt=J10_N_SALT,
+    )
+    weighted = joined.withColumn("wrev", F.col("l_extendedprice") * F.col("factor"))
+    return salted_aggregate(
+        weighted,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.count("*").alias("pn"),
+            F.sum(to_dec("wrev")).alias("psum"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n_rows"),
+            F.sum("psum").cast("double").alias("weighted_revenue"),
+        ],
+        salt_from=["l_orderkey", "l_linenumber"],
+        n_salt=J10_N_SALT,
+    )
+
+
+J10_SQL = f"""
+WITH dim AS (
+  SELECT l_returnflag, (CAST(ascii(l_returnflag) AS BIGINT) % 5 + 1) / 4.0 AS factor
+  FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+)
+SELECT f.l_returnflag, count(*) AS n_rows,
+       {dec_sql("f.l_extendedprice * d.factor")} AS weighted_revenue
+FROM lineitem f JOIN dim d USING (l_returnflag)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A17 — distributed bottom-k-hash sample quantiles.
+#
+# The mergeable sampling sketch: the k rows with the smallest md5(key)
+# form a uniform sample that merges across partitions/days by simply
+# re-taking the bottom k (same family as t12's KMV distinct sketch).
+# The distributed evaluation never globally sorts the data: a per-salt
+# window keeps the bottom k of each of 32 hash-salted slices (hash
+# exchange + bounded local sort), then one tiny global pass over
+# <= 32·k survivors. Quantiles are rank-selected from the sample —
+# exact value selection, no interpolation, so the floats hash-match.
+# ---------------------------------------------------------------------------
+
+A17_K = 256
+A17_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+_A17_RANKS = {int(q * (A17_K - 1)) + 1: q for q in A17_QS}
+
+
+def a17_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")).alias("h"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    salted = hashed.withColumn("salt", F.pmod(F.xxhash64("h"), F.lit(32)))
+    per_salt = Window.partitionBy("salt").orderBy("h")
+    survivors = (
+        salted.withColumn("rk", F.row_number().over(per_salt))
+        .filter(F.col("rk") <= A17_K)
+        .drop("rk", "salt")
+    )
+    # global pass over <= 32*k rows — a bounded single-partition sort,
+    # NOT a sort of the data
+    bottom_k = (
+        survivors.withColumn("rk", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rk") <= A17_K)
+        .drop("rk")
+    )
+    by_value = Window.orderBy("value", "h")
+    ranked = bottom_k.withColumn("vr", F.row_number().over(by_value))
+    q_expr = F.element_at(
+        F.create_map(
+            *[x for r, q in _A17_RANKS.items() for x in (F.lit(r), F.lit(q))]
+        ),
+        F.col("vr"),
+    )
+    return (
+        ranked.filter(F.col("vr").isin(*_A17_RANKS))
+        .select(q_expr.alias("q"), "value")
+    )
+
+
+_A17_CASE = " ".join(f"WHEN {r} THEN {q}" for r, q in _A17_RANKS.items())
+
+A17_SQL = f"""
+WITH hashed AS (
+  SELECT md5(l_orderkey || ':' || l_linenumber) AS h, l_extendedprice AS value
+  FROM lineitem
+),
+bottom_k AS (SELECT * FROM hashed ORDER BY h LIMIT {A17_K}),
+ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value, h) AS vr FROM bottom_k
+)
+SELECT CAST(CASE vr {_A17_CASE} END AS DOUBLE) AS q, value
+FROM ranked WHERE vr IN ({", ".join(str(r) for r in _A17_RANKS)})
+"""
+
+
+# ---------------------------------------------------------------------------
+# D8 — SemDeDup: semantic dedup scoped to IVF cells.
+#
+# Abbas et al. (arXiv:2303.09540) deduplicate web-scale corpora by
+# clustering embeddings and comparing pairs ONLY within a cluster.
+# Here the coarse quantizer is s3's deterministic md5-derived codebook
+# (assignment = argmax cell cosine, 6-decimal rounding + cell-id
+# tiebreak, identical in both engines), so the full pipeline —
+# assign -> within-cell pairs -> cosine >= 0.99 -> keep-lowest-id —
+# has an exact SQL oracle. At 100 TB the cell count scales with the
+# corpus (k ~ N/target_cell_size), keeping the within-cell quadratic
+# term bounded; the planted exact copies (vec_id + 100000) land in the
+# same cell by construction and must all be dropped.
+# ---------------------------------------------------------------------------
+
+D8_THRESHOLD = 0.99
+
+
+def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    aug = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    vecs = aug.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("norm", _norm(F.col("vec")))
+    cent_rows = [
+        (c, w, math.sqrt(sum(x * x for x in w)))
+        for c, w in ((c, _ivf_centroid(c)) for c in range(N_CELLS))
+    ]
+    cents = spark.createDataFrame(cent_rows, "c int, w array<double>, wnorm double")
+    fanned = vecs.select(
+        "vec_id",
+        "vec",
+        "norm",
+        F.explode(F.sequence(F.lit(0), F.lit(N_CELLS - 1))).alias("c"),
+    )
+    cos_c = F.round(
+        _dot(F.col("vec"), F.col("w")) / (F.col("norm") * F.col("wnorm")), 6
+    )
+    scores = fanned.join(F.broadcast(cents), "c").select(
+        "vec_id", "c", cos_c.alias("cos_c")
+    )
+    cell_w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("c").asc())
+    assigned = (
+        scores.withColumn("rk", F.row_number().over(cell_w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("c").alias("cell"))
+        .join(vecs, "vec_id")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = F.round(
+        _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm")), 4
+    )
+    dup_pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= D8_THRESHOLD)
+    )
+    # resolution: the larger id is dropped, kept by its smallest dup
+    return dup_pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
+        F.min("id_a").alias("kept_id"), F.count("*").alias("n_dups")
+    )
+
+
+D8_SQL = f"""
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+),
+v AS (
+  SELECT vec_id, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS norm
+  FROM aug
+),
+cent AS (
+  SELECT c,
+         list_transform(range(0, 64), d ->
+           (CAST('0x' || md5('ivf:' || c || ':' || d)[1:8] AS BIGINT)
+            % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(range(0, {N_CELLS})) AS c)
+),
+scores AS (
+  SELECT v.vec_id, cent.c,
+         round(list_sum(list_transform(range(1, 65), i -> v.vec[i] * cent.w[i]))
+               / (v.norm * sqrt(list_sum(list_transform(cent.w, x -> x * x)))), 6)
+             AS cos_c
+  FROM v CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos_c DESC, c ASC) AS rk
+    FROM scores) WHERE rk = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i]))
+               / (va.norm * vb.norm), 4) AS cos_sim
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+)
+SELECT id_b AS dropped_id, min(id_a) AS kept_id, count(*) AS n_dups
+FROM pairs WHERE cos_sim >= {D8_THRESHOLD}
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# T13 — unigram-LM perplexity quality filter (CCNet-style).
+#
+# The corpus is its own language model: unigram counts with add-one
+# smoothing give every token a log-probability; a document's quality
+# score is its average negative log-prob ("unigram perplexity" in log
+# space) and the keep flag thresholds it. Per-token log-probs are
+# rounded to 6 decimals ONCE in the vocab table, then summed through
+# exact DECIMAL — the document score is bit-identical in both engines
+# regardless of partitioning.
+#
+# Scale: two shuffles (vocab groupBy; score-join on token — Catalyst
+# broadcasts the vocab while it fits, falls back to a hash join when a
+# 100 TB vocab outgrows it). The corpus-wide totals ride a 1-row
+# broadcast join on a constant key — a hash join, not a cartesian.
+# ---------------------------------------------------------------------------
+
+T13_THRESHOLD = 3.41
+
+
+def t13_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = uni.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    ).withColumn("k", F.lit(1))
+    lp_tab = (
+        uni.withColumn("k", F.lit(1))
+        .join(F.broadcast(totals), "k")
+        .select(
+            "tok",
+            F.round(F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))), 6).alias(
+                "lp"
+            ),
+        )
+    )
+    scored = tok.join(lp_tab, "tok")
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(to_dec(-F.col("lp"))).cast("double").alias("nll"),
+    )
+    avg_nll = F.round(F.col("nll") / F.col("n_tokens"), 6)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        avg_nll.alias("avg_nll"),
+        (avg_nll < T13_THRESHOLD).alias("keep"),
+    )
+
+
+T13_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+lp_tab AS (
+  SELECT tok, round(ln((c + 1.0) / (n + v)), 6) AS lp FROM uni CROSS JOIN tot
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round({dec_sql("-lp")} / count(*), 6) AS avg_nll,
+       round({dec_sql("-lp")} / count(*), 6) < {T13_THRESHOLD} AS keep
+FROM tok t JOIN lp_tab USING (tok)
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "j9_range_join": j9_range_join,
+    "j10_salted_skew_join": j10_salted_skew_join,
+    "a17_sample_quantiles": a17_sample_quantiles,
+    "d8_semdedup": d8_semdedup,
+    "t13_perplexity_filter": t13_perplexity_filter,
+}
+
+ORACLES = {
+    "j9_range_join": J9_SQL,
+    "j10_salted_skew_join": J10_SQL,
+    "a17_sample_quantiles": A17_SQL,
+    "d8_semdedup": D8_SQL,
+    "t13_perplexity_filter": T13_SQL,
+}

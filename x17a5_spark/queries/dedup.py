@@ -199,19 +199,17 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table on the pair keys — no per-doc shingle arrays ride through
     # the plan (a collect_set per doc is O(doc length) memory and
     # re-shuffles the corpus' shingle mass; at 100 TB that's the
-    # bottleneck). Both shingle streams are first semi-join-pruned to
-    # candidate docs, so the confirm joins touch only the candidates'
-    # shingles (bounded by the duplicate rate, not corpus size), keyed
-    # by doc_id — the shingle table's natural key.
+    # bottleneck). The shingle streams are first pruned to candidate
+    # docs with a BROADCAST semi join (cand_docs is bounded by the
+    # duplicate rate, tiny next to the corpus) — a narrow pass, so the
+    # confirm's hash exchanges move only the candidates' shingles.
     candidates = candidates.persist()
     cand_docs = (
         candidates.select(F.col("id_a").alias("doc_id"))
         .union(candidates.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    # ONE pass over the corpus' shingles, pruned to candidate docs; the
-    # persisted frame is bounded by the duplicate rate, not corpus size.
-    cand_sh = sh.join(cand_docs, "doc_id", "left_semi").persist()
+    cand_sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     sh_a = cand_sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sh_b = cand_sh.select(F.col("doc_id").alias("id_b"), "shingle")
     common = (
@@ -220,8 +218,12 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sizes_a = sh_a.groupBy("id_a").agg(F.count("*").alias("n_a"))
-    sizes_b = sh_b.groupBy("id_b").agg(F.count("*").alias("n_b"))
+    # doc sizes come from the persisted shingle table directly (ONE
+    # groupBy, reused for both sides) — the confirm output is candidate
+    # pairs only, so joining unpruned sizes costs nothing extra.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sizes_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sizes_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         common.join(sizes_a, "id_a")
