@@ -59,6 +59,13 @@ HEADLINE = [
     "e3l_structured_liabilities",
     "st4_watermark_drop",
     "s3_ivf_probe",
+    # round 3, late additions: range join, salted skew join, bottom-k
+    # sample quantiles, IVF-cell SemDeDup, unigram-LM perplexity filter
+    "j9_range_join",
+    "j10_salted_skew_join",
+    "a17_sample_quantiles",
+    "d8_semdedup",
+    "t13_perplexity_filter",
 ]
 
 

@@ -271,23 +271,30 @@ def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("c").alias("cell"))
         .join(vecs, "vec_id")
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cos = F.round(
-        _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm")), 4
-    )
+    # within-cell pairwise cosine as ONE Arrow-batched numpy matmul per
+    # cell (BLAS beats 3M per-pair JVM folds ~6x at sf0.1). Safe for the
+    # hash check: the output carries no float column — the cosine is
+    # only a >= threshold decision, mirrored as round(.,4) >= tau in
+    # both engines. Cells stay bounded because k scales with the corpus
+    # (SemDeDup's own recipe), so the n^2 term never outgrows a group.
+    import numpy as np
+    import pandas as pd
+
+    def _cell_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["vec"].to_numpy())
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        ids = pdf["vec_id"].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = np.round(sims[iu, ju], 4) >= D8_THRESHOLD
+        lo = np.minimum(ids[iu][mask], ids[ju][mask])
+        hi = np.maximum(ids[iu][mask], ids[ju][mask])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
     dup_pairs = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= D8_THRESHOLD)
+        assigned.select("cell", "vec_id", "vec")
+        .groupBy("cell")
+        .applyInPandas(_cell_dups, "id_a long, id_b long")
     )
     # resolution: the larger id is dropped, kept by its smallest dup
     return dup_pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
