@@ -141,21 +141,21 @@ def test_a17_equals_naive_bottom_k(spark):
 
 def test_a17_sample_is_partition_invariant(spark):
     base = a17_sample_quantiles(spark, SF).collect()
-    # same computation over a differently-partitioned source
+    # same computation (incl. the adaptive u <= 4k/n pre-filter) over a
+    # differently-partitioned source
     li = load_table(spark, SF, "lineitem").repartition(7)
-    li.createOrReplaceTempView("__a17_repart")
     hashed = li.select(
         F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")).alias("h"),
         F.col("l_extendedprice").alias("value"),
     )
-    salted = hashed.withColumn("salt", F.pmod(F.xxhash64("h"), F.lit(32)))
-    per_salt = Window.partitionBy("salt").orderBy("h")
-    surv = salted.withColumn("rk", F.row_number().over(per_salt)).filter(
-        F.col("rk") <= 256
+    n = hashed.count()
+    u = F.conv(F.substring("h", 1, 15), 16, 10).cast("double") / F.lit(
+        float(1 << 60)
     )
+    surv = hashed.filter(u <= min(1.0, 4.0 * 256 / n))
     bottom = (
-        surv.withColumn("rk2", F.row_number().over(Window.orderBy("h")))
-        .filter(F.col("rk2") <= 256)
+        surv.withColumn("rk", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rk") <= 256)
     )
     ranked = bottom.withColumn(
         "vr", F.row_number().over(Window.orderBy("value", "h"))
@@ -193,3 +193,39 @@ def test_t13_scores_and_flags_are_consistent(spark):
         assert r["keep"] == (r["avg_nll"] < 3.41)
         assert r["n_tokens"] > 0
         assert 0.0 < r["avg_nll"] < 20.0
+
+
+# --- d9: every planted truncated copy long enough to share a full
+# 15-token window with its source must be flagged --------------------------
+
+
+def test_d9_flags_planted_copies(spark):
+    from x17a5_spark.queries.dedup import d9_substring_dedup
+
+    docs = load_table(spark, SF, "documents")
+    n_tok = F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""))
+    # copy keeps floor(0.9n) tokens; a shared 15-gram needs >= 15 of them
+    eligible = {
+        r["doc_id"]
+        for r in docs.select("doc_id", n_tok.alias("n")).collect()
+        if int(r["n"] * 9 / 10) >= 15
+    }
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in d9_substring_dedup(spark, SF).collect()
+    }
+    missing = [d for d in eligible if (d, d + 100000) not in pairs]
+    assert not missing, f"planted copies not flagged: {missing[:5]}"
+
+
+def test_t14_bm25_ranking_is_consistent(spark):
+    from x17a5_spark.queries.advanced import t14_bm25_search
+
+    rows = t14_bm25_search(spark, SF).collect()
+    assert rows
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    # ranks are dense from 1 and ordered by (score desc, doc_id asc)
+    assert [r["rank"] for r in by_rank] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(by_rank, by_rank[1:]):
+        assert (prev["score"], -prev["doc_id"]) >= (cur["score"], -cur["doc_id"])
+        assert prev["score"] > 0 and 1 <= prev["n_terms_hit"] <= 3

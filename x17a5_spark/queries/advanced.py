@@ -159,16 +159,20 @@ GROUP BY 1
 # The mergeable sampling sketch: the k rows with the smallest md5(key)
 # form a uniform sample that merges across partitions/days by simply
 # re-taking the bottom k (same family as t12's KMV distinct sketch).
-# The distributed evaluation never globally sorts the data: a per-salt
-# window keeps the bottom k of each of 32 hash-salted slices (hash
-# exchange + bounded local sort), then one tiny global pass over
-# <= 32·k survivors. Quantiles are rank-selected from the sample —
-# exact value selection, no interpolation, so the floats hash-match.
+# The distributed evaluation never globally sorts the data: a
+# count-adaptive hash threshold (u <= 4k/n, t12's trick — expected
+# survivors ~= 4k INDEPENDENT of n) prunes the table in one narrow
+# pass, and the bottom-k window runs over those ~1k survivors only.
+# The oracle applies the IDENTICAL pre-filter, so the two engines agree
+# by construction even in the astronomically unlikely under-survival
+# case. Quantiles are rank-selected from the sample — exact value
+# selection, no interpolation, so the floats hash-match.
 # ---------------------------------------------------------------------------
 
 A17_K = 256
 A17_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
 _A17_RANKS = {int(q * (A17_K - 1)) + 1: q for q in A17_QS}
+_TWO60 = float(1 << 60)
 
 
 def a17_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,15 +181,15 @@ def a17_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")).alias("h"),
         F.col("l_extendedprice").alias("value"),
     )
-    salted = hashed.withColumn("salt", F.pmod(F.xxhash64("h"), F.lit(32)))
-    per_salt = Window.partitionBy("salt").orderBy("h")
+    counts = hashed.agg(F.count("*").alias("n")).withColumn("k", F.lit(1))
+    u = F.conv(F.substring("h", 1, 15), 16, 10).cast("double") / F.lit(_TWO60)
     survivors = (
-        salted.withColumn("rk", F.row_number().over(per_salt))
-        .filter(F.col("rk") <= A17_K)
-        .drop("rk", "salt")
+        hashed.withColumn("u", u)
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(counts), "k")
+        .filter(F.col("u") <= F.least(F.lit(1.0), F.lit(4.0 * A17_K) / F.col("n")))
+        .select("h", "value")
     )
-    # global pass over <= 32*k rows — a bounded single-partition sort,
-    # NOT a sort of the data
     bottom_k = (
         survivors.withColumn("rk", F.row_number().over(Window.orderBy("h")))
         .filter(F.col("rk") <= A17_K)
@@ -212,7 +216,13 @@ WITH hashed AS (
   SELECT md5(l_orderkey || ':' || l_linenumber) AS h, l_extendedprice AS value
   FROM lineitem
 ),
-bottom_k AS (SELECT * FROM hashed ORDER BY h LIMIT {A17_K}),
+counts AS (SELECT count(*) AS n FROM hashed),
+survivors AS (
+  SELECT h, value FROM hashed, counts
+  WHERE CAST('0x' || h[1:15] AS BIGINT) / {_TWO60}
+        <= least(1.0, {4.0 * A17_K} / n)
+),
+bottom_k AS (SELECT * FROM survivors ORDER BY h LIMIT {A17_K}),
 ranked AS (
   SELECT value, row_number() OVER (ORDER BY value, h) AS vr FROM bottom_k
 )
@@ -421,12 +431,122 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# T14 — BM25 keyword search over the corpus (Robertson/Spärck Jones;
+# the Okapi BM25 ranking function every retrieval stack ships).
+#
+# All statistics are corpus-derived integers (tf, df, dl, N, Σdl), so
+# every engine computes the identical rationals; idf and the per-term
+# contribution are rounded to 6 decimals and summed through exact
+# DECIMAL — the final score is bit-identical and the rank ordering
+# (score DESC, doc_id ASC on the exact value) is engine-independent.
+#
+# Scale: one vocab-sized groupBy for df (map-side combined), one
+# doc-sized groupBy for dl, the tf table is corpus tokens filtered to
+# the query terms BEFORE any exchange (predicate pushdown on the
+# explode), and N/Σdl ride a 1-row broadcast join. The final global
+# rank orders the bounded match set — never the corpus.
+# ---------------------------------------------------------------------------
+
+T14_TERMS = ("join", "vector", "stream")
+T14_K1 = 1.2
+T14_B = 0.75
+
+
+def t14_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).withColumn("k", F.lit(1))
+    tf = (
+        tok.filter(F.col("tok").isin(*T14_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tab = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(stats), "k")
+        .select(
+            "tok",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                ),
+                6,
+            ).alias("idf"),
+            "n_docs",
+            "total_dl",
+        )
+    )
+    scored = tf.join(dl, "doc_id").join(F.broadcast(df_tab), "tok")
+    denom = F.col("tf") + T14_K1 * (
+        1.0 - T14_B + T14_B * (F.col("dl") * F.col("n_docs")) / F.col("total_dl")
+    )
+    contrib = F.round(F.col("idf") * (F.col("tf") * (T14_K1 + 1.0)) / denom, 6)
+    agg = (
+        scored.withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(to_dec("contrib")).cast("double").alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    rank_w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return agg.withColumn("rank", F.row_number().over(rank_w)).select(
+        "rank", "doc_id", "n_terms_hit", "score"
+    )
+
+
+_T14_LIST = "['" + "', '".join(T14_TERMS) + "']"
+
+T14_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok
+  WHERE list_contains({_T14_LIST}, tok) GROUP BY 1, 2
+),
+df_tab AS (
+  SELECT tok, round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf,
+         n_docs, total_dl
+  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN stats
+),
+scored AS (
+  SELECT t.doc_id,
+         round(d.idf * (t.tf * ({T14_K1} + 1.0))
+               / (t.tf + {T14_K1} * (1.0 - {T14_B}
+                  + {T14_B} * (l.dl * d.n_docs) / d.total_dl)), 6) AS contrib
+  FROM tf t JOIN dl l USING (doc_id) JOIN df_tab d USING (tok)
+),
+agg AS (
+  SELECT doc_id, {dec_sql("contrib")} AS score, count(*) AS n_terms_hit
+  FROM scored GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, n_terms_hit, score
+FROM agg
+"""
+
+
 QUERIES = {
     "j9_range_join": j9_range_join,
     "j10_salted_skew_join": j10_salted_skew_join,
     "a17_sample_quantiles": a17_sample_quantiles,
     "d8_semdedup": d8_semdedup,
     "t13_perplexity_filter": t13_perplexity_filter,
+    "t14_bm25_search": t14_bm25_search,
 }
 
 ORACLES = {
@@ -435,4 +555,5 @@ ORACLES = {
     "a17_sample_quantiles": A17_SQL,
     "d8_semdedup": D8_SQL,
     "t13_perplexity_filter": T13_SQL,
+    "t14_bm25_search": T14_SQL,
 }

@@ -391,12 +391,66 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 """
 
 
+# D9 — exact-substring duplication (Lee et al., arXiv:2107.06499,
+# "Deduplicating Training Data Makes Language Models Better"): flag
+# document pairs sharing any run of D9_GRAM consecutive tokens. The
+# published single-node method is a suffix array; the distributed
+# equivalent hashes every D9_GRAM-token window (md5, 1 hash per window)
+# and equi-joins on the gram hash — a sparse join, because long grams
+# are near-unique outside genuine copied spans (unlike d2's 3-token
+# shingles, which collide constantly). Quadratic cost is confined to
+# grams that genuinely repeat, i.e. to true copied text.
+D9_GRAM = 15
+
+
+def d9_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_docs(spark, sf_dir)
+    grams = aug.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col("text"), D9_GRAM), lambda s: F.md5(s)
+                )
+            )
+        ).alias("g"),
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+D9_SQL = f"""
+WITH {_AUG_SQL.strip()},
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - {D9_GRAM - 1}, 0) + 1),
+                          i -> md5(array_to_string(toks[i : i + {D9_GRAM - 1}], ' ')))))
+         AS g
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+        FROM aug)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_grams
+FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
     "d4_simhash": d4_simhash,
     "d6_dedup_components": d6_dedup_components,
+    "d9_substring_dedup": d9_substring_dedup,
 }
 
 ORACLES = {
@@ -405,4 +459,5 @@ ORACLES = {
     "d3_minhash_lsh": D3_SQL,
     "d4_simhash": D4_SQL,
     "d6_dedup_components": D6_SQL,
+    "d9_substring_dedup": D9_SQL,
 }
