@@ -104,6 +104,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dedup,
         domain,
         filtering,
+        lakehouse,
         maps,
         misc,
         multimodal,
@@ -133,6 +134,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         corpus,
         filtering,
         advanced,
+        lakehouse,
     ):
         for name, fn in mod.QUERIES.items():
             if name in merged:
