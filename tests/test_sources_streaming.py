@@ -265,3 +265,44 @@ def test_stream_equals_batch(spark, tmp_path):
     assert set(got) == set(expected)
     for k, (n, _v) in expected.items():
         assert got[k][0] == n
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Two watermarked file streams, interval-joined (bucket equi-join +
+    residual BETWEEN) under Trigger.AvailableNow == the batch join."""
+    from x17a5_spark.streaming.events import joined_event_streams
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch_events = load_table(spark, sf_dir, "events")
+    src = os.path.join(tmp_path, "events_ssj")
+    batch_events.write.parquet(src)
+
+    def split(df):
+        errors = df.filter(df["event_type"] == "error")
+        purchases = df.filter(df["event_type"] == "purchase")
+        return errors, purchases
+
+    # sf0.001 events are sparse in time — widen the horizon so the
+    # fixture actually produces pairs
+    kw = dict(horizon="120 minutes", bin_s=7200)
+    se, sp = split(spark.readStream.schema(batch_events.schema).parquet(src))
+    q = (
+        joined_event_streams(se, sp, **kw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["incident_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    be, bp = split(spark.read.parquet(src))
+    expected = {
+        (r["incident_id"], r["purchase_id"])
+        for r in joined_event_streams(be, bp, **kw).collect()
+    }
+    assert expected, "fixture should produce at least one joined pair"
+    assert got == expected

@@ -121,10 +121,11 @@ FROM sessions GROUP BY user_id, sess_id
 # volume), the running-max window runs over that tiny frame, and the
 # watermark table broadcast-joins back to the events — no global sort
 # or single-partition pass over the fact table at any scale.
-def st4_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _arrival_survivors(events: DataFrame) -> DataFrame:
+    """st4's arrival/watermark model: events that survive the late-data
+    drop (shared by st4 and the st6 stream-stream join)."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
     h8 = F.conv(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -142,9 +143,16 @@ def st4_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("INTERVAL 5 MINUTES")
         ).alias("watermark"),
     )
-    kept = b.join(F.broadcast(wm), "batch_id").filter(
-        F.col("watermark").isNull() | (F.col("ts") >= F.col("watermark"))
+    return (
+        b.join(F.broadcast(wm), "batch_id")
+        .filter(F.col("watermark").isNull() | (F.col("ts") >= F.col("watermark")))
+        .drop("batch_id", "watermark")
     )
+
+
+def st4_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    kept = _arrival_survivors(events)
     return (
         kept.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
@@ -233,12 +241,96 @@ FROM hourly GROUP BY 1, 2
 """
 
 
+# ST6 — watermarked stream-stream interval join, batch-deterministic
+# form. Spark's stream-stream inner join buffers each side's rows in
+# state until the watermark passes the join-condition horizon; rows
+# arriving below the watermark are dropped and can never join. The
+# deterministic replay: both sides share st4's arrival/watermark model
+# (same lake, same arrival process), late rows are dropped per side,
+# and the survivors meet in a time-bucket equi-join (j9's rewrite —
+# never a nested loop): purchases within 10 minutes AFTER an error
+# incident. tests/test_streaming_join.py runs the REAL
+# readStream-side: two file streams, withWatermark on both, interval
+# join under Trigger.AvailableNow, asserted == the batch join.
+#
+# Scale: the watermark frame is bounded by wall-clock (one row per
+# 10-minute batch), both drop filters are broadcast joins against it,
+# and the join itself is the j9 bucket shape — state per key bounded
+# by the 10-minute horizon, exactly like the streaming form's state
+# store retention.
+ST6_BIN_S = 600
+
+
+def st6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    kept = _arrival_survivors(events)
+    inc = kept.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t1"),
+    )
+    b0 = F.floor(F.unix_timestamp("t0") / ST6_BIN_S)
+    b1 = F.floor(F.unix_timestamp("t1") / ST6_BIN_S)
+    inc_b = inc.withColumn("bin", F.explode(F.sequence(b0, b1)))
+    probe = kept.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "ts",
+        "value",
+        F.floor(F.unix_timestamp("ts") / ST6_BIN_S).alias("bin"),
+    )
+    joined = probe.join(inc_b, "bin").filter(
+        (F.col("ts") > F.col("t0")) & (F.col("ts") <= F.col("t1"))
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count("*").alias("n_purchases"),
+        dsum("value", "purchase_value"),
+    )
+
+
+_ST6_SURVIVORS = """
+arr AS (
+  SELECT *,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + CAST('0x' || md5(CAST(event_id AS VARCHAR))[1:8] AS BIGINT) % 1200
+           AS arrival_sec
+  FROM events
+),
+b AS (SELECT *, arrival_sec // 600 AS batch_id FROM arr),
+bmax AS (SELECT batch_id, max(ts) AS batch_max FROM b GROUP BY batch_id),
+wm AS (
+  SELECT batch_id,
+         max(batch_max) OVER (ORDER BY batch_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL 5 MINUTE AS watermark
+  FROM bmax
+),
+kept AS (
+  SELECT b.* FROM b JOIN wm USING (batch_id)
+  WHERE watermark IS NULL OR ts >= watermark
+)
+"""
+
+ST6_SQL = f"""
+WITH {_ST6_SURVIVORS.strip()},
+inc AS (
+  SELECT event_id AS incident_id, ts AS t0, ts + INTERVAL 10 MINUTE AS t1
+  FROM kept WHERE event_type = 'error'
+)
+SELECT i.incident_id, count(*) AS n_purchases,
+       {dec_sql("p.value")} AS purchase_value
+FROM inc i JOIN kept p ON p.event_type = 'purchase'
+                      AND p.ts > i.t0 AND p.ts <= i.t1
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "st1_tumbling_window": st1_tumbling_window,
     "st2_sliding_window": st2_sliding_window,
     "st3_session_window": st3_session_window,
     "st4_watermark_drop": st4_watermark_drop,
     "st5_rollup_cascade": st5_rollup_cascade,
+    "st6_stream_stream_join": st6_stream_stream_join,
 }
 
 ORACLES = {
@@ -247,4 +339,5 @@ ORACLES = {
     "st3_session_window": ST3_SQL,
     "st4_watermark_drop": ST4_SQL,
     "st5_rollup_cascade": ST5_SQL,
+    "st6_stream_stream_join": ST6_SQL,
 }

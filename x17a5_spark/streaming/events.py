@@ -60,3 +60,58 @@ def sessionized_stream(
             "total_value",
         )
     )
+
+
+def joined_event_streams(
+    errors: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "2 hours",
+    bin_s: int = 600,
+) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases within
+    ``horizon`` after each error incident.
+
+    Both sides carry a watermark (required for state cleanup: Spark
+    buffers each side until the watermark passes the join horizon, the
+    streaming analog of the state-store retention bound). The join is
+    the j9 time-bucket rewrite — an EQUI-join on the bucket plus a
+    residual BETWEEN — so the streaming state is hash-partitioned by
+    bucket, never a nested-loop across the full buffers. The identical
+    expression runs in batch (watermark is a no-op there); tests assert
+    stream == batch under Trigger.AvailableNow.
+    """
+    e = (
+        errors.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("t0"),
+            (F.col("ts") + F.expr(f"INTERVAL {horizon}")).alias("t1"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp("t0") / bin_s),
+                    F.floor(F.unix_timestamp("t1") / bin_s),
+                )
+            ),
+        )
+    )
+    p = (
+        purchases.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withColumn("bin", F.floor(F.unix_timestamp("p_ts") / bin_s))
+    )
+    return e.join(
+        p,
+        (e["bin"] == p["bin"])
+        & (F.col("p_ts") > F.col("t0"))
+        & (F.col("p_ts") <= F.col("t1")),
+    ).select("incident_id", "purchase_id", "p_ts", "purchase_value")
