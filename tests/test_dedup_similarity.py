@@ -77,3 +77,66 @@ def test_bruteforce_topk_selfconsistent(spark):
     for _, g in out.groupby("q_id"):
         sims = list(g.sort_values("rank").cos_sim)
         assert sims == sorted(sims, reverse=True)
+
+
+def test_s4_pq_adc_matches_numpy_recompute(spark):
+    """ADC distances must equal an independent numpy PQ implementation:
+    same md5 codebook, same encode argmin, same lut sums."""
+    import numpy as np
+
+    from x17a5_spark.queries.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        TOP_K,
+        _pq_centroid,
+        s4_pq_adc,
+    )
+    from x17a5_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    cb = np.array(
+        [[_pq_centroid(m, j) for j in range(PQ_K)] for m in range(PQ_M)]
+    )  # (M, K, SUB)
+
+    def sub_d2(vid):
+        v = vecs[vid].reshape(PQ_M, PQ_SUB)
+        # (M, K): rounded like both engines
+        return np.round(((v[:, None, :] - cb) ** 2).sum(axis=2), 6)
+
+    codes = {}
+    for vid in vecs:
+        d2 = sub_d2(vid)
+        codes[vid] = d2.argmin(axis=1)  # numpy argmin takes lowest j on ties
+    expected = {}
+    for q in range(N_QUERIES):
+        lut = sub_d2(q)
+        dists = sorted(
+            (round(float(sum(lut[m, codes[c][m]] for m in range(PQ_M))), 6), c)
+            for c in vecs
+            if c != q
+        )
+        for rank, (d, c) in enumerate(dists[:TOP_K], 1):
+            expected[(q, rank)] = (c, d)
+
+    got = {
+        (r["q_id"], r["rank"]): (r["c_id"], round(r["adc_dist"], 6))
+        for r in s4_pq_adc(spark, sf).collect()
+    }
+    assert got == expected
+
+
+def test_s4_pq_codes_are_compact_and_deterministic(spark):
+    """Every vector encodes to exactly M codes in [0, K); two runs agree."""
+    from pyspark.sql import functions as F
+
+    from x17a5_spark.queries.similarity import PQ_K, PQ_M, s4_pq_adc
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, s4_pq_adc(spark, sf).collect()))
+    b = sorted(map(tuple, s4_pq_adc(spark, sf).collect()))
+    assert a == b
+    assert 0 < PQ_K <= 16 and PQ_M * 8 == 64

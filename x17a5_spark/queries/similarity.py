@@ -430,15 +430,158 @@ SELECT q_id, rank, c_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# S4 — product-quantization ADC ranking (FAISS IndexPQ shape).
+#
+# PQ compresses each 64-d float vector (256 bytes) to M=8 sub-space
+# codes of 4 bits each (K=16 centroids per sub-space) — the codes table
+# is ~M bytes/vector, a 30x memory/shuffle reduction, which is PQ's
+# entire point at 100 TB: the ranking scan touches codes, never raw
+# vectors. Querying is Asymmetric Distance Computation: per query,
+# a lookup table lut[m][j] = ||q_sub_m - c_mj||^2 (M*K = 128 tiny
+# rows, broadcast), and each candidate's approximate distance is the
+# sum of M table lookups — here a broadcast equi-join of the slim
+# codes table against the lut on (m, code) plus one groupBy. The
+# partial sums go through exact DECIMAL (compat.dsum pattern) so the
+# M-term sum is partition-order independent and hash-matches the
+# oracle. Composing with s3's IVF cells (restrict the codes scan to
+# probed cells) gives the standard IVFPQ sublinear path; the exhaustive
+# ADC scan is kept here as the deterministic, recall-complete form.
+# The codebook is the same md5-derived deterministic stand-in for a
+# trained codebook that s3 uses, reproduced verbatim in the oracle.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # sub-spaces
+PQ_SUB = 8  # dims per sub-space (8 x 8 = 64)
+PQ_K = 16  # centroids per sub-space (4-bit codes)
+
+
+def _pq_centroid(m: int, j: int) -> list[float]:
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"pq:{m}:{j}:{d}".encode()).hexdigest()[:8], 16) % 2001
+         - 1000)
+        / 1000.0
+        for d in range(PQ_SUB)
+    ]
+
+
+def s4_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+    # fan each vector out to its M sub-vectors; the 8-double slices are
+    # the only vector data that rides any exchange
+    subs = vecs.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    ).join(vecs, "vec_id").select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(vec, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sub"),
+    )
+    cb_rows = [(m, j, _pq_centroid(m, j)) for m in range(PQ_M) for j in range(PQ_K)]
+    cb = spark.createDataFrame(cb_rows, "m int, j int, w array<double>")
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("sub", "w", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scores = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "j", d2.alias("d2")
+    )
+    # encode: argmin centroid per (vector, sub-space), deterministic
+    # j-tiebreak — a per-key window over K=16 rows, never a global sort
+    enc_w = Window.partitionBy("vec_id", "m").orderBy("d2", "j")
+    codes = (
+        scores.withColumn("rk", F.row_number().over(enc_w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    # ADC: per-query lut is the same scores frame restricted to query
+    # ids — M*K rows per query, broadcast; distances are M DECIMAL-
+    # summed lookups per candidate
+    lut = scores.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "m", F.col("j").alias("code"), "d2"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.sum(F.col("d2").cast("decimal(27,6)")).cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "c_id", "adc_dist")
+    )
+
+
+S4_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+subs AS (
+  SELECT vec_id, m, vec[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+  FROM v CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
+),
+cb AS (
+  SELECT m, j,
+         list_transform(range(0, {PQ_SUB}), d ->
+           (CAST('0x' || md5('pq:' || m || ':' || j || ':' || d)[1:8] AS BIGINT)
+            % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(range(0, {PQ_M})) AS m)
+  CROSS JOIN (SELECT unnest(range(0, {PQ_K})) AS j)
+),
+scores AS (
+  SELECT s.vec_id, s.m, c.j,
+         round(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+               i -> (s.sub[i] - c.w[i]) * (s.sub[i] - c.w[i]))), 6) AS d2
+  FROM subs s JOIN cb c USING (m)
+),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rk
+    FROM scores
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT vec_id AS q_id, m, j AS code, d2 FROM scores
+  WHERE vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(l.d2 AS DECIMAL(27,6))) AS DOUBLE) AS adc_dist
+  FROM codes c JOIN lut l USING (m, code)
+  WHERE l.q_id <> c.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, c_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist ASC, c_id ASC) AS rank
+  FROM adc
+)
+SELECT q_id, rank, c_id, adc_dist FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_ann": s2_lsh_ann,
     "s3_ivf_probe": s3_ivf_probe,
+    "s4_pq_adc": s4_pq_adc,
     "d5_embedding_cosine_dedup": d5_embedding_cosine_dedup,
 }
 
 ORACLES = {
     "s1_cosine_topk": S1_SQL,
     "s3_ivf_probe": S3_SQL,
+    "s4_pq_adc": S4_SQL,
     "d5_embedding_cosine_dedup": D5_SQL,
 }
