@@ -319,12 +319,62 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# T16 — deterministic epoch shuffle (training-order randomization).
+#
+# Each training epoch needs the corpus in a fresh pseudo-random order,
+# reproducibly (resume-after-preemption must replay the identical
+# order). A global sort by random key is the naive spelling; at 100 TB
+# the scale-correct shape is hash-sharding: shard = md5(seed, doc_id)
+# mod S routes each doc to a shard (one hash exchange, no sampling or
+# range estimation), and the within-shard order is a per-shard
+# row_number over the same hash — S independent sorts of corpus/S rows
+# running in parallel, which is exactly how training-data loaders
+# consume shards. Changing the seed literal re-permutes everything;
+# same seed -> bit-identical order on any partitioning.
+# ---------------------------------------------------------------------------
+
+T16_SHARDS = 8
+T16_SEED = 17
+_T16_TWO60 = float(1 << 60)
+
+
+def t16_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit(f"epoch:{T16_SEED}:"), F.col("doc_id")))
+    hashed = docs.withColumn("h", h).withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring("h", 1, 15), 16, 10).cast("long"), F.lit(T16_SHARDS)),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        hashed.withColumn("position", F.row_number().over(w))
+        .select(F.col("shard").cast("int").alias("shard"), "position", "doc_id")
+    )
+
+
+T16_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, md5('epoch:{T16_SEED}:' || doc_id) AS h FROM documents
+)
+SELECT CAST(CAST('0x' || h[1:15] AS BIGINT) % {T16_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY CAST('0x' || h[1:15] AS BIGINT) % {T16_SHARDS}
+         ORDER BY h, doc_id) AS INT) AS position,
+       doc_id
+FROM hashed
+"""
+
+
 QUERIES = {
     "t6_chunk_documents": t6_chunk_documents,
     "t7_stratified_split": t7_stratified_split,
     "e4_corpus_pipeline": e4_corpus_pipeline,
     "k7_sequence_pack": k7_sequence_pack,
     "k8_sequence_pack_sharded": k8_sequence_pack_sharded,
+    "t16_epoch_shuffle": t16_epoch_shuffle,
 }
 
 ORACLES = {
@@ -333,4 +383,5 @@ ORACLES = {
     "e4_corpus_pipeline": E4_SQL,
     "k7_sequence_pack": K7_SQL,
     "k8_sequence_pack_sharded": K8_SQL,
+    "t16_epoch_shuffle": T16_SQL,
 }
