@@ -66,6 +66,13 @@ HEADLINE = [
     "a17_sample_quantiles",
     "d8_semdedup",
     "t13_perplexity_filter",
+    # round 3, session 3: CDC upsert merge, equi-width histogram, video
+    # frame-sample fan-out (g1 PageRank is oracle-checked but excluded
+    # here: 5 fixed iterations of tiny exchanges measure scheduler
+    # latency at bench SF, not engine throughput)
+    "j13_upsert_merge",
+    "a18_histogram",
+    "m4_frame_sample",
 ]
 
 

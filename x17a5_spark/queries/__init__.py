@@ -104,6 +104,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dedup,
         domain,
         filtering,
+        graph,
         lakehouse,
         maps,
         misc,
@@ -134,6 +135,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         corpus,
         filtering,
         advanced,
+        graph,
         lakehouse,
     ):
         for name, fn in mod.QUERIES.items():

@@ -164,10 +164,59 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# A18 — equi-width histogram (the profiling/EDA shape behind every
+# data-quality dashboard). Bucket assignment is a pure codegen
+# expression evaluated at the scan — floor((x - lo) / step) clamped to
+# [0, nb) — so the only exchange is the 24-row final aggregation; at
+# 100 TB the map-side partial aggregation reduces each partition to at
+# most nb rows before the shuffle. Totals go through exact DECIMAL
+# (functions/compat.py) so the hash is partition-order-independent.
+
+A18_LO, A18_STEP, A18_NB = 0.0, 25_000.0, 24
+
+
+def a18_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(A18_NB - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("o_totalprice") - A18_LO) / A18_STEP).cast("int"),
+        ),
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+        .select(
+            "bucket",
+            (F.lit(A18_LO) + F.col("bucket") * A18_STEP).alias("bucket_lo"),
+            "n",
+            "total",
+        )
+    )
+
+
+A18_SQL = f"""
+SELECT bucket,
+       {A18_LO} + bucket * {A18_STEP} AS bucket_lo,
+       count(*) AS n,
+       {dec_sql("o_totalprice")} AS total
+FROM (
+  SELECT o_totalprice,
+         least({A18_NB - 1},
+               greatest(0, CAST(floor((o_totalprice - {A18_LO}) / {A18_STEP})
+                               AS INT))) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+"""
+
+
 QUERIES = {
     "a14_percentiles": a14_percentiles,
     "a15_grouping_sets": a15_grouping_sets,
     "a16_unpivot": a16_unpivot,
+    "a18_histogram": a18_histogram,
     "w7_ranking_family": w7_ranking_family,
     "j8_asof_join": j8_asof_join,
 }
@@ -176,6 +225,7 @@ ORACLES = {
     "a14_percentiles": A14_SQL,
     "a15_grouping_sets": A15_SQL,
     "a16_unpivot": A16_SQL,
+    "a18_histogram": A18_SQL,
     "w7_ranking_family": W7_SQL,
     "j8_asof_join": J8_SQL,
 }

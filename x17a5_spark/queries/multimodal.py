@@ -175,14 +175,79 @@ FROM documents
 """
 
 
+# M4 — video frame sampling over REAL ISO-BMFF containers: the query
+# assembles a bit-valid minimal MP4 (ftyp + moov/mvhd, big-endian box
+# sizes built with format_string('%08x')+unhex — pure codegen), the
+# kernel walks the box tree for the mvhd duration
+# (sources/multimodal.py::decode_mp4_duration) and fans out one row per
+# sampled timestamp (stride 2 s) — the UDTF shape of a real
+# frame-extraction stage, with the pixel decode stubbed (no ffmpeg in
+# the container). The oracle re-derives the frame set closed-form from
+# the planted duration, so a hash match proves the binary assembly, the
+# box walk, the per-media fan-out, and the error routing (every 13th
+# blob is not a container and must yield exactly one error row).
+M4_STRIDE = 2.0
+
+
+def m4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.sources.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    dur_units = ((F.col("doc_id") % 120) + 5) * 1000  # timescale 1000
+    good = F.unhex(
+        F.concat(
+            # ftyp box: size 16, brand isom, minor version 0
+            F.lit("0000001066747970" + "69736f6d" + "00000000"),
+            # moov box: size 36 = 8 + mvhd(28)
+            F.lit("000000246d6f6f76"),
+            # mvhd box: size 28, v0, creation/modification 0, ts 1000
+            F.lit("0000001c6d766864" + "00000000" * 3 + "000003e8"),
+            F.format_string("%08x", dur_units.cast("int")),
+        )
+    )
+    blob = F.when(
+        F.col("doc_id") % 13 == 0, F.encode(F.substring("text", 1, 32), "UTF-8")
+    ).otherwise(good)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        blob.alias("media"),
+    )
+    frames = sample_frames(media, stride_sec=M4_STRIDE)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "t_sec",
+        F.col("error").isNotNull().alias("failed"),
+    )
+
+
+M4_SQL = """
+WITH good AS (
+  SELECT doc_id AS media_id,
+         CAST(unnest(range(0, ((doc_id % 120) + 5) // 2 + 1)) AS INT)
+             AS frame_idx
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT media_id, frame_idx, CAST(frame_idx * 2.0 AS DOUBLE) AS t_sec,
+       false AS failed
+FROM good
+UNION ALL
+SELECT doc_id AS media_id, NULL AS frame_idx, NULL AS t_sec, true AS failed
+FROM documents WHERE doc_id % 13 = 0
+"""
+
+
 QUERIES = {
     "m1_multimodal_decode": m1_multimodal_decode,
     "m2_multimodal_features": m2_multimodal_features,
     "m3_png_pixel_stats": m3_png_pixel_stats,
+    "m4_frame_sample": m4_frame_sample,
 }
 
 ORACLES = {
     "m1_multimodal_decode": M1_SQL,
     "m2_multimodal_features": M2_SQL,
     "m3_png_pixel_stats": M3_SQL,
+    "m4_frame_sample": M4_SQL,
 }

@@ -410,3 +410,50 @@ def extract_pixel_stats(df: DataFrame, content_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(op, schema=PIXEL_STATS_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, t_sec double, error string"
+
+
+def sample_frames(
+    df: DataFrame, stride_sec: float = 2.0, content_col: str = "media"
+) -> DataFrame:
+    """Frame-sampling plumbing for video media: parse the container
+    duration with the real ISO-BMFF box walk (``decode_mp4_duration``)
+    and emit one row per sampled timestamp (t = 0, stride, 2*stride, …
+    <= duration) — the N-rows-in, M-rows-out UDTF shape a real
+    frame-extraction stage has. The pixel decode itself needs a codec
+    the container doesn't ship (ffmpeg); the sampling contract — batch
+    schema, per-media fan-out, error routing (one corrupt container
+    yields one error row, never a stage failure) — is real and tested.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts, errors = [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf[content_col]):
+                try:
+                    if content is None:
+                        raise ValueError("null media")
+                    dur = decode_mp4_duration(bytes(content))
+                    n = int(dur // stride_sec) + 1
+                    for i in range(n):
+                        ids.append(media_id)
+                        idxs.append(i)
+                        ts.append(i * stride_sec)
+                        errors.append(None)
+                except Exception as e:  # noqa: BLE001
+                    ids.append(media_id)
+                    idxs.append(None)
+                    ts.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "t_sec": ts,
+                    "error": errors,
+                }
+            )
+
+    return df.mapInPandas(op, schema=FRAME_SCHEMA)
