@@ -73,6 +73,9 @@ HEADLINE = [
     "j13_upsert_merge",
     "a18_histogram",
     "m4_frame_sample",
+    "a19_incremental_agg",
+    "s5_quantile_norm",
+    "d11_sorted_neighborhood",
 ]
 
 

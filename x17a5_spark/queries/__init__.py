@@ -22,6 +22,17 @@ t13 perplexity filter — all oracle-backed) swap in for ten queries
 whose green round-2 driver rows stand as evidence (d2, t1-t5, m1, st1,
 st2) plus s2, whose driver row is rows-only by design (its recall
 check lives in tests/test_similarity.py).
+
+Final round-3 rotation: the thirteen operators built since (d9 exact-
+substring dedup, t14 BM25, t15 heavy hitters, j11 bloom semi-join,
+j12 SCD2, d10 source quotas, s4 PQ/ADC, st6 stream-stream join, t16
+epoch shuffle, g1 PageRank, j13 upsert merge, a18 histogram, m4 frame
+sampling) swap in for r2-green queries whose rows
+stand (k3-k6, d1, d3-d5, s1, m2, st3, q1, c1-c4), alongside a19
+incremental-agg, s5 quantile-norm, and d11 sorted-neighborhood — after this every
+registered query has had a hash-backed driver row in r1∪r2∪r3 or is
+rows-only by design, except the low-information relational/scalar
+singles already covered by the c1-c5 composites.
 """
 
 from __future__ import annotations
@@ -42,29 +53,27 @@ WINDOW_ORDER = [
     "u6_unstructured_wide",
     "k1_totals_check",
     "k2_balance_split",
-    "k3_merge_columns",
-    "k4_row_split",
-    "k5_unit_scale",
-    "k6_table_select",
     "k7_sequence_pack",
     "k8_sequence_pack_sharded",
     "j7_special_merge",
     "j8_asof_join",
     # --- LLM-data-pipeline: dedup / similarity / text / multimodal ---
-    "d1_exact_dedup",
-    "d3_minhash_lsh",
-    "d4_simhash",
-    "d5_embedding_cosine_dedup",
     "d6_dedup_components",
     "d8_semdedup",
-    "s1_cosine_topk",
+    "d9_substring_dedup",
+    "d10_source_quota",
+    "d11_sorted_neighborhood",
     "s3_ivf_probe",
-    "m2_multimodal_features",
+    "s4_pq_adc",
+    "s5_quantile_norm",
     "m3_png_pixel_stats",
+    "m4_frame_sample",
     "t12_kmv_distinct",
     "t13_perplexity_filter",
-    # --- corpus-prep + filtering layer (round-2 additions, first driver
-    # rows this round) ---
+    "t14_bm25_search",
+    "t15_heavy_hitters",
+    "t16_epoch_shuffle",
+    # --- corpus-prep + filtering layer ---
     "t6_chunk_documents",
     "t7_stratified_split",
     "t8_gopher_quality",
@@ -72,24 +81,25 @@ WINDOW_ORDER = [
     "t10_pii_redaction",
     "t11_decontamination",
     "e4_corpus_pipeline",
-    # --- streaming windows + watermark drop ---
-    "st3_session_window",
+    # --- streaming: watermark drop, rollup cascade, stream-stream join ---
     "st4_watermark_drop",
     "st5_rollup_cascade",
-    # --- analytics family (first driver rows this round) ---
+    "st6_stream_stream_join",
+    # --- analytics / joins / graph / maintenance ---
     "a14_percentiles",
     "a15_grouping_sets",
     "a16_unpivot",
     "a17_sample_quantiles",
+    "a18_histogram",
+    "a19_incremental_agg",
     "j9_range_join",
     "j10_salted_skew_join",
+    "j11_bloom_semi_join",
+    "j12_scd2_intervals",
+    "j13_upsert_merge",
+    "g1_pagerank",
     "w7_ranking_family",
-    # --- relational / composites ---
-    "q1_pricing_summary",
-    "c1_semi_anti",
-    "c2_setops",
-    "c3_match_positions",
-    "c4_sequence_scan",
+    # --- composites (multi-op evidence rows kept continuously checked) ---
     "c5_accounting_chain",
 ]
 

@@ -444,6 +444,81 @@ GROUP BY 1, 2
 """
 
 
+
+# D11 — sorted-neighborhood entity-resolution blocking (Hernandez &
+# Stolfo's merge/purge): sort the corpus once on a normalized key and
+# compare each record only with its W nearest neighbors in sort order —
+# the third candidate-generation family next to hash blocking (d1/d3
+# LSH bands) and vector buckets (d5/d8). Near-duplicates share their
+# normalized 40-char prefix (the planted copies truncate the token
+# TAIL), so they land adjacent. Scale shape: the window partitions by
+# an 8-char key prefix — many small ordered blocks instead of one
+# global sort — and each row looks at exactly W=3 neighbors, so
+# candidate volume is W*N regardless of cluster sizes (LSH's quadratic
+# hot-bucket term structurally cannot occur; the price is recall
+# limited to same-block neighbors, which is the documented
+# sorted-neighborhood trade-off). Confirm = 24-char prefix equality;
+# emits canonical (doc_a < doc_b) pairs.
+
+D11_W = 3
+
+
+def d11_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    aug = _augmented_docs(spark, sf_dir)
+    key = F.lower(
+        F.substring(F.regexp_replace(F.trim("text"), r"\s+", " "), 1, 40)
+    )
+    base = aug.select("doc_id", key.alias("k"))
+    w = Window.partitionBy(F.substring("k", 1, 8)).orderBy("k", "doc_id")
+    neigh = base.select(
+        "doc_id",
+        "k",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("doc_id", i).over(w).alias("nid"),
+                    F.lead("k", i).over(w).alias("nk"),
+                )
+                for i in range(1, D11_W + 1)
+            ]
+        ).alias("ns"),
+    )
+    cand = neigh.select("doc_id", "k", F.explode("ns").alias("n")).filter(
+        F.col("n.nid").isNotNull()
+    )
+    confirmed = cand.filter(
+        F.substring("k", 1, 24) == F.substring(F.col("n.nk"), 1, 24)
+    )
+    return confirmed.select(
+        F.least("doc_id", F.col("n.nid")).alias("doc_a"),
+        F.greatest("doc_id", F.col("n.nid")).alias("doc_b"),
+    )
+
+
+D11_SQL = f"""
+WITH {_AUG_SQL.strip()},
+base AS (
+  SELECT doc_id,
+         lower(substr(regexp_replace(trim(text), '\\s+', ' ', 'g'), 1, 40)) AS k
+  FROM aug
+),
+neigh AS (
+  SELECT doc_id, k,
+         {", ".join(f"lead(doc_id, {i}) OVER w AS n{i}, lead(k, {i}) OVER w AS k{i}" for i in range(1, D11_W + 1))}
+  FROM base
+  WINDOW w AS (PARTITION BY substr(k, 1, 8) ORDER BY k, doc_id)
+),
+pairs AS (
+  {" UNION ALL ".join(f"SELECT doc_id, k, n{i} AS nid, k{i} AS nk FROM neigh" for i in range(1, D11_W + 1))}
+)
+SELECT least(doc_id, nid) AS doc_a, greatest(doc_id, nid) AS doc_b
+FROM pairs
+WHERE nid IS NOT NULL AND substr(k, 1, 24) = substr(nk, 1, 24)
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
@@ -451,6 +526,7 @@ QUERIES = {
     "d4_simhash": d4_simhash,
     "d6_dedup_components": d6_dedup_components,
     "d9_substring_dedup": d9_substring_dedup,
+    "d11_sorted_neighborhood": d11_sorted_neighborhood,
 }
 
 ORACLES = {
@@ -460,4 +536,5 @@ ORACLES = {
     "d4_simhash": D4_SQL,
     "d6_dedup_components": D6_SQL,
     "d9_substring_dedup": D9_SQL,
+    "d11_sorted_neighborhood": D11_SQL,
 }

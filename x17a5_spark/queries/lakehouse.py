@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from x17a5_spark.functions.compat import dec_sql, dsum
+from x17a5_spark.functions.compat import dec_sql, dsum, to_dec
 from x17a5_spark.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -343,11 +343,63 @@ HAVING count(*) * {T15_S} > max(total.n_total)
 """
 
 
+# ---------------------------------------------------------------------------
+# A19 — incremental aggregate maintenance (materialized-view merge).
+#
+# The lakehouse IVM shape: a maintained revenue-per-priority view is
+# NOT recomputed from scratch when new data lands — the base aggregate
+# (computed from the pre-cutoff snapshot) is merged with the delta's
+# aggregate by a full-outer coalesce-sum on the group key. At 100 TB
+# this turns a full-table re-aggregation into one pass over the delta
+# plus a view-sized merge. Exactness is the whole point: the partial
+# sums stay in DECIMAL until after the merge (decimal addition is
+# associative; double addition is not), so base+delta is bit-identical
+# to the direct aggregation the oracle runs — the hash match IS the
+# proof that the incremental path loses nothing.
+# ---------------------------------------------------------------------------
+
+A19_CUTOFF = "1997-01-01"
+
+
+def a19_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(to_dec("o_totalprice")).alias("total_dec"),
+        )
+
+    base = agg(orders.filter(F.col("o_orderdate") < A19_CUTOFF))
+    delta = agg(orders.filter(F.col("o_orderdate") >= A19_CUTOFF))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(
+        d, F.col("b.o_orderpriority") == F.col("d.o_orderpriority"), "full_outer"
+    )
+    zero = F.lit(0).cast("decimal(27,6)")
+    return merged.select(
+        F.coalesce("b.o_orderpriority", "d.o_orderpriority").alias("o_orderpriority"),
+        (F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))).alias("n"),
+        (F.coalesce("b.total_dec", zero) + F.coalesce("d.total_dec", zero))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+A19_SQL = f"""
+SELECT o_orderpriority, count(*) AS n,
+       {dec_sql("o_totalprice")} AS total
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "j11_bloom_semi_join": j11_bloom_semi_join,
     "j12_scd2_intervals": j12_scd2_intervals,
     "d10_source_quota": d10_source_quota,
     "t15_heavy_hitters": t15_heavy_hitters,
+    "a19_incremental_agg": a19_incremental_agg,
 }
 
 ORACLES = {
@@ -355,4 +407,5 @@ ORACLES = {
     "j12_scd2_intervals": J12_SQL,
     "d10_source_quota": D10_SQL,
     "t15_heavy_hitters": T15_SQL,
+    "a19_incremental_agg": A19_SQL,
 }

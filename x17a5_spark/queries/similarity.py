@@ -571,11 +571,52 @@ SELECT q_id, rank, c_id, adc_dist FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# S5 — per-dimension quantile normalization of embedding features (the
+# classic ML-preprocessing transform: replace each raw feature value by
+# its empirical CDF position, making every dimension uniformly
+# distributed and scale-free before indexing / training).
+#
+# Shape: posexplode the vectors to long form (vec_id, dim, v), one
+# percent_rank window PER DIMENSION — a dim-keyed hash exchange into 64
+# independent small sorts, never a global sort. At 100 TB the exact
+# per-dim sort becomes the a17 bottom-k sketch (rank against sampled
+# quantile boundaries); the exact form here is the correctness anchor.
+# percent_rank is tie-stable (equal values share a rank), so the result
+# is deterministic under any partitioning — no hash drift.
+# ---------------------------------------------------------------------------
+
+
+def s5_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "v")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "v")
+    w = Window.partitionBy("dim").orderBy("v")
+    return long.select(
+        "vec_id", "dim", F.round(F.percent_rank().over(w), 9).alias("q")
+    )
+
+
+S5_SQL = """
+WITH long AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT vec_id, dim,
+       round(percent_rank() OVER (PARTITION BY dim ORDER BY v), 9) AS q
+FROM long
+"""
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_ann": s2_lsh_ann,
     "s3_ivf_probe": s3_ivf_probe,
     "s4_pq_adc": s4_pq_adc,
+    "s5_quantile_norm": s5_quantile_norm,
     "d5_embedding_cosine_dedup": d5_embedding_cosine_dedup,
 }
 
@@ -583,5 +624,6 @@ ORACLES = {
     "s1_cosine_topk": S1_SQL,
     "s3_ivf_probe": S3_SQL,
     "s4_pq_adc": S4_SQL,
+    "s5_quantile_norm": S5_SQL,
     "d5_embedding_cosine_dedup": D5_SQL,
 }
