@@ -76,6 +76,7 @@ HEADLINE = [
     "a19_incremental_agg",
     "s5_quantile_norm",
     "d11_sorted_neighborhood",
+    "d12_temperature_mix",
 ]
 
 

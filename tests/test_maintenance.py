@@ -73,3 +73,34 @@ def test_sorted_neighborhood_recovers_planted_copies(spark):
     k = {r["doc_id"]: r["key"] for r in aug.select("doc_id", key.alias("key")).collect()}
     assert all(k[a] == k[b] for a, b in got)
     assert docs.count() == n_docs  # fixture sanity
+
+
+def test_temperature_mix_flattens_sources(spark):
+    """alpha=0.5 up-weights small sources: every source's kept FRACTION
+    must be weakly decreasing in source size, quotas respect the
+    budget, and selection is deterministic (pure function of doc_id)."""
+    from x17a5_spark.queries.lakehouse import D12_BUDGET, d12_temperature_mix
+
+    out = d12_temperature_mix(spark, SF)
+    kept = out.groupBy("source").count().collect()
+    sizes = {
+        r["source"]: r["n"]
+        for r in load_table(spark, SF, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_total = sum(sizes.values())
+    fracs = sorted(
+        ((sizes[r["source"]], r["count"] / sizes[r["source"]]) for r in kept),
+    )
+    assert len(fracs) == len(sizes), "every source must survive (q_src >= 1)"
+    # kept fraction decreases (weakly) as source size grows
+    for (n1, f1), (n2, f2) in zip(fracs, fracs[1:]):
+        if n1 < n2:
+            assert f1 >= f2 - 1e-9
+    total_kept = sum(r["count"] for r in kept)
+    assert total_kept <= int(n_total * D12_BUDGET) + len(sizes)  # floor+max(1) slack
+    # deterministic: second run identical
+    again = {(r["source"], r["rk"], r["doc_id"]) for r in d12_temperature_mix(spark, SF).collect()}
+    assert {(r["source"], r["rk"], r["doc_id"]) for r in out.collect()} == again

@@ -29,7 +29,8 @@ j12 SCD2, d10 source quotas, s4 PQ/ADC, st6 stream-stream join, t16
 epoch shuffle, g1 PageRank, j13 upsert merge, a18 histogram, m4 frame
 sampling) swap in for r2-green queries whose rows
 stand (k3-k6, d1, d3-d5, s1, m2, st3, q1, c1-c4), alongside a19
-incremental-agg, s5 quantile-norm, and d11 sorted-neighborhood — after this every
+incremental-agg, s5 quantile-norm, d11 sorted-neighborhood, and d12
+temperature mixing (u6 rotates out on its r2 row) — after this every
 registered query has had a hash-backed driver row in r1∪r2∪r3 or is
 rows-only by design, except the low-information relational/scalar
 singles already covered by the c1-c5 composites.
@@ -50,7 +51,6 @@ WINDOW_ORDER = [
     "e2_clean_pipeline",
     "e3_structured_assets",
     "e3l_structured_liabilities",
-    "u6_unstructured_wide",
     "k1_totals_check",
     "k2_balance_split",
     "k7_sequence_pack",
@@ -63,6 +63,7 @@ WINDOW_ORDER = [
     "d9_substring_dedup",
     "d10_source_quota",
     "d11_sorted_neighborhood",
+    "d12_temperature_mix",
     "s3_ivf_probe",
     "s4_pq_adc",
     "s5_quantile_norm",

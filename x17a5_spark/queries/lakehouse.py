@@ -394,12 +394,103 @@ GROUP BY 1
 """
 
 
+
+# ---------------------------------------------------------------------------
+# D12 — temperature-based domain mixing (corpus re-weighting).
+#
+# The multilingual/multi-domain sampling rule from large-LM corpus
+# construction: sample source s with probability proportional to
+# n_s^alpha (alpha < 1 up-weights small domains, flattening the
+# mixture), under a total budget C. Quotas are DERIVED FROM THE DATA —
+# q_s = max(1, floor(C * n_s^alpha / sum(n_s^alpha))) — unlike d10's
+# fixed cap, so this is the actual mixture-design operator. Selection
+# within a source is deterministic md5 order with the same
+# count-adaptive bottom-k pre-filter as d10/a17: survivors per source
+# ~4*q_s regardless of n_s, so a billion-doc domain never enters the
+# per-source window sort. Both engines compute the identical quota
+# arithmetic (sqrt/floor on IEEE doubles), so results agree exactly.
+# ---------------------------------------------------------------------------
+
+D12_ALPHA = 0.5
+D12_BUDGET = 0.3  # fraction of the corpus to keep
+
+
+def d12_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id"))).alias("h"),
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    tot = counts.agg(
+        F.sum("n_src").alias("n_total"),
+        F.sum(F.pow("n_src", F.lit(D12_ALPHA))).alias("w_total"),
+    )
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_src",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.floor(F.col("n_total") * D12_BUDGET)
+                * F.pow("n_src", F.lit(D12_ALPHA))
+                / F.col("w_total")
+            ).cast("int"),
+        ).alias("q_src"),
+    )
+    u = F.conv(F.substring("h", 1, 15), 16, 10).cast("double") / F.lit(_TWO60)
+    survivors = (
+        docs.join(F.broadcast(quotas), "source")
+        .withColumn("u", u)
+        .filter(
+            F.col("u")
+            <= F.least(F.lit(1.0), F.lit(4.0) * F.col("q_src") / F.col("n_src"))
+        )
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("q_src"))
+        .select("source", "rk", "doc_id")
+    )
+
+
+D12_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, source, md5('mix:' || doc_id) AS h FROM documents
+),
+counts AS (SELECT source, count(*) AS n_src FROM hashed GROUP BY 1),
+tot AS (SELECT CAST(sum(n_src) AS DOUBLE) AS n_total,
+               sum(pow(n_src, {D12_ALPHA})) AS w_total
+        FROM counts),
+quotas AS (
+  SELECT source, n_src,
+         greatest(1, CAST(floor(floor(n_total * {D12_BUDGET})
+                                * pow(n_src, {D12_ALPHA}) / w_total)
+                          AS INT)) AS q_src
+  FROM counts, tot
+),
+survivors AS (
+  SELECT h.doc_id, h.source, h.h, q.q_src
+  FROM hashed h JOIN quotas q USING (source)
+  WHERE CAST('0x' || h.h[1:15] AS BIGINT) / {_TWO60}
+        <= least(1.0, 4.0 * q.q_src / q.n_src)
+)
+SELECT source,
+       row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+       doc_id
+FROM survivors
+QUALIFY rk <= q_src
+"""
+
+
 QUERIES = {
     "j11_bloom_semi_join": j11_bloom_semi_join,
     "j12_scd2_intervals": j12_scd2_intervals,
     "d10_source_quota": d10_source_quota,
     "t15_heavy_hitters": t15_heavy_hitters,
     "a19_incremental_agg": a19_incremental_agg,
+    "d12_temperature_mix": d12_temperature_mix,
 }
 
 ORACLES = {
@@ -408,4 +499,5 @@ ORACLES = {
     "d10_source_quota": D10_SQL,
     "t15_heavy_hitters": T15_SQL,
     "a19_incremental_agg": A19_SQL,
+    "d12_temperature_mix": D12_SQL,
 }
