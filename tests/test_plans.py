@@ -130,3 +130,54 @@ def test_st4_watermark_table_broadcasts(spark):
     plan = _plan(st4_watermark_drop(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_j13_merge_is_single_key_exchange_join(spark):
+    from x17a5_spark.queries.graph import j13_upsert_merge
+
+    plan = _plan(j13_upsert_merge(spark, SF))
+    assert "CartesianProduct" not in plan
+    # full-outer MERGE must be a key join (SMJ or shuffled hash), and the
+    # changelog window must not force a second exchange kind
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_a19_incremental_merge_no_extra_scan_work(spark):
+    from x17a5_spark.queries.lakehouse import a19_incremental_agg
+
+    plan = _plan(a19_incremental_agg(spark, SF))
+    assert "CartesianProduct" not in plan
+    # both branches prune to the 3 needed columns at the scan
+    for scan_line in (l for l in plan.splitlines() if "FileScan parquet" in l):
+        assert "o_comment" not in scan_line and "o_clerk" not in scan_line
+
+
+def test_d11_window_is_blocked_never_global(spark):
+    from x17a5_spark.queries.dedup import d11_sorted_neighborhood
+
+    plan = _plan(d11_sorted_neighborhood(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the neighbor window partitions by the block prefix — a global
+    # (unpartitioned) window would show 'Window ... [partitionSpec=[]]'
+    # i.e. an Exchange SinglePartition feeding the Window
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]
+
+
+def test_d12_quota_join_is_broadcast(spark):
+    from x17a5_spark.queries.lakehouse import d12_temperature_mix
+
+    plan = _plan(d12_temperature_mix(spark, SF))
+    assert "CartesianProduct" not in plan
+    # quotas (one row per source) must broadcast to the doc scan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_g1_iterations_reuse_cached_edges(spark):
+    from x17a5_spark.queries.graph import g1_pagerank
+
+    plan = _plan(g1_pagerank(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the annotated edge relation is persisted once and referenced by
+    # every iteration: InMemoryTableScan must appear >= iteration count
+    assert plan.count("InMemoryTableScan") >= 5
