@@ -77,6 +77,7 @@ HEADLINE = [
     "s5_quantile_norm",
     "d11_sorted_neighborhood",
     "d12_temperature_mix",
+    "t17_bpe_pair_counts",
 ]
 
 

@@ -155,3 +155,21 @@ def test_streaming_view_maintenance_exact_and_idempotent(spark, tmp_path):
         for r in read_view(spark, view).collect()
     }
     assert again == want
+
+
+def test_bpe_pair_counts_match_bruteforce(spark):
+    """The vocab-weighted pair aggregation must equal a direct Python
+    count over every token occurrence (the naive O(corpus) form the
+    distinct-word rewrite optimizes)."""
+    from collections import Counter
+
+    from x17a5_spark.queries.textops import T17_MIN_COUNT, t17_bpe_pair_counts
+
+    got = {r["pair"]: r["n"] for r in t17_bpe_pair_counts(spark, SF).collect()}
+    brute = Counter()
+    for row in load_table(spark, SF, "documents").select("text").collect():
+        for w in row["text"].lower().split():
+            for i in range(len(w) - 1):
+                brute[w[i : i + 2]] += 1
+    want = {p: n for p, n in brute.items() if n >= T17_MIN_COUNT}
+    assert got == want

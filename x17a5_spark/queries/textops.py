@@ -294,12 +294,65 @@ FROM est
 """
 
 
+
+# T17 — the distributed BPE-TRAINING step: adjacent-pair counting.
+# Tokenizer training's scale cost is one pair-count aggregation per
+# merge round; everything else is a driver-side argmax over the counts.
+# The scale-correct shape counts pairs over the DISTINCT-WORD table
+# weighted by word frequency (vocab << corpus: the explode runs over
+# unique words only, not every token occurrence — at 100 TB that is the
+# difference between ~10^6 and ~10^13 exploded rows). Two exchanges:
+# word-frequency groupBy, then pair-sum groupBy. Counts are integers —
+# exact in any engine, so the hash is stable by construction.
+
+T17_MIN_COUNT = 20
+
+
+def t17_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("freq"))
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .filter(F.col("n") >= T17_MIN_COUNT)
+    )
+
+
+T17_SQL = f"""
+WITH words AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, count(*) AS freq FROM words GROUP BY 1),
+pairs AS (
+  SELECT freq, unnest(list_transform(range(1, strlen(word)),
+                                     i -> substr(word, i, 2))) AS pair
+  FROM vocab WHERE strlen(word) >= 2
+)
+SELECT pair, sum(freq) AS n FROM pairs GROUP BY 1 HAVING sum(freq) >= {T17_MIN_COUNT}
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
     "t3_lang_id": t3_lang_id,
     "t4_fingerprint": t4_fingerprint,
     "t5_bpe_pieces": t5_bpe_pieces,
+    "t17_bpe_pair_counts": t17_bpe_pair_counts,
     "t12_kmv_distinct": t12_kmv_distinct,
 }
 
@@ -309,5 +362,6 @@ ORACLES = {
     "t3_lang_id": T3_SQL,
     "t4_fingerprint": T4_SQL,
     "t5_bpe_pieces": T5_SQL,
+    "t17_bpe_pair_counts": T17_SQL,
     "t12_kmv_distinct": T12_SQL,
 }
