@@ -78,6 +78,9 @@ HEADLINE = [
     "d11_sorted_neighborhood",
     "d12_temperature_mix",
     "t17_bpe_pair_counts",
+    "u7_snapshot_diff",
+    "a20_event_funnel",
+    "a21_cohort_retention",
 ]
 
 

@@ -173,3 +173,60 @@ def test_bpe_pair_counts_match_bruteforce(spark):
                 brute[w[i : i + 2]] += 1
     want = {p: n for p, n in brute.items() if n >= T17_MIN_COUNT}
     assert got == want
+
+
+def test_snapshot_diff_partitions(spark):
+    from x17a5_spark.queries.misc import u7_snapshot_diff
+
+    rows = u7_snapshot_diff(spark, SF).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["status"], []).append(r)
+    assert set(by) == {"added", "removed", "changed"}
+    assert all(r["key"] % 19 == 0 and r["new_bal"] is None for r in by["removed"])
+    assert all(
+        r["key"] >= 5_000_000 and (r["key"] - 5_000_000) % 23 == 0 and r["old_bal"] is None
+        for r in by["added"]
+    )
+    for r in by["changed"]:
+        assert r["key"] % 7 == 0 and r["key"] % 19 != 0
+        assert abs(r["new_bal"] - (r["old_bal"] + 100.0)) < 1e-9
+
+
+def test_event_funnel_matches_bruteforce_and_monotone(spark):
+    from x17a5_spark.queries.analytics import a20_event_funnel
+
+    row = a20_event_funnel(spark, SF).first()
+    assert row["n_view"] >= row["n_click_after_view"] >= row["n_purchase_after_click"]
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "event_type").collect()
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    n1 = n2 = n3 = 0
+    for evs in per_user.values():
+        t1 = min((t for t, k in evs if k == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min((t for t, k in evs if k == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        n2 += 1
+        if any(k == "purchase" and t > t2 for t, k in evs):
+            n3 += 1
+    assert (row["n_view"], row["n_click_after_view"], row["n_purchase_after_click"]) == (
+        n1,
+        n2,
+        n3,
+    )
+
+
+def test_cohort_week_zero_covers_every_user(spark):
+    from x17a5_spark.queries.analytics import a21_cohort_retention
+
+    out = a21_cohort_retention(spark, SF).collect()
+    assert all(r["week_k"] >= 0 for r in out)
+    week0 = sum(r["n_active_users"] for r in out if r["week_k"] == 0)
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert week0 == n_users  # everyone is active in their own first week

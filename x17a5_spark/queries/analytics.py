@@ -212,6 +212,126 @@ GROUP BY bucket
 """
 
 
+
+# A20 — ordered event funnel (view -> click -> purchase). Each step's
+# first-completion time must follow the PREVIOUS step's — the classic
+# product-analytics conversion funnel, which the reference's
+# funnel-count audit (Full_process_failings.ipynb cells 9-27) is the
+# batch ancestor of. Timestamps compare as unix MICROSECONDS on both
+# engines (Spark's parquet reader floors TIMESTAMP_NS to micros; the
+# oracle floors explicitly), so step strict-inequalities can't drift on
+# sub-microsecond ties. Shape: three conditional min-aggregations, each
+# one user-keyed exchange over an already-filtered event subset —
+# no windows, no self-joins over raw events.
+
+
+def a20_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    funnel = t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+    return funnel.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+    )
+
+
+A20_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch_ns(ts) / 1000) AS BIGINT) AS us, event_type
+  FROM events
+),
+t1 AS (SELECT user_id, min(us) AS t_view FROM ev
+       WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.us) AS t_click
+       FROM ev e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.us > t1.t_view GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.us) AS t_purchase
+       FROM ev e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.us > t2.t_click GROUP BY 1)
+SELECT count(t1.t_view) AS n_view,
+       count(t2.t_click) AS n_click_after_view,
+       count(t3.t_purchase) AS n_purchase_after_click
+FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+"""
+
+
+# A21 — cohort retention: users grouped by first-seen day, activity
+# bucketed into whole weeks since that day — all INTEGER arithmetic on
+# unix microseconds (no engine-specific week truncation), so the hash
+# is stable by construction. Shape: one user-keyed min-aggregation for
+# cohorts, one re-join of events to their user's cohort, one distinct
+# + count — the standard cohort matrix at any scale.
+
+_US_PER_DAY = 86_400_000_000
+
+
+def a21_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    cohort = ev.groupBy("user_id").agg(
+        F.floor(F.min("us") / _US_PER_DAY).cast("long").alias("cohort_day")
+    )
+    marked = ev.join(cohort, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.floor(
+            (F.col("us") - F.col("cohort_day") * _US_PER_DAY)
+            / (7 * _US_PER_DAY)
+        )
+        .cast("long")
+        .alias("week_k"),
+    )
+    return (
+        marked.distinct()
+        .groupBy("cohort_day", "week_k")
+        .agg(F.count("*").alias("n_active_users"))
+    )
+
+
+A21_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch_ns(ts) / 1000) AS BIGINT) AS us FROM events
+),
+cohort AS (
+  SELECT user_id,
+         CAST(floor(min(us) / {_US_PER_DAY}) AS BIGINT) AS cohort_day
+  FROM ev GROUP BY 1
+),
+marked AS (
+  SELECT DISTINCT e.user_id, c.cohort_day,
+         CAST(floor((e.us - c.cohort_day * {_US_PER_DAY})
+                    / {7 * _US_PER_DAY}) AS BIGINT) AS week_k
+  FROM ev e JOIN cohort c USING (user_id)
+)
+SELECT cohort_day, week_k, count(*) AS n_active_users
+FROM marked GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "a14_percentiles": a14_percentiles,
     "a15_grouping_sets": a15_grouping_sets,
@@ -219,6 +339,8 @@ QUERIES = {
     "a18_histogram": a18_histogram,
     "w7_ranking_family": w7_ranking_family,
     "j8_asof_join": j8_asof_join,
+    "a20_event_funnel": a20_event_funnel,
+    "a21_cohort_retention": a21_cohort_retention,
 }
 
 ORACLES = {
@@ -228,4 +350,6 @@ ORACLES = {
     "a18_histogram": A18_SQL,
     "w7_ranking_family": W7_SQL,
     "j8_asof_join": J8_SQL,
+    "a20_event_funnel": A20_SQL,
+    "a21_cohort_retention": A21_SQL,
 }

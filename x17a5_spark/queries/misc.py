@@ -191,6 +191,75 @@ FROM orders GROUP BY o_custkey
 """
 
 
+
+# U7 — snapshot diff (table reconciliation). Generalizes the
+# reference's set-algebra audits (PRESERVE-FOCUS.ipynb cells 5-13,
+# new_debugger.ipynb cells 3-11: intersect/except over stage outputs to
+# find drops) into the full reconciliation operator: full-outer join
+# two snapshots on the key, classify every key as added / removed /
+# changed, emit only differences. One key-hash exchange; both sides
+# would be bucketed by key in a real lakehouse. The "new" snapshot is
+# derived deterministically (drops, balance updates, inserts) so the
+# oracle can mirror it closed-form.
+
+
+def u7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal")
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 19 != 0)  # removed
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal"),  # changed
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 23 == 0).select(
+                (F.col("c_custkey") + 5_000_000).alias("key"),
+                F.col("c_acctbal").alias("bal"),
+            )  # added
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.key") == F.col("n.key"), "full_outer")
+    status = (
+        F.when(F.col("o.key").isNull(), F.lit("added"))
+        .when(F.col("n.key").isNull(), F.lit("removed"))
+        .when(F.col("o.bal") != F.col("n.bal"), F.lit("changed"))
+    )
+    return joined.select(
+        F.coalesce("o.key", "n.key").alias("key"),
+        status.alias("status"),
+        F.col("o.bal").alias("old_bal"),
+        F.col("n.bal").alias("new_bal"),
+    ).filter(F.col("status").isNotNull())
+
+
+U7_SQL = """
+WITH old AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+new AS (
+  SELECT c_custkey AS key,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS bal
+  FROM customer WHERE c_custkey % 19 <> 0
+  UNION ALL
+  SELECT c_custkey + 5000000, c_acctbal FROM customer WHERE c_custkey % 23 = 0
+)
+SELECT COALESCE(o.key, n.key) AS key,
+       CASE WHEN o.key IS NULL THEN 'added'
+            WHEN n.key IS NULL THEN 'removed'
+            WHEN o.bal <> n.bal THEN 'changed' END AS status,
+       o.bal AS old_bal, n.bal AS new_bal
+FROM old o FULL JOIN new n ON o.key = n.key
+WHERE CASE WHEN o.key IS NULL THEN 'added'
+           WHEN n.key IS NULL THEN 'removed'
+           WHEN o.bal <> n.bal THEN 'changed' END IS NOT NULL
+"""
+
+
 QUERIES = {
     "a5_yearly_aggregate": a5_yearly_aggregate,
     "f13_scaled_values": f13_scaled_values,
@@ -198,6 +267,7 @@ QUERIES = {
     "f15_linreg_trend": f15_linreg_trend,
     "o1_global_rank": o1_global_rank,
     "u5_conditional_reverse": u5_conditional_reverse,
+    "u7_snapshot_diff": u7_snapshot_diff,
 }
 
 ORACLES = {
@@ -207,4 +277,5 @@ ORACLES = {
     "f15_linreg_trend": F15_SQL,
     "o1_global_rank": O1_SQL,
     "u5_conditional_reverse": U5_SQL,
+    "u7_snapshot_diff": U7_SQL,
 }
