@@ -81,6 +81,8 @@ HEADLINE = [
     "u7_snapshot_diff",
     "a20_event_funnel",
     "a21_cohort_retention",
+    "w8_rolling_time_window",
+    "t18_bpe_train",
 ]
 
 

@@ -230,3 +230,57 @@ def test_cohort_week_zero_covers_every_user(spark):
     week0 = sum(r["n_active_users"] for r in out if r["week_k"] == 0)
     n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
     assert week0 == n_users  # everyone is active in their own first week
+
+
+def test_bpe_train_matches_reference_python_bpe(spark):
+    """The distributed BPE loop must learn the SAME merge table as a
+    pure-Python reference implementation (greedy left-to-right merge,
+    most-frequent pair per round, lexicographic tiebreak)."""
+    from collections import Counter
+
+    from x17a5_spark.queries.textops import T18_ROUNDS, t18_bpe_train
+
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in t18_bpe_train(spark, SF).orderBy("round").collect()
+    ]
+
+    vocab = Counter()
+    for row in load_table(spark, SF, "documents").select("text").collect():
+        for w in row["text"].lower().split():
+            vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    want = []
+    for rnd in range(1, T18_ROUNDS + 1):
+        pc = Counter()
+        for w, freq in vocab.items():
+            ss = syms[w]
+            for i in range(len(ss) - 1):
+                pc[(ss[i], ss[i + 1])] += freq
+        if not pc:
+            break
+        # tiebreak must match the engine's: lexicographic on the
+        # SEP-joined pair key (SEP = U+241F), not on the (a, b) tuple —
+        # the two orders differ when one left symbol prefixes another
+        best = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + "␟" + kv[0][1])
+        )
+        (a, b), n = best
+        want.append((rnd, a, b, n))
+        for w in vocab:
+            ss, out = syms[w], []
+            for x in ss:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    assert got == want
+
+
+def test_hll_distinct_error_bound(spark):
+    from x17a5_spark.queries.textops import t19_hll_distinct
+
+    for r in t19_hll_distinct(spark, SF).collect():
+        rel = abs(r["approx_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 0.05, f"{r['source']}: rel err {rel:.3f}"

@@ -346,6 +346,105 @@ SELECT pair, sum(freq) AS n FROM pairs GROUP BY 1 HAVING sum(freq) >= {T17_MIN_C
 """
 
 
+
+# T18 — FULL BPE training loop (the iterative operator t17 is one step
+# of): R rounds of [count adjacent pairs over the weighted vocab ->
+# pick the most frequent pair -> apply the merge to every word's symbol
+# sequence]. The merge application is a pure Catalyst HOF fold
+# (F.aggregate): greedy left-to-right non-overlapping replacement,
+# exactly BPE's rule — no Python UDF in the loop. Per round the driver
+# collects ONE row (the argmax pair — a bounded decision, same pattern
+# as j11's bitmap), and the symbol table stays distributed. Not
+# SQL-expressible as one query (iterative argmax), so the driver check
+# is rows-only; the golden test recomputes the merge table with an
+# independent pure-Python BPE on the same corpus.
+
+T18_ROUNDS = 4
+T18_SEP = "\u241f"  # symbol-boundary marker for the pair key
+
+
+def t18_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    vocab = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("freq", F.split("word", "").alias("syms"))
+    )
+    vocab = vocab.persist()
+    merges = []
+    try:
+        for rnd in range(1, T18_ROUNDS + 1):
+            pairs = vocab.filter(F.size("syms") >= 2).select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.concat_ws(
+                            T18_SEP,
+                            F.element_at("syms", i.cast("int")),
+                            F.element_at("syms", (i + 1).cast("int")),
+                        ),
+                    )
+                ).alias("pair"),
+            )
+            top = (
+                pairs.groupBy("pair")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("pair").asc())
+                .first()
+            )
+            if top is None:
+                break
+            a, b = top["pair"].split(T18_SEP)
+            merges.append((rnd, a, b, int(top["n"])))
+            ab = a + b
+            merged = F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            nxt = vocab.select("freq", merged.alias("syms")).persist()
+            nxt.count()  # materialize before dropping the parent cache
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, pair_count long"
+    )
+
+
+
+# T19 — HyperLogLog approximate distinct (Spark's native
+# approx_count_distinct sketch) next to the exact count, per source.
+# No DuckDB oracle ON PURPOSE: HLL estimates are engine-specific (the
+# sketch layouts differ), so the driver records a rows-only check and
+# the accuracy contract lives in the test: relative error < 5% at
+# rsd=0.02 against the exact count computed in the same query. At
+# 100 TB the sketch is the only viable form — constant memory per
+# group, one pass, mergeable across partitions; the exact twin here is
+# the local-scale correctness anchor.
+
+
+def t19_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    toks = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return toks.groupBy("source").agg(
+        F.approx_count_distinct("token", rsd=0.02).alias("approx_distinct"),
+        F.countDistinct("token").alias("exact_distinct"),
+    )
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -354,6 +453,8 @@ QUERIES = {
     "t5_bpe_pieces": t5_bpe_pieces,
     "t17_bpe_pair_counts": t17_bpe_pair_counts,
     "t12_kmv_distinct": t12_kmv_distinct,
+    "t18_bpe_train": t18_bpe_train,
+    "t19_hll_distinct": t19_hll_distinct,
 }
 
 ORACLES = {

@@ -290,6 +290,62 @@ FROM orders
 """
 
 
+
+# W8 — TIME-range rolling aggregate (rangeBetween, not rowsBetween):
+# per user, the trailing-24h event count and value sum at every event.
+# The range frame is over unix SECONDS (integer on both engines — no
+# sub-second tie ambiguity; Spark floors parquet ns to µs, both floor
+# µs to s identically). Scale shape: user-keyed exchange + per-user
+# ordered frame scan; the frame is bounded by time, so a burst of K
+# events in 24h costs O(K) per row in the worst case but the partition
+# never exceeds one user's history — the standard sessionized-rolling
+# shape at 100 TB.
+
+W8_WINDOW_SEC = 24 * 3600
+
+
+def w8_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.functions.compat import to_dec
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+    sec = (F.col("us") / 1_000_000).cast("long")
+    base = ev.select("event_id", "user_id", sec.alias("sec"), "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-(W8_WINDOW_SEC - 1), 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.count("*").over(w).alias("n_24h"),
+        F.sum(to_dec("value")).over(w).cast("double").alias("value_24h"),
+    )
+
+
+W8_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(floor(CAST(floor(epoch_ns(ts) / 1000) AS BIGINT) / 1000000)
+              AS BIGINT) AS sec,
+         value
+  FROM events
+)
+SELECT event_id, user_id, sec,
+       count(*) OVER w AS n_24h,
+       CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS value_24h
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN {W8_WINDOW_SEC - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "w1_running_and_lookback": w1_running_and_lookback,
     "w2_first_match_position": w2_first_match_position,
@@ -299,6 +355,7 @@ QUERIES = {
     "w6_carry_forward": w6_carry_forward,
     "c3_match_positions": c3_match_positions,
     "c4_sequence_scan": c4_sequence_scan,
+    "w8_rolling_time_window": w8_rolling_time_window,
 }
 
 ORACLES = {
@@ -310,4 +367,5 @@ ORACLES = {
     "w4_lag_previous": W4_SQL,
     "w5_dedup_keep_first": W5_SQL,
     "w6_carry_forward": W6_SQL,
+    "w8_rolling_time_window": W8_SQL,
 }
