@@ -83,6 +83,7 @@ HEADLINE = [
     "a21_cohort_retention",
     "w8_rolling_time_window",
     "t18_bpe_train",
+    "e5_incremental_ingest",
 ]
 
 

@@ -284,3 +284,22 @@ def test_hll_distinct_error_bound(spark):
     for r in t19_hll_distinct(spark, SF).collect():
         rel = abs(r["approx_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
         assert rel < 0.05, f"{r['source']}: rel err {rel:.3f}"
+
+
+def test_incremental_ingest_verdicts(spark):
+    """Planted exact copies must be rejected by the fingerprint stage;
+    planted 90%-token near-copies must be rejected by one of the two
+    stages (short docs truncate to themselves and legitimately hit the
+    exact stage); genuinely new docs must not be flagged near_dup of
+    nothing — the corpus' own planted duplicate clusters are the only
+    legitimate rejections there."""
+    from x17a5_spark.queries.corpus import e5_incremental_ingest
+
+    rows = e5_incremental_ingest(spark, SF).collect()
+    v = {r["doc_id"]: r["verdict"] for r in rows}
+    exacts = [d for d in v if d >= 300000]
+    nears = [d for d in v if 200000 <= d < 300000]
+    assert exacts and nears
+    assert all(v[d] == "exact_dup" for d in exacts)
+    assert all(v[d] in ("exact_dup", "near_dup") for d in nears)
+    assert any(v[d] == "ingested" for d in v if d < 200000)

@@ -27,6 +27,7 @@ from x17a5_spark.functions.text import (
     punct_ratio,
     token_count,
     tokens,
+    word_shingles,
 )
 from x17a5_spark.queries.textops import STOPWORDS, _hits_sql
 from x17a5_spark.tables import load_table
@@ -368,6 +369,137 @@ FROM hashed
 """
 
 
+
+# ---------------------------------------------------------------------------
+# E5 — incremental corpus ingestion with dedup against the EXISTING
+# corpus (the production shape of d1+d3: new batches must not re-ingest
+# what the lake already holds). Staged by cost:
+#   1. exact rejection — anti-join the batch's normalized fingerprints
+#      against the existing corpus' fingerprint set (one narrow column;
+#      at 100 TB this is a join against the maintained fingerprint
+#      INDEX, not the corpus);
+#   2. near-dup rejection — only fingerprint-novel batch docs shingle;
+#      their 3-gram shingles join the existing corpus' shingle index,
+#      and a batch doc dies when any existing doc covers >= half its
+#      shingles (integer containment — no float threshold drift);
+#   3. everything else ingests.
+# The batch is synthesized deterministically: genuinely-new docs
+# (doc_id % 3 == 0 held out of "existing"), exact copies
+# (+300000 ids), and 90%-token near-copies (+200000 ids) — so every
+# verdict class is exercised and the oracle mirrors it closed-form.
+# Only BATCH-side shingle mass ever shuffles; the existing index is
+# probe-only, which is what makes the pattern incremental.
+# ---------------------------------------------------------------------------
+
+
+def e5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    toks = tokens(F.col("text"))
+    keep = F.greatest(F.floor(F.size(toks) * 9 / 10).cast("int"), F.lit(1))
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            existing.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat_ws(" ", F.slice(toks, 1, keep)).alias("text"),
+            )
+        )
+        .unionByName(
+            existing.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    efp = existing.select(normalized_fingerprint(F.col("text")).alias("fp")).distinct()
+    bfp = batch.select("doc_id", "text", normalized_fingerprint(F.col("text")).alias("fp"))
+    exact_dup = bfp.join(efp, "fp", "left_semi").select("doc_id")
+    novel = bfp.join(efp, "fp", "left_anti")
+
+    def shingle(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(idc),
+            F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias(
+                "shingle"
+            ),
+        )
+
+    shb = shingle(novel, "b_id")
+    she = shingle(existing, "e_id")
+    n_sh = shb.groupBy("b_id").agg(F.count("*").alias("n_sh"))
+    shared = (
+        shb.join(she, "shingle")
+        .groupBy("b_id", "e_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    near_dup = (
+        shared.join(n_sh, "b_id")
+        .filter(F.col("n_shared") * 2 >= F.col("n_sh"))
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    verdicts = (
+        exact_dup.select("doc_id", F.lit("exact_dup").alias("verdict"))
+        .unionByName(near_dup.select("doc_id", F.lit("near_dup").alias("verdict")))
+    )
+    return batch.join(verdicts, "doc_id", "left").select(
+        "doc_id", F.coalesce("verdict", F.lit("ingested")).alias("verdict")
+    )
+
+
+_E5_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+E5_SQL = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+existing AS (SELECT * FROM docs WHERE doc_id % 3 <> 0),
+batch AS (
+  SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(toks[1 : greatest(CAST(floor(len(toks) * 9 / 10) AS INT), 1)], ' ')
+  FROM (SELECT doc_id, {_E5_TOKS} AS toks, text FROM existing) WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 300000, text FROM existing WHERE doc_id % 7 = 0
+),
+efp AS (SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        FROM existing),
+bfp AS (SELECT doc_id, text,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        FROM batch),
+exact_dup AS (SELECT doc_id FROM bfp WHERE fp IN (SELECT fp FROM efp)),
+novel AS (SELECT doc_id, text FROM bfp WHERE fp NOT IN (SELECT fp FROM efp)),
+shb AS (
+  SELECT doc_id AS b_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         AS shingle
+  FROM (SELECT doc_id, {_E5_TOKS} AS toks FROM novel)
+),
+she AS (
+  SELECT doc_id AS e_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         AS shingle
+  FROM (SELECT doc_id, {_E5_TOKS} AS toks FROM existing)
+),
+n_sh AS (SELECT b_id, count(*) AS n_sh FROM shb GROUP BY 1),
+near_dup AS (
+  SELECT DISTINCT s.b_id AS doc_id
+  FROM (SELECT shb.b_id, she.e_id, count(*) AS n_shared
+        FROM shb JOIN she USING (shingle) GROUP BY 1, 2) s
+  JOIN n_sh USING (b_id)
+  WHERE s.n_shared * 2 >= n_sh.n_sh
+)
+SELECT b.doc_id,
+       CASE WHEN b.doc_id IN (SELECT doc_id FROM exact_dup) THEN 'exact_dup'
+            WHEN b.doc_id IN (SELECT doc_id FROM near_dup) THEN 'near_dup'
+            ELSE 'ingested' END AS verdict
+FROM batch b
+"""
+
+
 QUERIES = {
     "t6_chunk_documents": t6_chunk_documents,
     "t7_stratified_split": t7_stratified_split,
@@ -375,6 +507,7 @@ QUERIES = {
     "k7_sequence_pack": k7_sequence_pack,
     "k8_sequence_pack_sharded": k8_sequence_pack_sharded,
     "t16_epoch_shuffle": t16_epoch_shuffle,
+    "e5_incremental_ingest": e5_incremental_ingest,
 }
 
 ORACLES = {
@@ -384,4 +517,5 @@ ORACLES = {
     "k7_sequence_pack": K7_SQL,
     "k8_sequence_pack_sharded": K8_SQL,
     "t16_epoch_shuffle": T16_SQL,
+    "e5_incremental_ingest": E5_SQL,
 }
