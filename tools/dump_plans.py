@@ -1,0 +1,84 @@
+"""Regenerate PLANS.md: `.explain(formatted)` operator trees for a
+representative slice of the registry, with one-line commentary on the
+shape each plan is expected to keep (enforced by tests/test_plans.py).
+
+Usage: python tools/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from x17a5_spark.queries import registry  # noqa: E402
+from x17a5_spark.session import get_spark  # noqa: E402
+
+PICKS = {
+    "q1_pricing_summary": (
+        "Pushdown + pruning + one partial/final DECIMAL aggregate; the "
+        "scan carries the filter."
+    ),
+    "q5_region_volume": (
+        "Star join: every dimension broadcast, fact never re-shuffled "
+        "until the final group-by."
+    ),
+    "e3_structured_assets": (
+        "One wide exchange: the up-front hash partitioning on "
+        "(cik, fiscal_year) satisfies the pivot aggregation AND the "
+        "dedup window."
+    ),
+    "d3_minhash_lsh": (
+        "Persisted shingle stage table; signature + size in one "
+        "exchange; candidates from band equi-join; confirm joins move "
+        "only candidate shingles."
+    ),
+    "j9_range_join": (
+        "Time-bucket equi-join + residual BETWEEN: no "
+        "BroadcastNestedLoop / cartesian anywhere."
+    ),
+    "j13_upsert_merge": (
+        "Changelog window then one full-outer sort-merge join on the key."
+    ),
+    "a19_incremental_agg": (
+        "Two pruned scans, partial aggregates, view-sized merge join."
+    ),
+    "j10_salted_skew_join": (
+        "Salt appears in the exchange keys; dim side exploded, "
+        "two-level aggregation."
+    ),
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plans")
+    queries, _ = registry()
+    out = [
+        "# PLANS — physical-plan evidence for representative queries",
+        "",
+        "Generated with `.explain(formatted)` at sf0.01 (plans are "
+        "scale-independent in shape;",
+        "AQE may further coalesce at runtime). Regenerate: "
+        "`python tools/dump_plans.py`.",
+        "Assertions that guard these shapes live in tests/test_plans.py.",
+        "",
+    ]
+    for name, note in PICKS.items():
+        df = queries[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        out.append(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

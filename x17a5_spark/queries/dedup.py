@@ -164,7 +164,14 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
-    sigs = hashed.groupBy("doc_id").agg(*minhash_cols)
+    # fold the per-doc shingle count into the SAME aggregation — the
+    # confirm pass needs |A| and |B|, and computing them here saves a
+    # second full groupBy over the shingle table (one exchange, not two)
+    # one row per doc, 17 narrow columns — cached so the band explode
+    # AND the confirm's size lookup both read the same materialization
+    sigs = hashed.groupBy("doc_id").agg(
+        *minhash_cols, F.count("*").alias("n_shingles")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -218,10 +225,11 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
-    # doc sizes come from the persisted shingle table directly (ONE
-    # groupBy, reused for both sides) — the confirm output is candidate
-    # pairs only, so joining unpruned sizes costs nothing extra.
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # doc sizes ride out of the signature aggregation (computed in the
+    # same exchange as the minhashes — no second pass over the shingle
+    # table); the confirm output is candidate pairs only, so joining
+    # unpruned sizes costs nothing extra.
+    sizes = sigs.select("doc_id", "n_shingles")
     sizes_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("n_a"))
     sizes_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
