@@ -84,6 +84,7 @@ HEADLINE = [
     "w8_rolling_time_window",
     "t18_bpe_train",
     "e5_incremental_ingest",
+    "s6_int8_quantize",
 ]
 
 

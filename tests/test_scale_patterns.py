@@ -83,3 +83,24 @@ def test_broadcast_hint_respected(spark):
     joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A fact table partitioned on the join key must get a runtime
+    dynamicpruning subquery at its scan when joined to a filtered dim —
+    the partition-pruning half of the 100 TB story (the other half,
+    static PartitionFilters, is asserted above)."""
+    fact_dir = os.path.join(tmp_path, "fact_part")
+    orders = load_table(spark, SF, "orders")
+    orders.write.partitionBy("o_orderpriority").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "keep")], ["o_orderpriority", "tag"]
+    ).filter(F.col("tag") == "keep")
+    joined = fact.join(dim, "o_orderpriority").groupBy("tag").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result only reads the one partition
+    assert joined.first()["count"] == orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()

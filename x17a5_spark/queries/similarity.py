@@ -611,12 +611,92 @@ FROM long
 """
 
 
+# ---------------------------------------------------------------------------
+# S6 — scalar (int8) quantization of embedding vectors: the storage
+# format that makes a 100 TB embedding corpus tractable (4x smaller
+# than float32, 8x than float64; ANN scan kernels read int8 directly).
+# Per vector: symmetric scale = max|v| / 127, code_i = round(v_i/scale)
+# clamped to [-127, 127], and the quality report every quantization
+# pipeline ships — reconstruction MSE and max absolute error. Long-form
+# shapes: one vec-keyed max-aggregation for scales, one co-partitioned
+# join back, one vec-keyed DECIMAL-summed error aggregation (squared
+# errors rounded to 1e-12 grain first, so the sum is order-independent
+# and the oracle hash exact).
+# ---------------------------------------------------------------------------
+
+
+def s6_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
+    scales = long.groupBy("vec_id").agg(
+        (F.max(F.abs("v")) / 127.0).alias("scale"),
+        F.count("*").alias("dim"),
+    )
+    coded = long.join(scales, "vec_id").select(
+        "vec_id",
+        "dim",
+        "scale",
+        "v",
+        F.least(
+            F.lit(127),
+            F.greatest(F.lit(-127), F.round(F.col("v") / F.col("scale"), 0)),
+        ).cast("int").alias("code"),
+    )
+    err = F.col("v") - F.col("code") * F.col("scale")
+    per_el = coded.select(
+        "vec_id",
+        "dim",
+        "scale",
+        F.round(err * err, 12).cast("decimal(27,12)").alias("sq"),
+        F.abs(err).alias("abs_err"),
+    )
+    return per_el.groupBy("vec_id").agg(
+        F.round(F.max("scale"), 9).alias("scale"),
+        F.round((F.sum("sq") / F.max("dim")).cast("double"), 10).alias("mse"),
+        F.round(F.max("abs_err"), 9).alias("max_abs_err"),
+    )
+
+
+S6_SQL = """
+WITH long AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+scales AS (
+  SELECT vec_id, max(abs(v)) / 127.0 AS scale, count(*) AS dim
+  FROM long GROUP BY 1
+),
+coded AS (
+  SELECT l.vec_id, s.dim, s.scale, l.v,
+         CAST(least(127, greatest(-127, round(l.v / s.scale, 0))) AS INT) AS code
+  FROM long l JOIN scales s USING (vec_id)
+),
+per_el AS (
+  SELECT vec_id, dim, scale,
+         CAST(round((v - code * scale) * (v - code * scale), 12)
+              AS DECIMAL(27,12)) AS sq,
+         abs(v - code * scale) AS abs_err
+  FROM coded
+)
+SELECT vec_id,
+       round(max(scale), 9) AS scale,
+       round(CAST(sum(sq) / max(dim) AS DOUBLE), 10) AS mse,
+       round(max(abs_err), 9) AS max_abs_err
+FROM per_el GROUP BY 1
+"""
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_ann": s2_lsh_ann,
     "s3_ivf_probe": s3_ivf_probe,
     "s4_pq_adc": s4_pq_adc,
     "s5_quantile_norm": s5_quantile_norm,
+    "s6_int8_quantize": s6_int8_quantize,
     "d5_embedding_cosine_dedup": d5_embedding_cosine_dedup,
 }
 
@@ -625,5 +705,6 @@ ORACLES = {
     "s3_ivf_probe": S3_SQL,
     "s4_pq_adc": S4_SQL,
     "s5_quantile_norm": S5_SQL,
+    "s6_int8_quantize": S6_SQL,
     "d5_embedding_cosine_dedup": D5_SQL,
 }
