@@ -303,3 +303,39 @@ def test_incremental_ingest_verdicts(spark):
     assert all(v[d] == "exact_dup" for d in exacts)
     assert all(v[d] in ("exact_dup", "near_dup") for d in nears)
     assert any(v[d] == "ingested" for d in v if d < 200000)
+
+
+def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
+    """Built-in streaming dedup: dropDuplicatesWithinWatermark keeps
+    the first arrival per key across micro-batches and stays equal to
+    the batch distinct over the drained input."""
+    import os
+
+    src = os.path.join(tmp_path, "dsrc")
+    out_rows = []
+    ev = load_table(spark, SF, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    # plant duplicates: union the same data twice
+    ev.unionByName(ev).repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+    def sink(batch_df, epoch_id):
+        out_rows.extend(r["event_id"] for r in batch_df.select("event_id").collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp_path, "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(out_rows) == len(set(out_rows)), "stream emitted duplicate keys"
+    assert set(out_rows) == {r["event_id"] for r in ev.select("event_id").collect()}

@@ -355,6 +355,46 @@ FROM e
 """
 
 
+
+# F22 — URL parsing (web-corpus curation: the domain/path/query fields
+# behind per-domain quotas (d10/d12), robots filtering, and source
+# attribution). URLs are synthesized closed-form from documents so the
+# oracle can mirror the extraction without Spark's parse_url; the Spark
+# side uses the REAL built-in (java.net.URI semantics) — the hash match
+# proves built-in parse_url agrees with the spec'd decomposition on
+# well-formed URLs. Pure codegen scan, no exchange.
+
+
+def f22_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+F22_SQL = """
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+       'lang=' || lang || '&v=2' AS query,
+       lang AS lang_param
+FROM documents
+"""
+
+
 QUERIES = {
     "f1_parse_accounting": f1_parse_accounting,
     "f2_levenshtein_ratio": f2_levenshtein_ratio,
@@ -367,6 +407,7 @@ QUERIES = {
     "f17_year_qtr_enum": f17_year_qtr_enum,
     "f21_json_extract": f21_json_extract,
     "c5_accounting_chain": c5_accounting_chain,
+    "f22_url_extract": f22_url_extract,
 }
 
 ORACLES = {
@@ -381,4 +422,5 @@ ORACLES = {
     "f16_fiscal_year": F16_SQL,
     "f17_year_qtr_enum": F17_SQL,
     "f21_json_extract": F21_SQL,
+    "f22_url_extract": F22_SQL,
 }
