@@ -85,6 +85,7 @@ HEADLINE = [
     "t18_bpe_train",
     "e5_incremental_ingest",
     "s6_int8_quantize",
+    "a22_robust_outliers",
 ]
 
 

@@ -332,6 +332,65 @@ FROM marked GROUP BY 1, 2
 """
 
 
+
+# A22 — robust outlier detection (median/MAD z-score): the data-quality
+# gate that survives heavy tails where mean/stddev rules break. Two
+# group-keyed aggregations (median, then MAD about it) and a broadcast
+# join back to the rows — the per-group stats table is tiny at any
+# scale. `percentile(..., 0.5)` == DuckDB `quantile_cont(..., 0.5)`
+# exactly (same linear interpolation), and the flag threshold compares
+# rounded doubles computed identically in both engines.
+
+A22_THRESH = 3.5  # modified z-score cutoff (Iglewicz-Hoaglin)
+
+
+def a22_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    mad = (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad"),
+            F.max("med").alias("med"),
+        )
+    )
+    z = 0.6745 * (F.col("o_totalprice") - F.col("med")) / F.col("mad")
+    return (
+        orders.join(F.broadcast(mad), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(z, 6).alias("robust_z"),
+            (F.abs(F.round(z, 6)) > A22_THRESH).alias("is_outlier"),
+        )
+    )
+
+
+A22_SQL = f"""
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY 1
+),
+mad AS (
+  SELECT o.o_orderpriority,
+         quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad,
+         max(m.med) AS med
+  FROM orders o JOIN med m USING (o_orderpriority)
+  GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       round(0.6745 * (o.o_totalprice - mad.med) / mad.mad, 6) AS robust_z,
+       abs(round(0.6745 * (o.o_totalprice - mad.med) / mad.mad, 6))
+           > {A22_THRESH} AS is_outlier
+FROM orders o JOIN mad USING (o_orderpriority)
+"""
+
+
 QUERIES = {
     "a14_percentiles": a14_percentiles,
     "a15_grouping_sets": a15_grouping_sets,
@@ -341,6 +400,7 @@ QUERIES = {
     "j8_asof_join": j8_asof_join,
     "a20_event_funnel": a20_event_funnel,
     "a21_cohort_retention": a21_cohort_retention,
+    "a22_robust_outliers": a22_robust_outliers,
 }
 
 ORACLES = {
@@ -352,4 +412,5 @@ ORACLES = {
     "j8_asof_join": J8_SQL,
     "a20_event_funnel": A20_SQL,
     "a21_cohort_retention": A21_SQL,
+    "a22_robust_outliers": A22_SQL,
 }
