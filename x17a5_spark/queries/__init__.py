@@ -28,9 +28,10 @@ substring dedup, t14 BM25, t15 heavy hitters, j11 bloom semi-join,
 j12 SCD2, d10 source quotas, s4 PQ/ADC, st6 stream-stream join, t16
 epoch shuffle, g1 PageRank, j13 upsert merge, a18 histogram, m4 frame
 sampling) swap in for r2-green queries whose rows
-stand (k3-k6, d1, d3-d5, s1, m2, st3, q1, c1-c4), alongside a19
-incremental-agg, s5 quantile-norm, d11 sorted-neighborhood, and d12
-temperature mixing (u6 rotates out on its r2 row) — after this every
+stand (k3-k6, d1, d3-d5, s1, m2, st3, q1, c1-c4), alongside the
+session additions a19/a22, s5/s6, d11/d12, w8, u7, and the e5
+incremental-ingest composite; u6, k1, k2, j7, d6 and c5 rotate out on
+their standing r2 rows (the local gate still checks them every run) — after this every
 registered query has had a hash-backed driver row in r1∪r2∪r3 or is
 rows-only by design, except the low-information relational/scalar
 singles already covered by the c1-c5 composites.
@@ -51,14 +52,10 @@ WINDOW_ORDER = [
     "e2_clean_pipeline",
     "e3_structured_assets",
     "e3l_structured_liabilities",
-    "k1_totals_check",
-    "k2_balance_split",
     "k7_sequence_pack",
     "k8_sequence_pack_sharded",
-    "j7_special_merge",
     "j8_asof_join",
     # --- LLM-data-pipeline: dedup / similarity / text / multimodal ---
-    "d6_dedup_components",
     "d8_semdedup",
     "d9_substring_dedup",
     "d10_source_quota",
@@ -67,6 +64,7 @@ WINDOW_ORDER = [
     "s3_ivf_probe",
     "s4_pq_adc",
     "s5_quantile_norm",
+    "s6_int8_quantize",
     "m3_png_pixel_stats",
     "m4_frame_sample",
     "t12_kmv_distinct",
@@ -82,6 +80,7 @@ WINDOW_ORDER = [
     "t10_pii_redaction",
     "t11_decontamination",
     "e4_corpus_pipeline",
+    "e5_incremental_ingest",
     # --- streaming: watermark drop, rollup cascade, stream-stream join ---
     "st4_watermark_drop",
     "st5_rollup_cascade",
@@ -93,6 +92,7 @@ WINDOW_ORDER = [
     "a17_sample_quantiles",
     "a18_histogram",
     "a19_incremental_agg",
+    "a22_robust_outliers",
     "j9_range_join",
     "j10_salted_skew_join",
     "j11_bloom_semi_join",
@@ -100,8 +100,8 @@ WINDOW_ORDER = [
     "j13_upsert_merge",
     "g1_pagerank",
     "w7_ranking_family",
-    # --- composites (multi-op evidence rows kept continuously checked) ---
-    "c5_accounting_chain",
+    "w8_rolling_time_window",
+    "u7_snapshot_diff",
 ]
 
 DRIVER_WINDOW = 50
