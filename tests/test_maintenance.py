@@ -339,3 +339,40 @@ def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
     q.awaitTermination(180)
     assert len(out_rows) == len(set(out_rows)), "stream emitted duplicate keys"
     assert set(out_rows) == {r["event_id"] for r in ev.select("event_id").collect()}
+
+
+def test_sparse_cosine_join_recall_on_planted_pairs(spark):
+    """After exact-dup canonicalization, the rare-shingle blocking must
+    still recover most planted (doc, 90%-copy) pairs — the recall side
+    of the prefix-filtering trade-off; precision is enforced by the
+    exact cosine confirm (>= tau by construction)."""
+    from x17a5_spark.functions.text import normalized_fingerprint
+    from x17a5_spark.queries.dedup import (
+        D13_TAU,
+        _augmented_docs,
+        d13_sparse_cosine_join,
+    )
+    from pyspark.sql import Window
+
+    out = d13_sparse_cosine_join(spark, SF)
+    rows = out.collect()
+    assert all(r["cos"] >= D13_TAU for r in rows)
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+
+    aug = _augmented_docs(spark, SF)
+    w = Window.partitionBy(normalized_fingerprint(F.col("text"))).orderBy("doc_id")
+    canon_ids = {
+        r["doc_id"]
+        for r in aug.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("doc_id")
+        .collect()
+    }
+    planted = {
+        (i, i + 100000)
+        for i in range(200000)
+        if i in canon_ids and i + 100000 in canon_ids
+    }
+    assert planted
+    recall = len(got & planted) / len(planted)
+    assert recall > 0.7, f"recall {recall:.1%}"

@@ -17,7 +17,7 @@ is md5-derived so results are engine-independent and reshuffle-stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from x17a5_spark.functions.text import normalized_fingerprint, tokens, word_shingles
@@ -527,6 +527,143 @@ WHERE nid IS NOT NULL AND substr(k, 1, 24) = substr(nk, 1, 24)
 """
 
 
+
+# D13 — sparse lexical cosine join (TF vectors, rare-term blocking):
+# the prefix-filtering family of similarity joins (PPJoin lineage),
+# complementing hash blocking (d1/d3), vector buckets (d5/d8), and
+# sort order (d11). Docs become L2-normalized term-frequency vectors;
+# candidate pairs come ONLY from shared terms rare enough to be
+# selective (2 <= df <= D13_DF_MAX) — the hot-term quadratic blowup
+# ("the" joining everything to everything) is structurally excluded,
+# which is the entire scale story of sparse-similarity joins. The
+# confirm pass re-joins the full weight table on the candidate pairs
+# and computes the exact cosine (per-term products rounded to 1e-12
+# then DECIMAL-summed — order-independent). Like LSH, the blocking is
+# a recall heuristic (pairs sharing only stop-words are unseen — by
+# design); the oracle implements the identical pipeline so the
+# decision is hash-checked, not hidden.
+
+D13_DF_MAX = 12
+D13_TAU = 0.8
+
+
+def d13_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    # Stage 0 — exact dedup FIRST (the production ordering): collapse
+    # identical texts to their min-doc_id representative. Without this,
+    # every K-member exact-duplicate cluster inflates its shingles' df
+    # by K and floods the blocking join with K²/2 candidate pairs whose
+    # answer d1 already gave. After collapsing, rare means rare.
+    aug = _augmented_docs(spark, sf_dir)
+    keep_w = Window.partitionBy(normalized_fingerprint(F.col("text"))).orderBy(
+        "doc_id"
+    )
+    canon = (
+        aug.withColumn("_rn", F.row_number().over(keep_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # dimensions are 3-word shingles, not words: the corpus vocabulary
+    # is tiny (every word is a stop-word-frequency term), so blocking
+    # needs the higher-order features — the same reason d2/d3 shingle
+    tf = (
+        canon.select(
+            "doc_id",
+            F.explode(word_shingles(F.lower(F.col("text")), 3)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("norm")
+    )
+    w = tf.join(norms, "doc_id").select(
+        "doc_id", "term", (F.col("tf") / F.col("norm")).alias("w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    rare = df_counts.filter(
+        (F.col("df") >= 2) & (F.col("df") <= D13_DF_MAX)
+    ).select("term")
+    wr = w.join(F.broadcast(rare), "term", "left_semi")
+    a = wr.select(F.col("doc_id").alias("id_a"), "term")
+    b = wr.select(F.col("doc_id").alias("id_b"), "term")
+    cands = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    # confirm only over candidate docs' weights (broadcast semi-join
+    # pruning, same shape as d3's confirm) — the full weight table
+    # never re-shuffles
+    cand_docs = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    wc = w.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    wa = wc.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
+    wb = wc.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        cands.join(wa, "id_a")
+        .join(wb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.round(F.col("wa") * F.col("wb"), 12).cast("decimal(27,12)")
+            ).cast("double").alias("cos")
+        )
+    )
+    return dots.filter(F.col("cos") >= D13_TAU).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
+D13_SQL = f"""
+WITH {_AUG_SQL.strip()},
+canon AS (
+  SELECT doc_id, text FROM aug
+  QUALIFY row_number() OVER (
+    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    ORDER BY doc_id) = 1
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS term
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                 t -> t <> '') AS toks
+              FROM canon))
+  GROUP BY 1, 2
+),
+norms AS (SELECT doc_id, sqrt(sum(tf * tf)) AS norm FROM tf GROUP BY 1),
+w AS (SELECT t.doc_id, t.term, t.tf / n.norm AS w
+      FROM tf t JOIN norms n USING (doc_id)),
+rare AS (SELECT term FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+         WHERE df >= 2 AND df <= {D13_DF_MAX}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, term FROM w WHERE term IN (SELECT term FROM rare)) a
+  JOIN (SELECT doc_id, term FROM w WHERE term IN (SELECT term FROM rare)) b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+),
+dots AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CAST(round(wa.w * wb.w, 12) AS DECIMAL(27,12))) AS DOUBLE)
+             AS cos
+  FROM cands c
+  JOIN w wa ON wa.doc_id = c.id_a
+  JOIN w wb ON wb.doc_id = c.id_b AND wb.term = wa.term
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM dots WHERE cos >= {D13_TAU}
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
@@ -535,6 +672,7 @@ QUERIES = {
     "d6_dedup_components": d6_dedup_components,
     "d9_substring_dedup": d9_substring_dedup,
     "d11_sorted_neighborhood": d11_sorted_neighborhood,
+    "d13_sparse_cosine_join": d13_sparse_cosine_join,
 }
 
 ORACLES = {
@@ -545,4 +683,5 @@ ORACLES = {
     "d6_dedup_components": D6_SQL,
     "d9_substring_dedup": D9_SQL,
     "d11_sorted_neighborhood": D11_SQL,
+    "d13_sparse_cosine_join": D13_SQL,
 }
