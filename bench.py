@@ -86,6 +86,8 @@ HEADLINE = [
     "e5_incremental_ingest",
     "s6_int8_quantize",
     "a22_robust_outliers",
+    "d13_sparse_cosine_join",
+    "g2_triangle_count",
 ]
 
 

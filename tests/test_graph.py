@@ -128,3 +128,38 @@ def test_frame_sample_fanout_and_errors(spark):
     # timestamps are the exact stride grid
     one = good[good["media_id"] == counts.index[0]].sort_values("frame_idx")
     assert list(one["t_sec"]) == [i * 2.0 for i in range(len(one))]
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """The degree-oriented wedge count must equal a direct Python
+    triangle enumeration over the same co-purchase edge set."""
+    from itertools import combinations
+
+    from x17a5_spark.queries.graph import G2_MIN_W, g2_triangle_count
+
+    row = g2_triangle_count(spark, SF).first()
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect()
+    orders = {}
+    for r in li:
+        # keep multiplicity: the same part can appear on several lines of
+        # one order, and the edge weight counts ROW pairs (as the oracle does)
+        orders.setdefault(r["l_orderkey"], []).append(r["l_partkey"])
+    from collections import Counter
+
+    pair_w = Counter()
+    for parts in orders.values():
+        for u, v in combinations(sorted(parts), 2):
+            if u != v:
+                pair_w[(u, v)] += 1
+    edges = {p for p, w in pair_w.items() if w >= G2_MIN_W}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    n_tri = sum(
+        1
+        for (u, v) in edges
+        for w in adj.get(v, ())
+        if w in adj.get(u, ())
+    )
+    assert (row["n_edges"], row["n_triangles"]) == (len(edges), n_tri)
