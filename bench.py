@@ -88,6 +88,7 @@ HEADLINE = [
     "a22_robust_outliers",
     "d13_sparse_cosine_join",
     "g2_triangle_count",
+    "k9_concat_chunking",
 ]
 
 

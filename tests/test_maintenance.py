@@ -376,3 +376,28 @@ def test_sparse_cosine_join_recall_on_planted_pairs(spark):
     assert planted
     recall = len(got & planted) / len(planted)
     assert recall > 0.7, f"recall {recall:.1%}"
+
+
+def test_concat_chunking_tiles_token_stream(spark):
+    """Within each shard the documents' [start, end) token intervals
+    must tile the stream exactly (no gaps, no overlaps) — the zero-
+    padding-waste guarantee of concat-then-chunk packing."""
+    from x17a5_spark.queries.corpus import K9_SEQ_LEN, k9_concat_chunking
+    from x17a5_spark.functions.text import token_count
+
+    out = k9_concat_chunking(spark, SF)
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    pdf = out.join(docs, "doc_id").toPandas()
+    for shard, g in pdf.groupby("shard"):
+        g = g.sort_values("start_tok")
+        ends = (g["start_tok"] + g["n_tokens"]).tolist()
+        starts = g["start_tok"].tolist()
+        assert starts[0] == 0
+        assert starts[1:] == ends[:-1], f"shard {shard} gaps/overlaps"
+        # spanned-sequence arithmetic agrees with the interval
+        for _, r in g.iterrows():
+            if r["n_tokens"] > 0:
+                assert r["first_seq"] == r["start_tok"] // K9_SEQ_LEN
+                assert r["last_seq"] == (r["start_tok"] + r["n_tokens"] - 1) // K9_SEQ_LEN

@@ -500,6 +500,88 @@ FROM batch b
 """
 
 
+
+# ---------------------------------------------------------------------------
+# K9 — concat-then-chunk sequence packing (the GPT-style alternative to
+# k7/k8's first-fit binning): documents are concatenated in a
+# deterministic shuffled order and the token stream is cut into
+# fixed-length sequences, SPLITTING documents at chunk boundaries —
+# zero padding waste by construction. Fully declarative: a per-shard
+# running-sum window gives each doc its [start, end) token interval,
+# and the sequences a doc spans are pure integer arithmetic on that
+# interval. One window per md5-shard (t16's hash-sharding, so no
+# global sort), no kernel, no iteration — contrast with k7's greedy
+# first-fit, which cannot split docs and needs the sequential kernel.
+# Output: one row per document with its chunk placement; a doc spans
+# floor(end/L) - floor(start/L) + 1 sequences (boundaries included).
+# ---------------------------------------------------------------------------
+
+K9_SEQ_LEN = 512
+K9_SHARDS = 8
+
+
+def k9_concat_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("chunk:"), F.col("doc_id"))).alias("h"),
+        token_count("text").alias("n_tokens"),
+    ).withColumn(
+        "shard", F.pmod(F.conv(F.substring("h", 1, 8), 16, 10).cast("long"), F.lit(K9_SHARDS)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long").alias("start_tok"),
+    ).withColumn("end_tok", F.col("start_tok") + F.col("n_tokens"))
+    return placed.select(
+        "doc_id",
+        "shard",
+        "start_tok",
+        F.floor(F.col("start_tok") / K9_SEQ_LEN).cast("long").alias("first_seq"),
+        F.floor((F.col("end_tok") - 1) / K9_SEQ_LEN).cast("long").alias("last_seq"),
+        (
+            F.floor((F.col("end_tok") - 1) / K9_SEQ_LEN)
+            - F.floor(F.col("start_tok") / K9_SEQ_LEN)
+            + 1
+        ).cast("long").alias("n_seqs_spanned"),
+    )
+
+
+K9_SQL = f"""
+WITH base AS (
+  SELECT doc_id, md5('chunk:' || doc_id) AS h,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, h, n_tokens,
+         CAST(CAST('0x' || h[1:8] AS BIGINT) % {K9_SHARDS} AS INT) AS shard
+  FROM base
+),
+placed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM sharded
+)
+SELECT doc_id, shard, start_tok,
+       CAST(floor(start_tok / {K9_SEQ_LEN}) AS BIGINT) AS first_seq,
+       CAST(floor((start_tok + n_tokens - 1) / {K9_SEQ_LEN}) AS BIGINT) AS last_seq,
+       CAST(floor((start_tok + n_tokens - 1) / {K9_SEQ_LEN})
+            - floor(start_tok / {K9_SEQ_LEN}) + 1 AS BIGINT) AS n_seqs_spanned
+FROM placed
+"""
+
+
 QUERIES = {
     "t6_chunk_documents": t6_chunk_documents,
     "t7_stratified_split": t7_stratified_split,
@@ -508,6 +590,7 @@ QUERIES = {
     "k8_sequence_pack_sharded": k8_sequence_pack_sharded,
     "t16_epoch_shuffle": t16_epoch_shuffle,
     "e5_incremental_ingest": e5_incremental_ingest,
+    "k9_concat_chunking": k9_concat_chunking,
 }
 
 ORACLES = {
@@ -518,4 +601,5 @@ ORACLES = {
     "k8_sequence_pack_sharded": K8_SQL,
     "t16_epoch_shuffle": T16_SQL,
     "e5_incremental_ingest": E5_SQL,
+    "k9_concat_chunking": K9_SQL,
 }
