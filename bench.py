@@ -89,6 +89,7 @@ HEADLINE = [
     "d13_sparse_cosine_join",
     "g2_triangle_count",
     "k9_concat_chunking",
+    "v1_constraint_checks",
 ]
 
 

@@ -484,6 +484,118 @@ QUALIFY rk <= q_src
 """
 
 
+
+# ---------------------------------------------------------------------------
+# V1 — declarative constraint validation (the dbt-test / Delta
+# CHECK-constraint surface): primary-key uniqueness, referential
+# integrity, not-null, range and enum-domain checks, emitted as one
+# violations report. Scale shapes: all per-table scalar checks for one
+# table FUSE into a single conditional aggregation (one scan covers
+# not-null + range + enum), and each FK check is one left-anti join on
+# the key — at 100 TB the dim side broadcasts or the join rides
+# existing bucketing. The report is check-per-row so downstream gates
+# alert on `n_violations > 0` uniformly.
+# ---------------------------------------------------------------------------
+
+
+def v1_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def report(name, viol, total):
+        return F.struct(
+            F.lit(name).alias("check"),
+            viol.cast("long").alias("n_violations"),
+            total.cast("long").alias("n_rows"),
+        )
+
+    li_checks = li.agg(
+        F.explode(
+            F.array(
+                report(
+                    "lineitem.not_null_quantity",
+                    F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)),
+                    F.count("*"),
+                ),
+                report(
+                    "lineitem.discount_in_0_1",
+                    F.sum(
+                        F.when(
+                            (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                        ).otherwise(0)
+                    ),
+                    F.count("*"),
+                ),
+            )
+        ).alias("r")
+    )
+    o_checks = orders.agg(
+        F.explode(
+            F.array(
+                report(
+                    "orders.pk_unique",
+                    F.count("*") - F.countDistinct("o_orderkey"),
+                    F.count("*"),
+                ),
+                report(
+                    "orders.status_in_domain",
+                    F.sum(
+                        F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+                        .otherwise(0)
+                    ),
+                    F.count("*"),
+                ),
+            )
+        ).alias("r")
+    )
+    fk1 = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.explode(F.array(report("lineitem.fk_orders", F.count("*"), F.count("*")))).alias("r"))
+    fk2 = orders.join(
+        cust.select("c_custkey"),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.explode(F.array(report("orders.fk_customer", F.count("*"), F.count("*")))).alias("r"))
+    out = li_checks.unionByName(o_checks).unionByName(fk1).unionByName(fk2)
+    return out.select("r.check", "r.n_violations", "r.n_rows")
+
+
+V1_SQL = """
+SELECT 'lineitem.not_null_quantity' AS check,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+       count(*) AS n_rows
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.discount_in_0_1',
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       count(*)
+FROM lineitem
+UNION ALL
+SELECT 'orders.pk_unique',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT), count(*)
+FROM orders
+UNION ALL
+SELECT 'orders.status_in_domain',
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+            AS BIGINT),
+       count(*)
+FROM orders
+UNION ALL
+SELECT 'lineitem.fk_orders', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders.fk_customer', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)
+"""
+
+
 QUERIES = {
     "j11_bloom_semi_join": j11_bloom_semi_join,
     "j12_scd2_intervals": j12_scd2_intervals,
@@ -491,6 +603,7 @@ QUERIES = {
     "t15_heavy_hitters": t15_heavy_hitters,
     "a19_incremental_agg": a19_incremental_agg,
     "d12_temperature_mix": d12_temperature_mix,
+    "v1_constraint_checks": v1_constraint_checks,
 }
 
 ORACLES = {
@@ -500,4 +613,5 @@ ORACLES = {
     "t15_heavy_hitters": T15_SQL,
     "a19_incremental_agg": A19_SQL,
     "d12_temperature_mix": D12_SQL,
+    "v1_constraint_checks": V1_SQL,
 }
