@@ -238,11 +238,79 @@ FROM documents WHERE doc_id % 13 = 0
 """
 
 
+
+# M5 — image patch-grid extraction (ViT-style tiling plumbing): decode
+# dimensions from the binary media header (real mapInPandas decode,
+# same path as m1) and fan out one row per PATCH_SIZE x PATCH_SIZE
+# patch with its pixel offsets — the N-rows-in, (w/p * h/p)-rows-out
+# shape the vision-transformer preprocessing stage has. Pixel extraction
+# itself needs a codec (stubbed, like m4's frames); the grid geometry,
+# fan-out, and error routing are real. The oracle re-derives the grid
+# closed-form from the planted dimensions.
+M5_PATCH = 32
+
+
+def m5_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _fake_media(spark, sf_dir)
+    decoded = decode_metadata(media)
+    good = decoded.filter(F.col("error").isNull())
+    nx = (F.col("width") / M5_PATCH).cast("int")
+    grid = good.select(
+        "media_id",
+        "width",
+        "height",
+        F.explode(
+            F.sequence(F.lit(0), (nx * (F.col("height") / M5_PATCH).cast("int")) - 1)
+        ).alias("patch_idx"),
+    ).select(
+        "media_id",
+        "patch_idx",
+        ((F.col("patch_idx") % ((F.col("width") / M5_PATCH).cast("int"))) * M5_PATCH)
+        .cast("int")
+        .alias("x0"),
+        (
+            F.floor(F.col("patch_idx") / ((F.col("width") / M5_PATCH).cast("int")))
+            * M5_PATCH
+        )
+        .cast("int")
+        .alias("y0"),
+        F.lit(False).alias("failed"),
+    )
+    errs = decoded.filter(F.col("error").isNotNull()).select(
+        "media_id",
+        F.lit(None).cast("int").alias("patch_idx"),
+        F.lit(None).cast("int").alias("x0"),
+        F.lit(None).cast("int").alias("y0"),
+        F.lit(True).alias("failed"),
+    )
+    return grid.unionByName(errs)
+
+
+M5_SQL = f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(((doc_id % 16) + 1) * 64 / {M5_PATCH} AS INT) AS nx,
+         CAST(((doc_id % 9) + 1) * 64 / {M5_PATCH} AS INT) AS ny
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT media_id,
+       CAST(unnest(range(0, nx * ny)) AS INT) AS patch_idx,
+       CAST(unnest(range(0, nx * ny)) % nx * {M5_PATCH} AS INT) AS x0,
+       CAST(unnest(range(0, nx * ny)) // nx * {M5_PATCH} AS INT) AS y0,
+       false AS failed
+FROM dims
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, true
+FROM documents WHERE doc_id % 13 = 0
+"""
+
+
 QUERIES = {
     "m1_multimodal_decode": m1_multimodal_decode,
     "m2_multimodal_features": m2_multimodal_features,
     "m3_png_pixel_stats": m3_png_pixel_stats,
     "m4_frame_sample": m4_frame_sample,
+    "m5_patch_grid": m5_patch_grid,
 }
 
 ORACLES = {
@@ -250,4 +318,5 @@ ORACLES = {
     "m2_multimodal_features": M2_SQL,
     "m3_png_pixel_stats": M3_SQL,
     "m4_frame_sample": M4_SQL,
+    "m5_patch_grid": M5_SQL,
 }

@@ -445,6 +445,81 @@ def t19_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# T21 — Zipf-law fit of the token frequency distribution: rank tokens
+# by frequency, regress log(freq) on log(rank) with exact normal
+# equations (the f15 pattern — DECIMAL-summed moments, closed-form
+# slope/intercept), report slope + fit quality. The standard corpus
+# health statistic (natural corpora sit near slope -1; synthetic or
+# templated corpora deviate hard). Shapes: one vocab groupBy, one
+# bounded global rank over the vocab (vocab << corpus), one moment
+# aggregation.
+
+
+def t21_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    vocab = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = vocab.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("token"))),
+    )
+    pts = ranked.select(
+        F.round(F.log("rank"), 9).alias("x"), F.round(F.log("freq"), 9).alias("y")
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(27,9)")  # noqa: E731
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        F.col("n").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+T21_SQL = """
+WITH vocab AS (
+  SELECT token, count(*) AS freq
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents)
+  GROUP BY 1
+),
+pts AS (
+  SELECT round(ln(row_number() OVER (ORDER BY freq DESC, token)), 9) AS x,
+         round(ln(freq), 9) AS y
+  FROM vocab
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(round(x, 9) AS DECIMAL(27,9))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(y, 9) AS DECIMAL(27,9))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(x * x, 9) AS DECIMAL(27,9))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(x * y, 9) AS DECIMAL(27,9))) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT n AS vocab_size,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS zipf_intercept
+FROM m
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -455,6 +530,7 @@ QUERIES = {
     "t12_kmv_distinct": t12_kmv_distinct,
     "t18_bpe_train": t18_bpe_train,
     "t19_hll_distinct": t19_hll_distinct,
+    "t21_zipf_fit": t21_zipf_fit,
 }
 
 ORACLES = {
@@ -465,4 +541,5 @@ ORACLES = {
     "t5_bpe_pieces": T5_SQL,
     "t17_bpe_pair_counts": T17_SQL,
     "t12_kmv_distinct": T12_SQL,
+    "t21_zipf_fit": T21_SQL,
 }
