@@ -543,7 +543,8 @@ WHERE nid IS NOT NULL AND substr(k, 1, 24) = substr(nk, 1, 24)
 # design); the oracle implements the identical pipeline so the
 # decision is hash-checked, not hidden.
 
-D13_DF_MAX = 12
+D13_PREFIX = 4  # blocking prefix: each doc's P rarest shingles
+D13_DF_CAP = 64  # prefix terms hotter than this never block (worst-case bound)
 D13_TAU = 0.8
 
 
@@ -581,13 +582,24 @@ def d13_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = tf.join(norms, "doc_id").select(
         "doc_id", "term", (F.col("tf") / F.col("norm")).alias("w")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Blocking prefix (the PPJoin idea proper): each doc blocks on its
+    # P globally-RAREST shingles only, so candidate volume is bounded by
+    # P * df(prefix term) per doc INDEPENDENT of corpus size — a global
+    # "df <= X" cut has no such bound (measured: it went superlinear on
+    # the 5x/20x lakes as more shingles entered the band). df = 1 terms
+    # can't pair and hot terms (> D13_DF_CAP) never block.
     df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
-    rare = df_counts.filter(
-        (F.col("df") >= 2) & (F.col("df") <= D13_DF_MAX)
-    ).select("term")
-    wr = w.join(F.broadcast(rare), "term", "left_semi")
-    a = wr.select(F.col("doc_id").alias("id_a"), "term")
-    b = wr.select(F.col("doc_id").alias("id_b"), "term")
+    wdf = tf.join(df_counts, "term").filter(
+        (F.col("df") >= 2) & (F.col("df") <= D13_DF_CAP)
+    )
+    pw = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("term"))
+    prefix = (
+        wdf.withColumn("_pk", F.row_number().over(pw))
+        .filter(F.col("_pk") <= D13_PREFIX)
+        .select("doc_id", "term")
+    )
+    a = prefix.select(F.col("doc_id").alias("id_a"), "term")
+    b = prefix.select(F.col("doc_id").alias("id_b"), "term")
     cands = (
         a.join(b, "term")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -643,12 +655,19 @@ tf AS (
 norms AS (SELECT doc_id, sqrt(sum(tf * tf)) AS norm FROM tf GROUP BY 1),
 w AS (SELECT t.doc_id, t.term, t.tf / n.norm AS w
       FROM tf t JOIN norms n USING (doc_id)),
-rare AS (SELECT term FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)
-         WHERE df >= 2 AND df <= {D13_DF_MAX}),
+prefix AS (
+  SELECT doc_id, term FROM (
+    SELECT t.doc_id, t.term,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY d.df ASC, t.term) AS pk
+    FROM tf t JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) d
+      USING (term)
+    WHERE d.df >= 2 AND d.df <= {D13_DF_CAP}
+  ) WHERE pk <= {D13_PREFIX}
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM (SELECT doc_id, term FROM w WHERE term IN (SELECT term FROM rare)) a
-  JOIN (SELECT doc_id, term FROM w WHERE term IN (SELECT term FROM rare)) b
+  FROM prefix a JOIN prefix b
     ON a.term = b.term AND a.doc_id < b.doc_id
 ),
 dots AS (

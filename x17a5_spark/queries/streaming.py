@@ -324,6 +324,85 @@ GROUP BY 1
 """
 
 
+
+# ST7 — rate-anomaly detection over event-time windows: hourly counts
+# per event type (st1's aggregate), then each hour scored against the
+# trailing 24 hourly counts with a mean + k*stddev control band — the
+# standard streaming ops-monitoring shape (anomaly = count above the
+# band). Declarative window-over-aggregate: the anomaly window runs on
+# the HOURLY table (bounded: types x hours), never on raw events, so
+# the second window costs nothing at any scale. Stats go through exact
+# DECIMAL moments so the band — and therefore the boolean flag — is
+# bit-stable across engines; population stddev spelled from the same
+# moments in both.
+
+ST7_K = 3.0  # control-band width (sigmas)
+
+
+def st7_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-24, -1)
+    )
+    dec = lambda c: c.cast("decimal(27,6)")  # noqa: E731
+    stats = hourly.select(
+        "hour_start",
+        "event_type",
+        "n",
+        F.count("n").over(w).alias("n_hist"),
+        F.sum(dec(F.col("n"))).over(w).cast("double").alias("s1"),
+        F.sum(dec(F.col("n") * F.col("n"))).over(w).cast("double").alias("s2"),
+    ).filter(F.col("n_hist") >= 12)
+    mean = F.col("s1") / F.col("n_hist")
+    var = F.col("s2") / F.col("n_hist") - mean * mean
+    band = mean + ST7_K * F.sqrt(F.greatest(var, F.lit(0.0)))
+    return stats.select(
+        "hour_start",
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("trailing_mean"),
+        F.round(band, 6).alias("band_hi"),
+        (F.col("n") > F.round(band, 6)).alias("is_anomaly"),
+    )
+
+
+ST7_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT hour_start, event_type, n,
+         count(n) OVER w AS n_hist,
+         CAST(sum(CAST(n AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s1,
+         CAST(sum(CAST(n * n AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_start, event_type, n,
+       round(s1 / n_hist, 6) AS trailing_mean,
+       round(s1 / n_hist + {ST7_K} * sqrt(greatest(s2 / n_hist
+             - (s1 / n_hist) * (s1 / n_hist), 0.0)), 6) AS band_hi,
+       n > round(s1 / n_hist + {ST7_K} * sqrt(greatest(s2 / n_hist
+             - (s1 / n_hist) * (s1 / n_hist), 0.0)), 6) AS is_anomaly
+FROM stats
+WHERE n_hist >= 12
+"""
+
+
 QUERIES = {
     "st1_tumbling_window": st1_tumbling_window,
     "st2_sliding_window": st2_sliding_window,
@@ -331,6 +410,7 @@ QUERIES = {
     "st4_watermark_drop": st4_watermark_drop,
     "st5_rollup_cascade": st5_rollup_cascade,
     "st6_stream_stream_join": st6_stream_stream_join,
+    "st7_rate_anomaly": st7_rate_anomaly,
 }
 
 ORACLES = {
@@ -340,4 +420,5 @@ ORACLES = {
     "st4_watermark_drop": ST4_SQL,
     "st5_rollup_cascade": ST5_SQL,
     "st6_stream_stream_join": ST6_SQL,
+    "st7_rate_anomaly": ST7_SQL,
 }
