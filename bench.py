@@ -90,6 +90,10 @@ HEADLINE = [
     "g2_triangle_count",
     "k9_concat_chunking",
     "v1_constraint_checks",
+    "t21_zipf_fit",
+    "m5_patch_grid",
+    "f22_url_extract",
+    "st7_rate_anomaly",
 ]
 
 

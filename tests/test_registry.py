@@ -30,5 +30,40 @@ def test_every_window_entry_is_hash_checkable():
 
 def test_no_query_lost_by_reordering():
     queries, oracles = registry()
-    assert len(queries) >= 85 - 7  # 78 round-1 queries + this round's additions
+    assert len(queries) >= 140  # the end-of-round-3 registry size
     assert set(oracles) <= set(queries)
+
+
+def test_every_query_has_driver_evidence_or_is_rows_only():
+    """Every registered query either sits in the current driver window,
+    had a hash-backed row in a prior round's CORRECTNESS file, is
+    rows-only by design, or is one of the known pass-local queries the
+    judge re-runs through tools/check_correctness.py."""
+    import json
+    import os
+
+    queries, oracles = registry()
+    prior: set[str] = set()
+    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(os.path.dirname(__file__), "..", f)
+        if os.path.exists(path):
+            prior |= set(json.load(open(path)))
+    rows_only = {n for n in queries if n not in oracles}
+    uncovered = set(queries) - set(WINDOW_ORDER) - prior - rows_only
+    # pass-local additions newer than the last window rotation — each is
+    # value-checked by the local oracle gate on every full run
+    known_local = {
+        "a20_event_funnel",
+        "a21_cohort_retention",
+        "f22_url_extract",
+        "t17_bpe_pair_counts",
+        "t21_zipf_fit",
+        "m5_patch_grid",
+        "st7_rate_anomaly",
+        "v1_constraint_checks",
+        "k9_concat_chunking",
+        "d13_sparse_cosine_join",
+        "g2_triangle_count",
+        "a22_robust_outliers",
+    }
+    assert uncovered <= known_local, sorted(uncovered - known_local)
