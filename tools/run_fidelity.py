@@ -148,8 +148,16 @@ def main() -> None:
         f"_Generated by `python tools/run_fidelity.py {n}`._",
     ]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "FIDELITY.md")
+    # preserve the ML-quality appendix run_ml_fidelity.py maintains —
+    # regenerating the identity section must not clobber it
+    appendix = ""
+    if os.path.exists(path):
+        existing = open(path).read()
+        marker = "\n## ML classifier quality"
+        if marker in existing:
+            appendix = "\n" + existing[existing.index(marker) + 1 :]
     with open(path, "w") as fh:
-        fh.write("\n".join(md) + "\n")
+        fh.write("\n".join(md) + "\n" + appendix)
     print(f"wrote {path}")
     print(f"asset perfect+bounded:     {a_overall:.1f}%  (bar {REF_ASSET_BAR}%)")
     print(f"liability perfect+bounded: {l_overall:.1f}%  (bar {REF_LIAB_BAR}%)")
