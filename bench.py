@@ -94,6 +94,8 @@ HEADLINE = [
     "m5_patch_grid",
     "f22_url_extract",
     "st7_rate_anomaly",
+    "w9_rolling_median",
+    "e6_curation_funnel",
 ]
 
 

@@ -401,3 +401,23 @@ def test_concat_chunking_tiles_token_stream(spark):
             if r["n_tokens"] > 0:
                 assert r["first_seq"] == r["start_tok"] // K9_SEQ_LEN
                 assert r["last_seq"] == (r["start_tok"] + r["n_tokens"] - 1) // K9_SEQ_LEN
+
+
+def test_curation_funnel_is_monotone(spark):
+    """Each stage filters the previous stage's survivors, so kept-counts
+    per source must be weakly decreasing down the funnel — the same
+    invariant the reference validates over its pipeline stages
+    (Full_process_failings.ipynb)."""
+    from x17a5_spark.queries.corpus import E6_QUOTA, e6_curation_funnel
+
+    rows = e6_curation_funnel(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["stage"]] = r["n_kept"]
+    order = ["1_raw", "2_lang", "3_quality", "4_dedup", "5_decontam", "6_quota"]
+    assert by_src
+    for src, stages in by_src.items():
+        counts = [stages.get(st, 0) for st in order]
+        assert counts[0] > 0
+        assert all(a >= b for a, b in zip(counts, counts[1:])), (src, counts)
+        assert counts[-1] <= E6_QUOTA

@@ -582,6 +582,219 @@ FROM placed
 """
 
 
+
+# ---------------------------------------------------------------------------
+# E6 — the corpus-curation FUNNEL: the entire training-data pipeline as
+# one DAG, reported as kept-counts per (stage, source) — the LLM-corpus
+# generalization of the reference's funnel-count validation
+# (Full_process_failings.ipynb cells 9-27: files surviving each stage,
+# counted and compared). Stages, in production order:
+#   raw      -> every document
+#   lang     -> stopword-voting language ID != unknown  (t3)
+#   quality  -> composite score >= 0.5                  (t2)
+#   dedup    -> exact-dup canonical survivors           (d1, keep min id)
+#   decontam -> eval docs held out + bigram-containment
+#               contaminated docs dropped               (t11)
+#   quota    -> per-source cap, deterministic md5 order (d10, with the
+#               count-adaptive bottom-k pre-filter so hot sources never
+#               enter the window sort)
+# Each stage filters the previous stage's survivors, so the counts are
+# monotone per source; the funnel runs as repeated aggregations over
+# one cached scored base (at 100 TB: a persisted silver table).
+# ---------------------------------------------------------------------------
+
+E6_QUOTA = 40
+
+
+def e6_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks_l = tokens(F.lower(F.col("text")))
+
+    def hits(words):
+        wordlist = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks_l, lambda t: F.array_contains(wordlist, t)))
+
+    hit_cols = {lang: hits(words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in ("en", "de", "fr", "es"):
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+    n_tok = token_count("text")
+    stop_hits_en = F.size(
+        F.filter(tokens(F.col("text")), lambda t: F.lower(t).isin(*STOPWORDS["en"]))
+    )
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(stop_hits_en / n_tok)
+    quality = (
+        0.5 * F.least(F.length("text") / 1000.0, F.lit(1.0))
+        + 0.3 * (1.0 - punct_ratio(F.col("text")))
+        + 0.2 * stop_ratio
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        pred.alias("pred_lang"),
+        quality.alias("quality"),
+        normalized_fingerprint(F.col("text")).alias("fp"),
+        (F.col("doc_id") % 97 == 0).alias("is_eval"),
+        F.md5(F.concat(F.lit("quota:"), F.col("doc_id"))).alias("h"),
+    ).persist()
+
+    s1 = base.filter(F.col("pred_lang") != "unknown")
+    s2 = s1.filter(F.col("quality") >= QUALITY_GATE)
+    keep_w = Window.partitionBy("fp").orderBy("doc_id")
+    s3 = (
+        s2.withColumn("_rn", F.row_number().over(keep_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # decontamination: bigram containment vs the eval split (t11)
+    grams = base.select(
+        "doc_id", "is_eval", F.explode(word_shingles(F.col("text"), 2)).alias("gram")
+    )
+    eval_grams = grams.filter(F.col("is_eval")).select("gram").distinct()
+    train_grams = grams.filter(~F.col("is_eval"))
+    frac = (
+        train_grams.groupBy("doc_id")
+        .agg(F.count("*").alias("tg"))
+        .join(
+            train_grams.join(F.broadcast(eval_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("cg")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            (F.coalesce("cg", F.lit(0)) / F.col("tg")).alias("cfrac"),
+        )
+    )
+    s4 = (
+        s3.filter(~F.col("is_eval"))
+        .join(frac, "doc_id", "left")
+        .filter(F.coalesce("cfrac", F.lit(0.0)) <= 0.8)
+    )
+    # per-source quota with the d10 count-adaptive pre-filter
+    counts = s4.groupBy("source").agg(F.count("*").alias("n_src"))
+    u = F.conv(F.substring("h", 1, 15), 16, 10).cast("double") / F.lit(float(1 << 60))
+    qw = Window.partitionBy("source").orderBy("h", "doc_id")
+    s5 = (
+        s4.join(F.broadcast(counts), "source")
+        .withColumn("u", u)
+        .filter(
+            F.col("u") <= F.least(F.lit(1.0), F.lit(4.0 * E6_QUOTA) / F.col("n_src"))
+        )
+        .withColumn("rk", F.row_number().over(qw))
+        .filter(F.col("rk") <= E6_QUOTA)
+    )
+
+    stages = [
+        ("1_raw", base),
+        ("2_lang", s1),
+        ("3_quality", s2),
+        ("4_dedup", s3),
+        ("5_decontam", s4),
+        ("6_quota", s5),
+    ]
+    out = None
+    for name, frame in stages:
+        agg = frame.groupBy("source").agg(F.count("*").alias("n_kept")).select(
+            F.lit(name).alias("stage"), "source", "n_kept"
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def _e6_sql() -> str:
+    en = "['" + "', '".join(STOPWORDS["en"]) + "']"
+    hits = {
+        lang: (
+            f"len(list_filter(list_filter(regexp_split_to_array(trim(lower(text)),"
+            f" '\\s+'), x -> x <> ''), x -> list_contains(['"
+            + "', '".join(words)
+            + "'], x)))"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    g = "greatest(hits_en, hits_de, hits_fr, hits_es)"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+         {hits["en"]} AS hits_en, {hits["de"]} AS hits_de,
+         {hits["fr"]} AS hits_fr, {hits["es"]} AS hits_es,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
+             AS n_tok,
+         len(list_filter(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                     x -> x <> ''),
+                         x -> list_contains({en}, lower(x)))) AS stop_hits,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text)
+         END AS pr,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         (doc_id % 97 = 0) AS is_eval,
+         md5('quota:' || doc_id) AS h
+  FROM documents
+),
+base AS (
+  SELECT *,
+         CASE WHEN {g} = 0 THEN 'unknown'
+              WHEN hits_en = {g} THEN 'en'
+              WHEN hits_de = {g} THEN 'de'
+              WHEN hits_fr = {g} THEN 'fr'
+              ELSE 'es' END AS pred_lang,
+         0.5 * least(length(text) / 1000.0, 1.0) + 0.3 * (1.0 - pr)
+             + 0.2 * (CASE WHEN n_tok = 0 THEN 0.0
+                           ELSE stop_hits / n_tok END) AS quality
+  FROM scored
+),
+s1 AS (SELECT * FROM base WHERE pred_lang <> 'unknown'),
+s2 AS (SELECT * FROM s1 WHERE quality >= {QUALITY_GATE}),
+s3 AS (SELECT * FROM s2 QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+grams AS (
+  SELECT doc_id, is_eval,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM (SELECT doc_id, is_eval,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')
+                   AS toks
+        FROM base)
+  WHERE len(toks) >= 2
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+frac AS (
+  SELECT t.doc_id,
+         coalesce(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END), 0)
+             / count(*) AS cfrac
+  FROM (SELECT doc_id, gram FROM grams WHERE NOT is_eval) t
+  LEFT JOIN ev ON t.gram = ev.gram
+  GROUP BY 1
+),
+s4 AS (
+  SELECT s3.* FROM s3 LEFT JOIN frac USING (doc_id)
+  WHERE NOT s3.is_eval AND coalesce(frac.cfrac, 0.0) <= 0.8
+),
+counts AS (SELECT source, count(*) AS n_src FROM s4 GROUP BY 1),
+s5 AS (
+  SELECT * FROM (
+    SELECT s4.*, row_number() OVER (PARTITION BY s4.source ORDER BY s4.h, s4.doc_id)
+               AS rk
+    FROM s4 JOIN counts USING (source)
+    WHERE CAST('0x' || s4.h[1:15] AS BIGINT) / {float(1 << 60)}
+          <= least(1.0, {4.0 * E6_QUOTA} / counts.n_src)
+  ) WHERE rk <= {E6_QUOTA}
+)
+SELECT '1_raw' AS stage, source, count(*) AS n_kept FROM base GROUP BY 2
+UNION ALL SELECT '2_lang', source, count(*) FROM s1 GROUP BY 2
+UNION ALL SELECT '3_quality', source, count(*) FROM s2 GROUP BY 2
+UNION ALL SELECT '4_dedup', source, count(*) FROM s3 GROUP BY 2
+UNION ALL SELECT '5_decontam', source, count(*) FROM s4 GROUP BY 2
+UNION ALL SELECT '6_quota', source, count(*) FROM s5 GROUP BY 2
+"""
+
+
+E6_SQL = _e6_sql()
+
+
 QUERIES = {
     "t6_chunk_documents": t6_chunk_documents,
     "t7_stratified_split": t7_stratified_split,
@@ -591,6 +804,7 @@ QUERIES = {
     "t16_epoch_shuffle": t16_epoch_shuffle,
     "e5_incremental_ingest": e5_incremental_ingest,
     "k9_concat_chunking": k9_concat_chunking,
+    "e6_curation_funnel": e6_curation_funnel,
 }
 
 ORACLES = {
@@ -602,4 +816,5 @@ ORACLES = {
     "t16_epoch_shuffle": T16_SQL,
     "e5_incremental_ingest": E5_SQL,
     "k9_concat_chunking": K9_SQL,
+    "e6_curation_funnel": E6_SQL,
 }

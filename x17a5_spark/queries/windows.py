@@ -346,6 +346,44 @@ WINDOW w AS (PARTITION BY user_id ORDER BY sec
 """
 
 
+
+# W9 — rolling median (order-statistic window): per user, the median of
+# the trailing 25 event values — robust stream smoothing that a rolling
+# mean can't do (one outlier drags the mean; the median shrugs). Spark
+# evaluates `percentile(v, 0.5)` as a window aggregate with the same
+# linear interpolation as DuckDB's `quantile_cont`, so values match
+# bit-for-bit after rounding. Per-user frames only — the order
+# statistic runs inside each user's partition, never globally.
+
+
+def w9_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-24, 0)
+    )
+    med = F.expr("percentile(value, 0.5)").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(med, 6).alias("rolling_median"),
+        F.round(F.abs(F.col("value") - med), 6).alias("abs_dev"),
+    )
+
+
+W9_SQL = """
+SELECT event_id, user_id,
+       round(quantile_cont(value, 0.5) OVER w, 6) AS rolling_median,
+       round(abs(value - quantile_cont(value, 0.5) OVER w), 6) AS abs_dev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "w1_running_and_lookback": w1_running_and_lookback,
     "w2_first_match_position": w2_first_match_position,
@@ -356,6 +394,7 @@ QUERIES = {
     "c3_match_positions": c3_match_positions,
     "c4_sequence_scan": c4_sequence_scan,
     "w8_rolling_time_window": w8_rolling_time_window,
+    "w9_rolling_median": w9_rolling_median,
 }
 
 ORACLES = {
@@ -368,4 +407,5 @@ ORACLES = {
     "w5_dedup_keep_first": W5_SQL,
     "w6_carry_forward": W6_SQL,
     "w8_rolling_time_window": W8_SQL,
+    "w9_rolling_median": W9_SQL,
 }
