@@ -66,6 +66,5 @@ def test_every_query_has_driver_evidence_or_is_rows_only():
         "g2_triangle_count",
         "a22_robust_outliers",
         "w9_rolling_median",
-        "e6_curation_funnel",
     }
     assert uncovered <= known_local, sorted(uncovered - known_local)

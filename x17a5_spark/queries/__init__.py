@@ -49,7 +49,6 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 WINDOW_ORDER = [
     # --- domain pipeline: composites first, then the kernels ---
     "e1_full_pipeline",
-    "e2_clean_pipeline",
     "e3_structured_assets",
     "e3l_structured_liabilities",
     "k7_sequence_pack",
@@ -81,6 +80,7 @@ WINDOW_ORDER = [
     "t11_decontamination",
     "e4_corpus_pipeline",
     "e5_incremental_ingest",
+    "e6_curation_funnel",
     # --- streaming: watermark drop, rollup cascade, stream-stream join ---
     "st4_watermark_drop",
     "st5_rollup_cascade",
