@@ -50,6 +50,14 @@ PICKS = {
         "Salt appears in the exchange keys; dim side exploded, "
         "two-level aggregation."
     ),
+    "d13_sparse_cosine_join": (
+        "Canonicalize exact dups, per-doc rarest-shingle prefix "
+        "blocking, candidate-pruned DECIMAL cosine confirm."
+    ),
+    "e6_curation_funnel": (
+        "Six curation stages over one cached scored base; quota stage "
+        "pre-filters before its per-source window."
+    ),
 }
 
 
