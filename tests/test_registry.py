@@ -66,5 +66,6 @@ def test_every_query_has_driver_evidence_or_is_rows_only():
         "g2_triangle_count",
         "a22_robust_outliers",
         "w9_rolling_median",
+        "a23_cumulative_distinct",
     }
     assert uncovered <= known_local, sorted(uncovered - known_local)

@@ -391,6 +391,54 @@ FROM orders o JOIN mad USING (o_orderpriority)
 """
 
 
+
+# A23 — cumulative distinct count (growth-curve analytics: total unique
+# users ever seen, by hour). COUNT(DISTINCT) OVER a running frame is
+# disallowed/quadratic in most engines; the scale-correct rewrite marks
+# each user's FIRST event (one per-user window), day-aggregates the
+# marks, and runs a running sum over the bounded hourly table — two
+# cheap exchanges, no distinct-state explosion. Hour arithmetic is pure
+# integer unix-µs (no engine date-truncation drift).
+
+
+def a23_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    firsts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.floor(F.col("us") / 3_600_000_000).cast("long").alias("hour"))
+    )
+    hourly = firsts.groupBy("hour").agg(F.count("*").alias("n_new_users"))
+    cum = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        "hour",
+        "n_new_users",
+        F.sum("n_new_users").over(cum).cast("long").alias("cum_users"),
+    )
+
+
+A23_SQL = """
+WITH firsts AS (
+  SELECT CAST(floor(CAST(floor(epoch_ns(ts) / 1000) AS BIGINT) / 3600000000)
+              AS BIGINT) AS hour
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY CAST(floor(epoch_ns(ts) / 1000) AS BIGINT),
+                                      event_id) = 1
+),
+hourly AS (SELECT hour, count(*) AS n_new_users FROM firsts GROUP BY 1)
+SELECT hour, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM hourly
+"""
+
+
 QUERIES = {
     "a14_percentiles": a14_percentiles,
     "a15_grouping_sets": a15_grouping_sets,
@@ -401,6 +449,7 @@ QUERIES = {
     "a20_event_funnel": a20_event_funnel,
     "a21_cohort_retention": a21_cohort_retention,
     "a22_robust_outliers": a22_robust_outliers,
+    "a23_cumulative_distinct": a23_cumulative_distinct,
 }
 
 ORACLES = {
@@ -413,4 +462,5 @@ ORACLES = {
     "a20_event_funnel": A20_SQL,
     "a21_cohort_retention": A21_SQL,
     "a22_robust_outliers": A22_SQL,
+    "a23_cumulative_distinct": A23_SQL,
 }
