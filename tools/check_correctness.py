@@ -56,16 +56,73 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def _spark_type_class(dt: str) -> str:
+    """Coarse dtype class so HUGEINT-vs-BIGINT style mismatches surface.
+
+    The driver's value hash goes through pandas, where DuckDB HUGEINT
+    (int128 — e.g. any uncast integer ``sum()``) renders differently
+    from Spark BIGINT even when values are equal (the j12/p2/f21 bug
+    class). Width differences within a class are canonicalized away.
+    """
+    dt = dt.lower()
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("array"):
+        return "array"
+    if dt.startswith(("struct", "map")):
+        return "nested"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    return dt
+
+
+def _arrow_type_class(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        # DuckDB DECIMAL (incl. HUGEINT integer sums, decimal128(38,0))
+        # reaches the driver's pandas conversion as float64 — so it
+        # matches a Spark DOUBLE but NOT a Spark BIGINT (j12/t17 class).
+        return "float"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "array"
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        return "nested"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
 def compare(name: str, spark_df, con) -> dict:
     t0 = time.time()
     spark_cols = spark_df.columns
+    spark_types = {f.name: _spark_type_class(f.dataType.simpleString())
+                   for f in spark_df.schema.fields}
     spark_rows = [tuple(r) for r in spark_df.collect()]
     t_spark = time.time() - t0
 
     t0 = time.time()
     res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    arrow = res.fetch_arrow_table()
+    duck_cols = arrow.column_names
+    duck_types = {f.name: _arrow_type_class(f.type) for f in arrow.schema}
+    duck_rows = [tuple(r.values()) for r in arrow.to_pylist()]
     t_duck = time.time() - t0
 
     info = {
@@ -78,6 +135,15 @@ def compare(name: str, spark_df, con) -> dict:
     if sorted(spark_cols) != sorted(duck_cols):
         info["status"] = "SCHEMA_MISMATCH"
         info["detail"] = f"spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+        return info
+    dtype_diff = {
+        c: (spark_types[c], duck_types[c])
+        for c in spark_cols
+        if spark_types[c] != duck_types[c]
+    }
+    if dtype_diff:
+        info["status"] = "DTYPE_MISMATCH"
+        info["detail"] = f"spark vs duck classes: {dtype_diff}"
         return info
     if len(spark_rows) != len(duck_rows):
         info["status"] = "ROWCOUNT_MISMATCH"

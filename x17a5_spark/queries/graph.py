@@ -286,9 +286,15 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("e1.dst") < F.col("e2.dst")),
     ).select(F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v"))
     triangles = wedges.join(edges, ["u", "v"], "left_semi")
-    n_e = edges.count()
-    return triangles.agg(
-        F.lit(n_e).alias("n_edges"), F.count("*").alias("n_triangles")
+    # n_edges derived inside the plan (broadcast of a 1-row aggregate)
+    # so building the query stays lazy — no eager action at construction.
+    # The persist above stays registered for the session like g1's edge
+    # cache (LRU-evicted): the plan reads `edges` three times (degree,
+    # orientation, closing semi-join) and unpersisting here would drop
+    # it before the caller ever executes the plan.
+    n_e = edges.agg(F.count("*").alias("n_edges"))
+    return triangles.agg(F.count("*").alias("n_triangles")).crossJoin(
+        F.broadcast(n_e)
     )
 
 

@@ -191,8 +191,10 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 runs AS (
-  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS version
+  SELECT * EXCLUDE (chg),
+         -- DuckDB integer window sums are HUGEINT; Spark's are BIGINT.
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
   FROM marked
 ),
 per_run AS (

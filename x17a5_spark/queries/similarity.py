@@ -163,6 +163,58 @@ def s2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# s2's hash-checkable twin: the hyperplanes are deterministic md5
+# fields (no RNG state), so bucket assignment is closed-form SQL —
+# the same trick S3_SQL uses for the IVF codebook. plane p belongs to
+# table p // BITS, contributes 1 << (p % BITS) when the projection is
+# positive; candidates are DISTINCT same-(t, b) pairs, exactly the
+# Spark side's dropDuplicates.
+S2_SQL = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+             AS norm
+  FROM embeddings
+),
+planes AS (
+  SELECT p,
+         list_transform(range(0, 64), d ->
+           (CAST('0x' || md5(p || ':' || d)[1:8] AS BIGINT)
+            % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(range(0, {N_TABLES * BITS_PER_TABLE})) AS p)
+),
+proj AS (
+  SELECT v.vec_id, planes.p // {BITS_PER_TABLE} AS t,
+         CASE WHEN list_sum(list_transform(range(1, 65),
+                                           i -> v.vec[i] * planes.w[i])) > 0
+              THEN 1 << (planes.p % {BITS_PER_TABLE}) ELSE 0 END AS bit
+  FROM v CROSS JOIN planes
+),
+buckets AS (
+  SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS b FROM proj GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS c_id
+  FROM buckets q JOIN buckets x ON x.t = q.t AND x.b = q.b
+  WHERE q.vec_id < {N_QUERIES} AND x.vec_id <> q.vec_id
+),
+sims AS (
+  SELECT c.q_id, c.c_id,
+         round(list_sum(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i]))
+               / (a.norm * b.norm), 4) AS cos_sim
+  FROM cands c
+  JOIN v a ON a.vec_id = c.q_id
+  JOIN v b ON b.vec_id = c.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim, row_number() OVER (
+           PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, rank, c_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 # D5 — embedding-cosine near-duplicate detection: pairs above a cosine
 # threshold, with planted exact copies (vec_id + 100000) the pipeline
 # must recover. Scale disciplines:
@@ -702,6 +754,7 @@ QUERIES = {
 
 ORACLES = {
     "s1_cosine_topk": S1_SQL,
+    "s2_lsh_ann": S2_SQL,
     "s3_ivf_probe": S3_SQL,
     "s4_pq_adc": S4_SQL,
     "s5_quantile_norm": S5_SQL,

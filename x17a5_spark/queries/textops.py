@@ -338,11 +338,13 @@ WITH words AS (
 ),
 vocab AS (SELECT word, count(*) AS freq FROM words GROUP BY 1),
 pairs AS (
-  SELECT freq, unnest(list_transform(range(1, strlen(word)),
+  SELECT freq, unnest(list_transform(range(1, length(word)),
                                      i -> substr(word, i, 2))) AS pair
-  FROM vocab WHERE strlen(word) >= 2
+  FROM vocab WHERE length(word) >= 2
 )
-SELECT pair, sum(freq) AS n FROM pairs GROUP BY 1 HAVING sum(freq) >= {T17_MIN_COUNT}
+-- CAST: DuckDB integer sum() is HUGEINT; Spark's is BIGINT (j12 class)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM pairs GROUP BY 1 HAVING sum(freq) >= {T17_MIN_COUNT}
 """
 
 

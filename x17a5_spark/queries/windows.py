@@ -379,7 +379,10 @@ SELECT event_id, user_id,
        round(quantile_cont(value, 0.5) OVER w, 6) AS rolling_median,
        round(abs(value - quantile_cont(value, 0.5) OVER w), 6) AS abs_dev
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+-- order by the us-floored timestamp: Spark's parquet reader floors
+-- TIMESTAMP_NS to micros, so sub-us ties must resolve identically
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch_ns(ts) / 1000) AS BIGINT), event_id
              ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
 """
 
