@@ -151,3 +151,34 @@ def test_stratified_split_proportions(spark):
     a = {r.doc_id: r.split for r in out.collect()}
     b = {r.doc_id: r.split for r in t7_stratified_split(spark, SF).collect()}
     assert a == b
+
+
+def test_e5_blocking_bounded_on_hot_shingle(spark):
+    """A stop-phrase shingle shared by every doc must not create
+    batch x existing candidate pairs: blocking is capped at
+    E5_PREFIX * E5_DF_CAP pairs per batch doc, and a doc whose rare
+    shingles point at one existing doc pairs with exactly that doc."""
+    from x17a5_spark.queries.corpus import (
+        E5_DF_CAP,
+        E5_PREFIX,
+        blocked_candidates,
+    )
+
+    hot = "the quick fox"
+    n_existing, n_batch = 400, 30
+    # every existing doc carries the hot shingle plus one unique shingle
+    she = spark.createDataFrame(
+        [Row(e_id=i, shingle=hot) for i in range(n_existing)]
+        + [Row(e_id=i, shingle=f"unique gram {i}") for i in range(n_existing)]
+    )
+    # every batch doc carries the hot shingle plus the unique shingle of
+    # its source doc (near-copy shape)
+    shb = spark.createDataFrame(
+        [Row(b_id=j, shingle=hot) for j in range(n_batch)]
+        + [Row(b_id=j, shingle=f"unique gram {j}") for j in range(n_batch)]
+    )
+    cand = blocked_candidates(shb, she).collect()
+    # hot shingle (df = 400 > E5_DF_CAP) never blocks: no quadratic term
+    assert len(cand) == n_batch  # one candidate per batch doc, not 30*400
+    assert len(cand) <= n_batch * E5_PREFIX * E5_DF_CAP
+    assert all(c.b_id == c.e_id for c in cand)  # each found its source

@@ -379,17 +379,46 @@ FROM hashed
 #      at 100 TB this is a join against the maintained fingerprint
 #      INDEX, not the corpus);
 #   2. near-dup rejection — only fingerprint-novel batch docs shingle;
-#      their 3-gram shingles join the existing corpus' shingle index,
-#      and a batch doc dies when any existing doc covers >= half its
-#      shingles (integer containment — no float threshold drift);
+#      each blocks on its P rarest existing-index shingles (df-capped,
+#      d13's prefix discipline — candidates <= P * E5_DF_CAP per batch
+#      doc regardless of corpus size), and a blocked batch doc dies
+#      when a candidate existing doc covers >= half its shingles
+#      (integer containment — no float threshold drift);
 #   3. everything else ingests.
 # The batch is synthesized deterministically: genuinely-new docs
 # (doc_id % 3 == 0 held out of "existing"), exact copies
 # (+300000 ids), and 90%-token near-copies (+200000 ids) — so every
 # verdict class is exercised and the oracle mirrors it closed-form.
-# Only BATCH-side shingle mass ever shuffles; the existing index is
-# probe-only, which is what makes the pattern incremental.
+# Only BATCH-side shingle mass plus a bounded candidate set ever
+# shuffles; the existing index is probe-only (df stats + semi-joined
+# postings), which is what makes the pattern incremental.
 # ---------------------------------------------------------------------------
+
+
+E5_PREFIX = 4  # each batch doc blocks on its P existing-rarest shingles
+E5_DF_CAP = 64  # shingles hotter than this in the existing index never block
+
+
+def blocked_candidates(shb: DataFrame, she: DataFrame) -> DataFrame:
+    """Bounded (b_id, e_id) candidate pairs from shingle tables.
+
+    d13's prefix-blocking discipline applied to the incremental case:
+    df is computed on the EXISTING index only, each batch doc blocks on
+    its ``E5_PREFIX`` rarest existing-present shingles, and shingles
+    hotter than ``E5_DF_CAP`` never block — so the join emits at most
+    P * DF_CAP pairs per batch doc no matter how hot a stop-phrase
+    shingle is in either table.
+    """
+    dfe = she.groupBy("shingle").agg(F.count("*").alias("df"))
+    pw = Window.partitionBy("b_id").orderBy(F.col("df").asc(), F.col("shingle"))
+    prefix = (
+        shb.join(dfe, "shingle")
+        .filter(F.col("df") <= E5_DF_CAP)
+        .withColumn("_pk", F.row_number().over(pw))
+        .filter(F.col("_pk") <= E5_PREFIX)
+        .select("b_id", "shingle")
+    )
+    return prefix.join(she, "shingle").select("b_id", "e_id").distinct()
 
 
 def e5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,8 +458,25 @@ def e5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shb = shingle(novel, "b_id")
     she = shingle(existing, "e_id")
     n_sh = shb.groupBy("b_id").agg(F.count("*").alias("n_sh"))
+    # Bounded candidate generation (d13's prefix-blocking discipline,
+    # dedup.py): raw `shb JOIN she ON shingle` is quadratic on a hot
+    # shingle — one stop-phrase present in M existing and K batch docs
+    # emits K*M join rows before the groupBy. Instead each batch doc
+    # blocks on its P existing-RAREST shingles (df computed on the
+    # existing index; df > E5_DF_CAP never blocks), so candidates are
+    # <= P * E5_DF_CAP per batch doc INDEPENDENT of corpus size. A
+    # 90%-token near-copy's shingles are a subset of its source's, so
+    # every blocking shingle it has necessarily hits the source doc —
+    # recall for the planted class is structural, not probabilistic.
+    cand = blocked_candidates(shb, she)
+    # containment confirmed ONLY for blocked pairs: semi-join prunes
+    # the existing index to candidate docs, then the shared-shingle
+    # count is an equi-join on (e_id, shingle) — output bounded by
+    # |cand| * shingles-per-batch-doc, never by corpus size.
+    she_c = she.join(cand.select("e_id").distinct(), "e_id", "left_semi")
     shared = (
-        shb.join(she, "shingle")
+        cand.join(shb, "b_id")
+        .join(she_c, ["e_id", "shingle"])
         .groupBy("b_id", "e_id")
         .agg(F.count("*").alias("n_shared"))
     )
@@ -485,10 +531,26 @@ she AS (
   FROM (SELECT doc_id, {_E5_TOKS} AS toks FROM existing)
 ),
 n_sh AS (SELECT b_id, count(*) AS n_sh FROM shb GROUP BY 1),
+dfe AS (SELECT shingle, count(*) AS df FROM she GROUP BY 1),
+prefix AS (
+  SELECT b_id, shingle FROM (
+    SELECT shb.b_id, shb.shingle,
+           row_number() OVER (PARTITION BY shb.b_id
+                              ORDER BY dfe.df ASC, shb.shingle) AS pk
+    FROM shb JOIN dfe USING (shingle)
+    WHERE dfe.df <= {E5_DF_CAP}
+  ) WHERE pk <= {E5_PREFIX}
+),
+cand AS (
+  SELECT DISTINCT p.b_id, she.e_id FROM prefix p JOIN she USING (shingle)
+),
 near_dup AS (
   SELECT DISTINCT s.b_id AS doc_id
-  FROM (SELECT shb.b_id, she.e_id, count(*) AS n_shared
-        FROM shb JOIN she USING (shingle) GROUP BY 1, 2) s
+  FROM (SELECT c.b_id, c.e_id, count(*) AS n_shared
+        FROM cand c
+        JOIN shb ON shb.b_id = c.b_id
+        JOIN she ON she.e_id = c.e_id AND she.shingle = shb.shingle
+        GROUP BY 1, 2) s
   JOIN n_sh USING (b_id)
   WHERE s.n_shared * 2 >= n_sh.n_sh
 )
