@@ -21,7 +21,6 @@ so the driver's value-hash comparison is exact.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -30,11 +29,12 @@ from x17a5_spark.functions.compat import dec_sql, to_dec
 from x17a5_spark.functions.text import tokens
 from x17a5_spark.operators.skew import salted_aggregate, salted_join
 from x17a5_spark.queries.similarity import (
-    N_CELLS,
+    STAGED_ASSIGN_SQL,
     _as_double,
     _dot,
-    _ivf_centroid,
     _norm,
+    ivf_tables,
+    staged_assignment,
 )
 from x17a5_spark.tables import load_table
 
@@ -237,13 +237,16 @@ FROM ranked WHERE vr IN ({", ".join(str(r) for r in _A17_RANKS)})
 # Abbas et al. (arXiv:2303.09540) deduplicate web-scale corpora by
 # clustering embeddings and comparing pairs ONLY within a cluster.
 # Here the coarse quantizer is s3's deterministic md5-derived codebook
-# (assignment = argmax cell cosine, 6-decimal rounding + cell-id
-# tiebreak, identical in both engines), so the full pipeline —
+# with the TWO-LEVEL staged argmax (similarity.staged_assignment:
+# best super-cell, then best child — 6-decimal rounding + id
+# tiebreaks, identical in both engines), so the full pipeline —
 # assign -> within-cell pairs -> cosine >= 0.99 -> keep-lowest-id —
 # has an exact SQL oracle. At 100 TB the cell count scales with the
 # corpus (k ~ N/target_cell_size), keeping the within-cell quadratic
-# term bounded; the planted exact copies (vec_id + 100000) land in the
-# same cell by construction and must all be dropped.
+# term bounded, and the staged assignment keeps the assign pass at
+# N*2*sqrt(k) under that same recipe; the planted exact copies
+# (vec_id + 100000) get identical staged scores by construction, land
+# in the same cell, and must all be dropped.
 # ---------------------------------------------------------------------------
 
 D8_THRESHOLD = 0.99
@@ -257,30 +260,11 @@ def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = aug.select(
         "vec_id", _as_double(F.col("embedding")).alias("vec")
     ).withColumn("norm", _norm(F.col("vec")))
-    cent_rows = [
-        (c, w, math.sqrt(sum(x * x for x in w)))
-        for c, w in ((c, _ivf_centroid(c)) for c in range(N_CELLS))
-    ]
-    cents = spark.createDataFrame(cent_rows, "c int, w array<double>, wnorm double")
-    fanned = vecs.select(
-        "vec_id",
-        "vec",
-        "norm",
-        F.explode(F.sequence(F.lit(0), F.lit(N_CELLS - 1))).alias("c"),
-    )
-    cos_c = F.round(
-        _dot(F.col("vec"), F.col("w")) / (F.col("norm") * F.col("wnorm")), 6
-    )
-    scores = fanned.join(F.broadcast(cents), "c").select(
-        "vec_id", "c", cos_c.alias("cos_c")
-    )
-    cell_w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("c").asc())
-    assigned = (
-        scores.withColumn("rk", F.row_number().over(cell_w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("c").alias("cell"))
-        .join(vecs, "vec_id")
-    )
+    # two-level coarse assignment (similarity.staged_assignment): the
+    # per-vector explode is 2*sqrt(k) wide, so assignment stays
+    # N*2*sqrt(k) under SemDeDup's corpus-scaled k — never N*k.
+    cents, sups = ivf_tables(spark)
+    assigned = staged_assignment(vecs, cents, sups).join(vecs, "vec_id")
     # within-cell pairwise cosine as ONE Arrow-batched numpy matmul per
     # cell (BLAS beats 3M per-pair JVM folds ~6x at sf0.1). Safe for the
     # hash check: the output carries no float column — the cosine is
@@ -323,26 +307,7 @@ v AS (
          sqrt(list_sum(list_transform(vec, x -> x * x))) AS norm
   FROM aug
 ),
-cent AS (
-  SELECT c,
-         list_transform(range(0, 64), d ->
-           (CAST('0x' || md5('ivf:' || c || ':' || d)[1:8] AS BIGINT)
-            % 2001 - 1000) / 1000.0) AS w
-  FROM (SELECT unnest(range(0, {N_CELLS})) AS c)
-),
-scores AS (
-  SELECT v.vec_id, cent.c,
-         round(list_sum(list_transform(range(1, 65), i -> v.vec[i] * cent.w[i]))
-               / (v.norm * sqrt(list_sum(list_transform(cent.w, x -> x * x)))), 6)
-             AS cos_c
-  FROM v CROSS JOIN cent
-),
-assigned AS (
-  SELECT vec_id, c AS cell FROM (
-    SELECT vec_id, c, row_number() OVER (
-             PARTITION BY vec_id ORDER BY cos_c DESC, c ASC) AS rk
-    FROM scores) WHERE rk = 1
-),
+{STAGED_ASSIGN_SQL},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_sum(list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i]))

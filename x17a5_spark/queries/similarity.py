@@ -349,6 +349,144 @@ def _ivf_centroid(c: int, dim: int = 64) -> list[float]:
     ]
 
 
+# Two-level coarse quantizer (round-3 verdict design note): a flat
+# argmax fans every vector out to all k cells, and SemDeDup's own
+# recipe scales k with the corpus (k ~ N/cell_size) — making flat
+# assignment N*k, quadratic in N. Staging through sqrt(k) super-cells
+# (assign to the best super, then argmax only its k/sqrt(k) children)
+# makes assignment N*2*sqrt(k) — the standard hierarchical/IMI coarse
+# quantizer. Each super-centroid is the MEAN of its children, computed
+# through exact integer arithmetic (sum the integer md5 draws, one
+# division) so Spark and the SQL oracle produce bit-identical doubles
+# regardless of addition order.
+N_SUPERS = 4
+IVF_FAN = N_CELLS // N_SUPERS
+
+
+def _ivf_super(s: int, dim: int = 64) -> list[float]:
+    import hashlib
+
+    return [
+        sum(
+            int(hashlib.md5(f"ivf:{c}:{d}".encode()).hexdigest()[:8], 16) % 2001
+            - 1000
+            for c in range(s * IVF_FAN, (s + 1) * IVF_FAN)
+        )
+        / (1000.0 * IVF_FAN)
+        for d in range(dim)
+    ]
+
+
+def ivf_tables(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """Broadcastable codebook tables: (children, supers), norms baked in."""
+    import math
+
+    cent_rows = [
+        (c, w, math.sqrt(sum(x * x for x in w)))
+        for c, w in ((c, _ivf_centroid(c)) for c in range(N_CELLS))
+    ]
+    sup_rows = [
+        (s, w, math.sqrt(sum(x * x for x in w)))
+        for s, w in ((s, _ivf_super(s)) for s in range(N_SUPERS))
+    ]
+    cents = spark.createDataFrame(cent_rows, "c int, w array<double>, wnorm double")
+    sups = spark.createDataFrame(sup_rows, "s int, w array<double>, wnorm double")
+    return cents, sups
+
+
+def staged_assignment(vecs: DataFrame, cents: DataFrame, sups: DataFrame) -> DataFrame:
+    """(vec_id, vec, norm) -> (vec_id, cell) via the two-level argmax.
+
+    Per vector: N_SUPERS super scores, then IVF_FAN child scores of the
+    winning super only — the explode never scales with total cell
+    count. Both joins broadcast the (tiny) codebook side.
+    """
+    cos_s = F.round(
+        _dot(F.col("vec"), F.col("w")) / (F.col("norm") * F.col("wnorm")), 6
+    )
+    sfan = vecs.select(
+        "vec_id",
+        "vec",
+        "norm",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SUPERS - 1))).alias("s"),
+    )
+    sw = Window.partitionBy("vec_id").orderBy(F.col("cos_s").desc(), F.col("s").asc())
+    best_sup = (
+        sfan.join(F.broadcast(sups), "s")
+        .select("vec_id", "s", cos_s.alias("cos_s"))
+        .withColumn("rk", F.row_number().over(sw))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "s")
+    )
+    cfan = vecs.join(best_sup, "vec_id").select(
+        "vec_id",
+        "vec",
+        "norm",
+        F.explode(
+            F.sequence(F.col("s") * IVF_FAN, F.col("s") * IVF_FAN + (IVF_FAN - 1))
+        ).alias("c"),
+    )
+    cos_c = F.round(
+        _dot(F.col("vec"), F.col("w")) / (F.col("norm") * F.col("wnorm")), 6
+    )
+    cw = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("c").asc())
+    return (
+        cfan.join(F.broadcast(cents), "c")
+        .select("vec_id", "c", cos_c.alias("cos_c"))
+        .withColumn("rk", F.row_number().over(cw))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("c").alias("cell"))
+    )
+
+
+# SQL twin of the staged assignment — CTE block expecting a prior
+# ``v(vec_id, vec, norm)`` CTE; defines cent/sup/best_sup/assigned.
+STAGED_ASSIGN_SQL = f"""cent AS (
+  SELECT c,
+         list_transform(range(0, 64), d ->
+           (CAST('0x' || md5('ivf:' || c || ':' || d)[1:8] AS BIGINT)
+            % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(range(0, {N_CELLS})) AS c)
+),
+sup AS (
+  SELECT s, list(wv ORDER BY d) AS w FROM (
+    SELECT c // {IVF_FAN} AS s, d,
+           CAST(sum(CAST('0x' || md5('ivf:' || c || ':' || d)[1:8] AS BIGINT)
+                    % 2001 - 1000) AS DOUBLE) / {1000 * IVF_FAN} AS wv
+    FROM (SELECT unnest(range(0, {N_CELLS})) AS c)
+    CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+    GROUP BY 1, 2
+  ) GROUP BY s
+),
+sup_scores AS (
+  SELECT v.vec_id, sup.s,
+         round(list_sum(list_transform(range(1, 65), i -> v.vec[i] * sup.w[i]))
+               / (v.norm * sqrt(list_sum(list_transform(sup.w, x -> x * x)))), 6)
+             AS cos_s
+  FROM v CROSS JOIN sup
+),
+best_sup AS (
+  SELECT vec_id, s FROM (
+    SELECT vec_id, s, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos_s DESC, s ASC) AS rk
+    FROM sup_scores) WHERE rk = 1
+),
+child_scores AS (
+  SELECT v.vec_id, cent.c,
+         round(list_sum(list_transform(range(1, 65), i -> v.vec[i] * cent.w[i]))
+               / (v.norm * sqrt(list_sum(list_transform(cent.w, x -> x * x)))), 6)
+             AS cos_c
+  FROM v JOIN best_sup USING (vec_id)
+  JOIN cent ON cent.c // {IVF_FAN} = best_sup.s
+),
+assigned AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos_c DESC, c ASC) AS rk
+    FROM child_scores) WHERE rk = 1
+)"""
+
+
 def s3_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
@@ -362,45 +500,33 @@ def s3_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell-score pass is a broadcast join over a bounded build side,
     # the same shape as the SQL oracle's CROSS JOIN cent. A trained
     # 100 TB codebook is still <= MBs, so the broadcast always holds.
-    cent_rows = [
-        (c, w, math.sqrt(sum(x * x for x in w)))
-        for c, w in ((c, _ivf_centroid(c)) for c in range(N_CELLS))
-    ]
-    cents = spark.createDataFrame(
-        cent_rows, "c int, w array<double>, wnorm double"
-    )
+    cents, sups = ivf_tables(spark)
+    # DATABASE-side assignment is the N-scaled term: staged through the
+    # super-cells so the per-vector explode is 2*sqrt(k) wide, not k
+    # (see staged_assignment). The codebook joins broadcast; only slim
+    # (vec_id, c, cos) triples ride the ranking exchanges — the 64-d
+    # vectors cross the wire ONCE, in the re-attach join below.
+    assigned = staged_assignment(vecs, cents, sups).join(vecs, "vec_id")
+    # QUERY-side probing stays a flat rank over all k cells: the query
+    # set is O(1) (bounded working set), so its fan-out never scales
+    # with N — and flat probing keeps multi-probe recall exact.
     cos_c = F.round(
         _dot(F.col("vec"), F.col("w")) / (F.col("norm") * F.col("wnorm")), 6
     )
-    # explode cell ids + equi-join the codebook: stays a hash join (no
-    # nested-loop/cartesian shape anywhere in the plan). Only the slim
-    # (vec_id, c, cos_c) triples ride the ranking exchange — the 64-d
-    # vectors cross the wire ONCE, in the re-attach join below, not 16x
-    # through the per-cell fan-out.
-    fanned = vecs.select(
+    qfan = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         "vec_id",
         "vec",
         "norm",
         F.explode(F.sequence(F.lit(0), F.lit(N_CELLS - 1))).alias("c"),
     )
-    scores = fanned.join(F.broadcast(cents), "c").select(
-        "vec_id", "c", cos_c.alias("cos_c")
-    )
-    # per-key (high-cardinality) window: hash exchange + a 16-row local
-    # sort per vector — scale-safe, never a global sort
     cell_w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_c").desc(), F.col("c").asc()
     )
-    ranked_cells = scores.withColumn("rk", F.row_number().over(cell_w))
-    assigned = (
-        ranked_cells.filter(F.col("rk") == 1)
-        .select("vec_id", F.col("c").alias("cell"))
-        .join(vecs, "vec_id")
-    )
     probes = (
-        ranked_cells.filter(
-            (F.col("vec_id") < N_QUERIES) & (F.col("rk") <= N_PROBE)
-        )
+        qfan.join(F.broadcast(cents), "c")
+        .select("vec_id", "c", cos_c.alias("cos_c"))
+        .withColumn("rk", F.row_number().over(cell_w))
+        .filter(F.col("rk") <= N_PROBE)
         .select("vec_id", F.col("c").alias("cell"))
         .join(vecs, "vec_id")
         .select(
@@ -436,29 +562,20 @@ WITH v AS (
              AS norm
   FROM embeddings
 ),
-cent AS (
-  SELECT c,
-         list_transform(range(0, 64), d ->
-           (CAST('0x' || md5('ivf:' || c || ':' || d)[1:8] AS BIGINT)
-            % 2001 - 1000) / 1000.0) AS w
-  FROM (SELECT unnest(range(0, {N_CELLS})) AS c)
-),
-scores AS (
+{STAGED_ASSIGN_SQL},
+q_scores AS (
   SELECT v.vec_id, cent.c,
          round(list_sum(list_transform(range(1, 65), i -> v.vec[i] * cent.w[i]))
                / (v.norm * sqrt(list_sum(list_transform(cent.w, x -> x * x)))), 6)
              AS cos_c
   FROM v CROSS JOIN cent
+  WHERE v.vec_id < {N_QUERIES}
 ),
-ranked_cells AS (
-  SELECT vec_id, c, row_number() OVER (
-           PARTITION BY vec_id ORDER BY cos_c DESC, c ASC) AS rk
-  FROM scores
-),
-assigned AS (SELECT vec_id, c AS cell FROM ranked_cells WHERE rk = 1),
 probes AS (
-  SELECT vec_id AS q_id, c AS cell FROM ranked_cells
-  WHERE vec_id < {N_QUERIES} AND rk <= {N_PROBE}
+  SELECT vec_id AS q_id, c AS cell FROM (
+    SELECT vec_id, c, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos_c DESC, c ASC) AS rk
+    FROM q_scores) WHERE rk <= {N_PROBE}
 ),
 cands AS (
   SELECT p.q_id, a.vec_id AS c_id
