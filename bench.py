@@ -96,6 +96,11 @@ HEADLINE = [
     "st7_rate_anomaly",
     "w9_rolling_median",
     "e6_curation_funnel",
+    # round 4: the end-to-end docs -> OCR -> clean -> gold pipeline —
+    # the single most reference-comparable number (BASELINE.md's >30 h
+    # envelope for 93,599 filings); SCALE.md converts it to filings/sec
+    "e1_full_pipeline",
+    "s2_lsh_ann",
 ]
 
 

@@ -100,3 +100,78 @@ def test_decontamination_excludes_eval_docs_and_bounds(spark):
     assert (out.n_contaminated_grams <= out.total_grams).all()
     assert (out.n_distinct_hits <= out.n_contaminated_grams).all()
     assert out.contaminated_frac.between(0.0, 1.0).all()
+
+
+def test_boilerplate_removal_cuts_planted_only(spark):
+    from x17a5_spark.queries.filtering import t22_boilerplate_removal
+
+    out = t22_boilerplate_removal(spark, SF).collect()
+    for r in out:
+        if r.doc_id % 4 == 0 or r.doc_id % 7 == 0:
+            assert r.n_removed >= 1, f"planted doc {r.doc_id} kept boilerplate"
+        else:
+            assert r.n_removed == 0, f"clean doc {r.doc_id} lost segments"
+        assert 0 <= r.n_removed <= r.n_segments
+
+
+def test_quality_sampling_is_deterministic_and_monotone(spark):
+    from x17a5_spark.queries.filtering import t23_quality_sampling
+
+    a = {r.doc_id: r for r in t23_quality_sampling(spark, SF).collect()}
+    b = {r.doc_id: r for r in t23_quality_sampling(spark, SF).collect()}
+    assert {k: (v.keep, v.p_accept) for k, v in a.items()} == {
+        k: (v.keep, v.p_accept) for k, v in b.items()
+    }
+    for r in a.values():
+        assert 0.0 < r.p_accept <= 1.0
+        assert abs(r.weight * r.p_accept - 1.0) < 1e-4  # HT weight = 1/p
+    kept_q = [r.quality for r in a.values() if r.keep]
+    drop_q = [r.quality for r in a.values() if not r.keep]
+    if kept_q and drop_q:
+        assert sum(kept_q) / len(kept_q) > sum(drop_q) / len(drop_q)
+
+
+def test_ttl_dedup_burst_semantics(spark):
+    """Events within TTL of their predecessor chain into one burst; a
+    gap > TTL starts a new one — checked against a per-key Python scan."""
+    from collections import defaultdict
+
+    from x17a5_spark.queries.streaming import ST8_TTL_US, st8_ttl_dedup
+    from x17a5_spark.tables import load_table
+
+    out = st8_ttl_dedup(spark, SF).collect()
+    rows = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .collect()
+    )
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[(r.user_id, r.event_type)].append((r.us, r.event_id))
+    expected = {}
+    for key, evs in by_key.items():
+        evs.sort()
+        prev = None
+        burst = 0
+        for us, eid in evs:
+            if prev is None or us - prev > ST8_TTL_US:
+                burst += 1
+                expected[key + (burst,)] = [0, eid, us]
+            else:
+                expected[key + (burst,)][0] += 1
+            prev = us
+    assert len(out) == len(expected)
+    for r in out:
+        n_sup, kept_eid, kept_us = expected[
+            (r.user_id, r.event_type, r.burst_id)
+        ]
+        assert (r.n_suppressed, r.kept_event_id, r.kept_us) == (
+            n_sup,
+            kept_eid,
+            kept_us,
+        )

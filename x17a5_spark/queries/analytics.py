@@ -260,7 +260,7 @@ def a20_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A20_SQL = """
 WITH ev AS (
-  SELECT user_id, CAST(floor(epoch_ns(ts) / 1000) AS BIGINT) AS us, event_type
+  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us, event_type
   FROM events
 ),
 t1 AS (SELECT user_id, min(us) AS t_view FROM ev
@@ -314,7 +314,7 @@ def a21_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A21_SQL = f"""
 WITH ev AS (
-  SELECT user_id, CAST(floor(epoch_ns(ts) / 1000) AS BIGINT) AS us FROM events
+  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us FROM events
 ),
 cohort AS (
   SELECT user_id,
@@ -424,11 +424,11 @@ def a23_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A23_SQL = """
 WITH firsts AS (
-  SELECT CAST(floor(CAST(floor(epoch_ns(ts) / 1000) AS BIGINT) / 3600000000)
+  SELECT CAST(floor(CAST(epoch_ns(ts) // 1000 AS BIGINT) / 3600000000)
               AS BIGINT) AS hour
   FROM events
   QUALIFY row_number() OVER (PARTITION BY user_id
-                             ORDER BY CAST(floor(epoch_ns(ts) / 1000) AS BIGINT),
+                             ORDER BY CAST(epoch_ns(ts) // 1000 AS BIGINT),
                                       event_id) = 1
 ),
 hourly AS (SELECT hour, count(*) AS n_new_users FROM firsts GROUP BY 1)

@@ -94,6 +94,21 @@ FROM documents GROUP BY 1
 # D2 — n-gram Jaccard near-dup pairs (small-scale baseline; quadratic in
 # shared-shingle pairs).
 def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUARANTINED — BENCH-SCALE ONLY. Exact all-pairs Jaccard with NO
+    hot-shingle bound: the shingle self-join emits df^2/2 rows per
+    shingle, so one stop-phrase present in M docs costs M^2/2 join
+    rows. This is the correctness baseline that d3 (MinHash+LSH) and
+    d13 (prefix-blocked cosine) are validated against; at corpus scale
+    call THOSE. A runtime warning fires on every call so nobody runs
+    into the quadratic unaware.
+    """
+    import warnings
+
+    warnings.warn(
+        "d2_ngram_jaccard is the exact all-pairs baseline (quadratic on hot "
+        "shingles) — use d3_minhash_lsh or d13_sparse_cosine_join at scale",
+        stacklevel=2,
+    )
     aug = _augmented_docs(spark, sf_dir)
     sh = _shingle_table(aug)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))

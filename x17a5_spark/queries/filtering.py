@@ -351,11 +351,185 @@ FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# T22 — cross-document boilerplate segment removal (the C4 / RefinedWeb
+# "duplicate line" step: lines appearing verbatim in many documents —
+# navigation chrome, cookie banners, footers — are cut from EVERY doc
+# while the rest of each document survives in order).
+#
+# The fixture's documents are single-line token streams, so the "line"
+# unit here is a consecutive K-token segment (deterministic
+# segmentation — same boundaries in both engines); real corpora would
+# split on newlines with identical machinery. Boilerplate is PLANTED
+# in-query (a fixed segment appended to doc_id % 4 == 0 and prepended
+# to doc_id % 7 == 0) so removal provably fires and the oracle mirrors
+# the planting closed-form.
+#
+# Scale: segment df is ONE groupBy on the segment text (map-side
+# partial count-distinct); the removal join matches each segment row
+# to exactly one df row, so join output == segment count — a hot
+# boilerplate segment raises ONE df row's count, never a quadratic
+# pair blowup. Reassembly is a per-doc sort_array over its own
+# segments (bounded by doc length), never a global sort.
+# ---------------------------------------------------------------------------
+
+T22_K = 8  # tokens per segment ("line" unit for the fixture)
+T22_DF = 5  # a segment in >= this many distinct docs is boilerplate
+T22_BOILER = "subscribe to our newsletter click here to continue reading"
+
+
+def t22_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(T22_BOILER)),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.lit(T22_BOILER), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = tokens(F.col("text"))
+    n_seg = F.ceil(F.size(toks) / T22_K).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            # guard: Spark's sequence(0, -1) counts DOWN, so an empty
+            # doc must short-circuit to an empty segment array
+            F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * T22_K + 1, T22_K), " "
+                    ),
+                )
+            )
+        ).alias("pos", "seg"),
+    )
+    df_counts = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    kept = segs.join(df_counts, "seg").filter(F.col("df") < T22_DF)
+    reasm = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    stats = segs.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    return stats.join(reasm, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        "n_segments",
+    )
+
+
+T22_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' {T22_BOILER}'
+              WHEN doc_id % 7 = 0 THEN '{T22_BOILER} ' || text
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM aug),
+segs AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos * {T22_K} + 1 : (pos + 1) * {T22_K}], ' ')
+             AS seg
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(len(toks) / {T22_K}.0) AS BIGINT)))
+                   AS pos
+        FROM toks)
+),
+df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+kept AS (SELECT s.doc_id, s.pos, s.seg
+         FROM segs s JOIN df USING (seg) WHERE df.df < {T22_DF}),
+reasm AS (
+  SELECT doc_id, array_to_string(list(seg ORDER BY pos), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+),
+stats AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY 1)
+SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       s.n_segments - coalesce(r.n_kept, 0) AS n_removed,
+       s.n_segments
+FROM stats s LEFT JOIN reasm r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# T23 — quality-weighted importance sampling (the soft alternative to
+# hard quality gates: CCNet buckets / DoReMi-style reweighting keep a
+# quality-DEPENDENT fraction of each stratum instead of a cliff).
+# Here: per-doc quality q = distinct-token ratio, acceptance
+# probability p = max(q*q, floor) (multiplication, not pow() — libm
+# pow can differ across engines in the last ulp), deterministic
+# uniform u from md5(doc_id) exactly as a17/t12/d10, keep iff u < p,
+# and the survivor carries weight 1/p so downstream statistics stay
+# unbiased (Horvitz-Thompson).
+#
+# Scale: stateless single scan — no shuffle at all; the decision and
+# weight are pure column expressions, and reruns/backfills agree
+# because u is content-addressed, not RNG state.
+# ---------------------------------------------------------------------------
+
+T23_FLOOR = 0.05
+_TWO60 = float(1 << 60)
+
+
+def t23_quality_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    toks = tokens(F.col("text"))
+    q = F.size(F.array_distinct(toks)) / F.size(toks)
+    p = F.greatest(q * q, F.lit(T23_FLOOR))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(_TWO60)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(q, 6).alias("quality"),
+        F.round(p, 6).alias("p_accept"),
+        (u < p).alias("keep"),
+        F.round(1.0 / p, 6).alias("weight"),
+    )
+
+
+T23_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(list_distinct({_TOKS_SQL})) / CAST(len({_TOKS_SQL}) AS DOUBLE)
+             AS q,
+         CAST('0x' || md5(CAST(doc_id AS VARCHAR))[1:15] AS BIGINT)
+             / {_TWO60} AS u
+  FROM documents
+)
+SELECT doc_id,
+       round(q, 6) AS quality,
+       round(greatest(q * q, {T23_FLOOR}), 6) AS p_accept,
+       u < greatest(q * q, {T23_FLOOR}) AS keep,
+       round(1.0 / greatest(q * q, {T23_FLOOR}), 6) AS weight
+FROM scored
+"""
+
+
 QUERIES = {
     "t8_gopher_quality": t8_gopher_quality,
     "t9_repetition_filter": t9_repetition_filter,
     "t10_pii_redaction": t10_pii_redaction,
     "t11_decontamination": t11_decontamination,
+    "t22_boilerplate_removal": t22_boilerplate_removal,
+    "t23_quality_sampling": t23_quality_sampling,
 }
 
 ORACLES = {
@@ -363,4 +537,6 @@ ORACLES = {
     "t9_repetition_filter": T9_SQL,
     "t10_pii_redaction": T10_SQL,
     "t11_decontamination": T11_SQL,
+    "t22_boilerplate_removal": T22_SQL,
+    "t23_quality_sampling": T23_SQL,
 }

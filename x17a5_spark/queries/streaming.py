@@ -403,6 +403,85 @@ WHERE n_hist >= 12
 """
 
 
+# ST8 — TTL dedup (the batch twin of streaming/stateful.py's
+# applyInPandasWithState dedup-with-TTL: an event is suppressed when
+# another event of the same (user, type) arrived within the previous
+# TTL). "Within TTL of the previous EVENT" chains into bursts, so the
+# declarative form is gap sessionization: a burst starts where the gap
+# from the predecessor exceeds the TTL (lag + running sum of
+# burst-starts — no sequential kernel), and the burst's first event is
+# the kept one, carrying how many it suppressed. Timestamps go through
+# the µs floor on both engines (the w8/a23 cross-engine discipline).
+#
+# Scale: one hash exchange on (user_id, event_type) + per-key sort —
+# the same cost profile as any per-key window; state never accumulates
+# beyond a partition sort, unlike the streaming form whose state store
+# holds one timestamp per live key.
+ST8_TTL_US = 600 * 1_000_000  # 10 minutes
+
+
+def st8_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gap_new = (
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) > ST8_TTL_US)
+    )
+    bursts = ev.withColumn(
+        "burst",
+        F.sum(gap_new.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        bursts.groupBy("user_id", "event_type", "burst")
+        .agg(
+            F.min(F.struct("us", "event_id")).alias("first"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("burst").alias("burst_id"),
+            F.col("first.event_id").alias("kept_event_id"),
+            F.col("first.us").alias("kept_us"),
+            (F.col("n_events") - 1).alias("n_suppressed"),
+        )
+    )
+
+
+ST8_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+  FROM events
+),
+bursts AS (
+  SELECT *,
+         CAST(sum(CASE WHEN prev_us IS NULL
+                            OR us - prev_us > {ST8_TTL_US} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, event_type ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst
+  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id, event_type
+                                ORDER BY us, event_id) AS prev_us
+        FROM ev)
+)
+SELECT user_id, event_type, burst AS burst_id,
+       min(event_id ORDER BY us, event_id) AS kept_event_id,
+       min(us) AS kept_us,
+       count(*) - 1 AS n_suppressed
+FROM bursts
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "st1_tumbling_window": st1_tumbling_window,
     "st2_sliding_window": st2_sliding_window,
@@ -411,6 +490,7 @@ QUERIES = {
     "st5_rollup_cascade": st5_rollup_cascade,
     "st6_stream_stream_join": st6_stream_stream_join,
     "st7_rate_anomaly": st7_rate_anomaly,
+    "st8_ttl_dedup": st8_ttl_dedup,
 }
 
 ORACLES = {
@@ -421,4 +501,5 @@ ORACLES = {
     "st5_rollup_cascade": ST5_SQL,
     "st6_stream_stream_join": ST6_SQL,
     "st7_rate_anomaly": ST7_SQL,
+    "st8_ttl_dedup": ST8_SQL,
 }

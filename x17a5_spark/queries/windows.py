@@ -332,7 +332,7 @@ def w8_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 W8_SQL = f"""
 WITH base AS (
   SELECT event_id, user_id,
-         CAST(floor(CAST(floor(epoch_ns(ts) / 1000) AS BIGINT) / 1000000)
+         CAST(floor(CAST(epoch_ns(ts) // 1000 AS BIGINT) / 1000000)
               AS BIGINT) AS sec,
          value
   FROM events
@@ -382,7 +382,7 @@ FROM events
 -- order by the us-floored timestamp: Spark's parquet reader floors
 -- TIMESTAMP_NS to micros, so sub-us ties must resolve identically
 WINDOW w AS (PARTITION BY user_id
-             ORDER BY CAST(floor(epoch_ns(ts) / 1000) AS BIGINT), event_id
+             ORDER BY CAST(epoch_ns(ts) // 1000 AS BIGINT), event_id
              ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
 """
 
