@@ -101,6 +101,9 @@ HEADLINE = [
     # envelope for 93,599 filings); SCALE.md converts it to filings/sec
     "e1_full_pipeline",
     "s2_lsh_ann",
+    "t22_boilerplate_removal",
+    "t23_quality_sampling",
+    "st8_ttl_dedup",
 ]
 
 
@@ -114,6 +117,14 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
 
+    # e1 writes its bronze/silver/gold stage tables at plan-CONSTRUCTION
+    # time (run_pipeline materializes incrementally-appended parquet
+    # sinks into a fresh tmpdir), so reusing one plan would time a bare
+    # parquet read of the gold table. The reference-comparable number is
+    # the END-TO-END wall clock — construction + every stage write +
+    # the final materialization — so e1 rebuilds from scratch each run.
+    END_TO_END = {"e1_full_pipeline"}
+
     timings: dict[str, float] = {}
     cold_total = 0.0
     for name in HEADLINE:
@@ -122,15 +133,29 @@ def main() -> None:
         # steady state — a pipeline materializes stage tables once, not
         # per execution — and the per-query cache clear below keeps one
         # query's stage tables from evicting the next's.
+        rebuild = name in END_TO_END
         df = queries[name](spark, sf_dir)
 
         def run() -> float:
             t0 = time.time()
-            df.write.mode("overwrite").format("noop").save()
+            # end-to-end queries rebuild INSIDE the timer: construction
+            # is where their stage tables are written
+            d = queries[name](spark, sf_dir) if rebuild else df
+            d.write.mode("overwrite").format("noop").save()
             return time.time() - t0
 
-        cold_total += run()  # warmup: codegen compile + JIT + stage fill
-        timings[name] = round(min(run(), run()), 3)
+        if rebuild:
+            # one timed end-to-end execution (construction + stage
+            # writes + materialization into a fresh tmpdir); no
+            # warmup/best-of-2 — every run is a full from-scratch
+            # pipeline, so repeats only double the suite's wall clock,
+            # and the cold number IS the one comparable to the
+            # reference's >30 h envelope.
+            timings[name] = round(run(), 3)
+            cold_total += timings[name]
+        else:
+            cold_total += run()  # warmup: codegen + JIT + stage fill
+            timings[name] = round(min(run(), run()), 3)
         spark.catalog.clearCache()
 
     out = {
