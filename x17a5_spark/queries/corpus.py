@@ -455,8 +455,15 @@ def e5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    shb = shingle(novel, "b_id")
-    she = shingle(existing, "e_id")
+    # both shingle tables are read by multiple stages (batch side: size
+    # stats + prefix + confirm; existing side: df stats + candidate
+    # probe + confirm) — persist instead of re-exploding per reader. In
+    # production the existing-corpus index is a PRE-MATERIALIZED stage
+    # table; this persist is its bench-scale stand-in.
+    from pyspark import StorageLevel
+
+    shb = shingle(novel, "b_id").persist(StorageLevel.MEMORY_AND_DISK)
+    she = shingle(existing, "e_id").persist(StorageLevel.MEMORY_AND_DISK)
     n_sh = shb.groupBy("b_id").agg(F.count("*").alias("n_sh"))
     # Bounded candidate generation (d13's prefix-blocking discipline,
     # dedup.py): raw `shb JOIN she ON shingle` is quadratic on a hot
