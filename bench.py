@@ -104,6 +104,10 @@ HEADLINE = [
     "t22_boilerplate_removal",
     "t23_quality_sampling",
     "st8_ttl_dedup",
+    "j14_pit_join",
+    "t24_bigram_perplexity",
+    "t25_keyword_extraction",
+    "a24_rolling_active_users",
 ]
 
 

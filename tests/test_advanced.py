@@ -229,3 +229,68 @@ def test_t14_bm25_ranking_is_consistent(spark):
     for prev, cur in zip(by_rank, by_rank[1:]):
         assert (prev["score"], -prev["doc_id"]) >= (cur["score"], -cur["doc_id"])
         assert prev["score"] > 0 and 1 <= prev["n_terms_hit"] <= 3
+
+
+def test_bigram_perplexity_shape(spark):
+    from x17a5_spark.queries.advanced import T24_THRESHOLD, t24_bigram_perplexity
+    from x17a5_spark.queries.textops import t1_token_stats
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.doc_id: r for r in t24_bigram_perplexity(spark, sf).collect()}
+    ntok = {r.doc_id: r.n_tokens for r in t1_token_stats(spark, sf).collect()}
+    for doc_id, r in out.items():
+        assert r.n_bigrams == ntok[doc_id] - 1
+        assert r.keep == (r.avg_nll < T24_THRESHOLD)
+        assert r.avg_nll > 0
+
+
+def test_keyword_extraction_ranks(spark):
+    from collections import defaultdict
+
+    from x17a5_spark.queries.textops import T25_K, t25_keyword_extraction
+
+    rows = t25_keyword_extraction(spark, "/root/testdata/sf0.001").collect()
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= T25_K
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_rolling_active_users_vs_bruteforce(spark):
+    from x17a5_spark.queries.analytics import (
+        _A24_US_PER_DAY,
+        A24_WINDOW,
+        a24_rolling_active_users,
+    )
+    from x17a5_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.day: r for r in a24_rolling_active_users(spark, sf).collect()}
+    active = (
+        load_table(spark, sf, "events")
+        .select(
+            "user_id",
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / _A24_US_PER_DAY
+            ).cast("long").alias("day"),
+        )
+        .distinct()
+        .collect()
+    )
+    days = {r.day for r in active}
+    for day in days:
+        dau = {r.user_id for r in active if r.day == day}
+        wau = {
+            r.user_id
+            for r in active
+            if day - (A24_WINDOW - 1) <= r.day <= day
+        }
+        assert out[day].dau == len(dau)
+        assert out[day].wau_7 == len(wau)
+        assert out[day].wau_7 >= out[day].dau

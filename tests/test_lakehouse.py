@@ -183,3 +183,31 @@ def test_zorder_layout_shrinks_file_bounding_boxes(spark, tmp_path):
     assert z < rr / 2, (z, rr)
     # layout must not lose rows
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_pit_join_is_leak_free_and_self_consistent(spark):
+    """Every event's point-in-time state must equal its own event_type
+    (the intervals derive from the same stream), and versions must be
+    non-decreasing along each user's timeline — a version from the
+    future (leakage) or the past (stale read) breaks monotonicity."""
+    from x17a5_spark.queries.lakehouse import j14_pit_join
+    from x17a5_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = j14_pit_join(spark, sf).collect()
+    ev = {
+        r.event_id: r.event_type
+        for r in load_table(spark, sf, "events").collect()
+    }
+    assert len(out) == len(ev)
+    for r in out:
+        assert r.state == ev[r.event_id], f"event {r.event_id} leaked state"
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in out:
+        per_user[r.user_id].append((r.us, r.event_id, r.version))
+    for user, rows in per_user.items():
+        rows.sort()
+        versions = [v for _, _, v in rows]
+        assert versions == sorted(versions), f"user {user} version regressed"

@@ -56,8 +56,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # their implementations changed this round (bounded blocking, staged
 # assignment) and need fresh rows. The three operators built in round
 # 4 (t22 boilerplate segment removal, t23 quality-weighted importance
-# sampling, st8 TTL dedup) take the slots of a14/d9/d10, whose green
-# round-3 rows stand unchanged.
+# sampling, st8 TTL dedup) take the slots of a14/d9/d10, and the second
+# round-4 batch (j14 PIT join, t24 bigram LM, t25 tf-idf keywords, a24
+# rolling active users) takes d11/d12/s4/s5 — all six displaced rows
+# are green in CORRECTNESS_r03 and unchanged since.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -66,13 +68,10 @@ WINDOW_ORDER = [
     # --- LLM-data-pipeline: dedup / similarity / text / multimodal ---
     "d3_minhash_lsh",
     "d8_semdedup",
-    "d11_sorted_neighborhood",
-    "d12_temperature_mix",
     "d13_sparse_cosine_join",
     "s2_lsh_ann",
     "s3_ivf_probe",
-    "s4_pq_adc",
-    "s5_quantile_norm",
+    "j14_pit_join",
     "s6_int8_quantize",
     "m4_frame_sample",
     "m5_patch_grid",
@@ -80,6 +79,8 @@ WINDOW_ORDER = [
     "t18_bpe_train",
     "t19_hll_distinct",
     "t21_zipf_fit",
+    "t24_bigram_perplexity",
+    "t25_keyword_extraction",
     "f22_url_extract",
     "t22_boilerplate_removal",
     "t23_quality_sampling",
@@ -102,6 +103,7 @@ WINDOW_ORDER = [
     "a21_cohort_retention",
     "a22_robust_outliers",
     "a23_cumulative_distinct",
+    "a24_rolling_active_users",
     "j9_range_join",
     "j10_salted_skew_join",
     "j11_bloom_semi_join",

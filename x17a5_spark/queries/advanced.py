@@ -505,12 +505,113 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# T24 — bigram-LM cross-entropy filter (t13's unigram LM upgraded one
+# order): the corpus trains a bigram model with add-one smoothing,
+# p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), and each document is scored
+# by its average bigram negative log-prob. Fluency-sensitive where the
+# unigram filter is only vocabulary-sensitive — word-salad built from
+# common words scores badly here but fine under t13.
+#
+# Cross-engine float discipline: per-BIGRAM log-probs are rounded to 6
+# decimals ONCE in the (bounded, vocabulary-sized) lp table, then
+# summed through exact DECIMAL — the t13 pattern, so document scores
+# are partition-order independent and hash-stable.
+#
+# Scale: bigram counts = one groupBy over the bigram stream (map-side
+# combined); the scoring join matches each doc-bigram to one lp row.
+# The lp table is vocab^2-bounded in theory but observed-bigram-
+# bounded in practice (Heaps' law), and Catalyst broadcast-or-hash
+# joins it by size.
+# ---------------------------------------------------------------------------
+
+T24_THRESHOLD = 6.8
+
+
+def t24_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    toks = tokens(F.lower(F.col("text")))
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    uni = docs.select("doc_id", F.explode(toks).alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count("*").alias("c1"))
+    v = c1.agg(F.count("*").alias("v")).withColumn("k", F.lit(1))
+    c2 = bi.groupBy("bg").agg(F.count("*").alias("c2"))
+    lp_tab = (
+        c2.withColumn("tok", F.split("bg", " ")[0])
+        .join(c1, "tok")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(v), "k")
+        .select(
+            "bg",
+            F.round(
+                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))), 6
+            ).alias("lp"),
+        )
+    )
+    agg = (
+        bi.join(lp_tab, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(to_dec(-F.col("lp"))).cast("double").alias("nll"),
+        )
+    )
+    avg_nll = F.round(F.col("nll") / F.col("n_bigrams"), 6)
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        avg_nll.alias("avg_nll"),
+        (avg_nll < T24_THRESHOLD).alias("keep"),
+    )
+
+
+T24_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM toks
+),
+uni AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+c1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY 1),
+v AS (SELECT count(*) AS v FROM c1),
+c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY 1),
+lp_tab AS (
+  SELECT bg, round(ln((c2 + 1.0) / (c1.c1 + v.v)), 6) AS lp
+  FROM c2
+  JOIN c1 ON c1.tok = split_part(bg, ' ', 1)
+  CROSS JOIN v
+)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round({dec_sql("-lp")} / count(*), 6) AS avg_nll,
+       round({dec_sql("-lp")} / count(*), 6) < {T24_THRESHOLD} AS keep
+FROM bi b JOIN lp_tab USING (bg)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "j9_range_join": j9_range_join,
     "j10_salted_skew_join": j10_salted_skew_join,
     "a17_sample_quantiles": a17_sample_quantiles,
     "d8_semdedup": d8_semdedup,
     "t13_perplexity_filter": t13_perplexity_filter,
+    "t24_bigram_perplexity": t24_bigram_perplexity,
     "t14_bm25_search": t14_bm25_search,
 }
 
@@ -520,5 +621,6 @@ ORACLES = {
     "a17_sample_quantiles": A17_SQL,
     "d8_semdedup": D8_SQL,
     "t13_perplexity_filter": T13_SQL,
+    "t24_bigram_perplexity": T24_SQL,
     "t14_bm25_search": T14_SQL,
 }

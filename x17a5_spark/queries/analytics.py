@@ -439,6 +439,61 @@ FROM hourly
 """
 
 
+# ---------------------------------------------------------------------------
+# A24 — rolling active users (DAU / trailing-7-day WAU): the product-
+# analytics staple. Distinct-count-over-a-sliding-window has no
+# native window form (count(distinct) over a frame is unsupported),
+# and the naive per-day self-join over a 7-day range re-scans the fact
+# table per day. The scale shape: dedup to (user, day) once, then fan
+# each active day out to the <= 7 trailing report days it contributes
+# to (a BOUNDED explode — window_length rows per active-day, the same
+# trick as st2's slide enumeration), dedup (user, report_day), and
+# count. Work is O(active_pairs * 7), independent of raw event volume
+# after the first dedup, and every step is a hash exchange.
+# ---------------------------------------------------------------------------
+
+_A24_US_PER_DAY = 86_400_000_000
+A24_WINDOW = 7
+
+
+def a24_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / _A24_US_PER_DAY
+        ).cast("long").alias("day"),
+    )
+    active = ev.distinct()
+    dau = active.groupBy("day").agg(F.count("*").alias("dau"))
+    covered = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (A24_WINDOW - 1))
+        ).alias("day"),
+    ).distinct()
+    wau = covered.groupBy("day").agg(F.count("*").alias("wau_7"))
+    # report only days that actually have activity (trailing windows
+    # hanging past the last active day are not report rows)
+    return dau.join(wau, "day").select("day", "dau", "wau_7")
+
+
+A24_SQL = f"""
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(CAST(epoch_ns(ts) // 1000 AS BIGINT) / {_A24_US_PER_DAY})
+              AS BIGINT) AS day
+  FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM active GROUP BY 1),
+covered AS (
+  SELECT DISTINCT user_id, day + off AS day
+  FROM active CROSS JOIN (SELECT unnest(range(0, {A24_WINDOW})) AS off)
+),
+wau AS (SELECT day, count(*) AS wau_7 FROM covered GROUP BY 1)
+SELECT day, dau, wau_7 FROM dau JOIN wau USING (day)
+"""
+
+
 QUERIES = {
     "a14_percentiles": a14_percentiles,
     "a15_grouping_sets": a15_grouping_sets,
@@ -450,6 +505,7 @@ QUERIES = {
     "a21_cohort_retention": a21_cohort_retention,
     "a22_robust_outliers": a22_robust_outliers,
     "a23_cumulative_distinct": a23_cumulative_distinct,
+    "a24_rolling_active_users": a24_rolling_active_users,
 }
 
 ORACLES = {
@@ -463,4 +519,5 @@ ORACLES = {
     "a21_cohort_retention": A21_SQL,
     "a22_robust_outliers": A22_SQL,
     "a23_cumulative_distinct": A23_SQL,
+    "a24_rolling_active_users": A24_SQL,
 }

@@ -598,6 +598,129 @@ FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c
 """
 
 
+# ---------------------------------------------------------------------------
+# J14 — point-in-time (PIT) join over SCD2 validity intervals: the
+# feature-store primitive. Every event is joined to the dimension
+# version that was valid AT ITS TIMESTAMP — never a later one (no
+# feature leakage), never an earlier one. The dimension here is j12's
+# own SCD2 output (state runs per user), so the op composes the CDC
+# layer end-to-end: changelog -> intervals -> leak-free enrichment.
+#
+# Scale shape: interval containment over TILING intervals reduces to
+# an as-of lookup ("last version starting at or before ts"), which the
+# engine evaluates as one union + per-user carry-forward window — a
+# single hash exchange on user_id, per-key sort, NO range/nested-loop
+# join and no fact-table self-join. Zero-length intervals (state runs
+# that start and end in the same microsecond) are filtered first so
+# the as-of winner is unique; everything runs in the exact-BIGINT µs
+# domain on both engines (the st8/w8 cross-engine discipline). The
+# oracle evaluates the same semantics as a declarative containment
+# join (DuckDB IEJoin) — two independent formulations, one answer.
+# ---------------------------------------------------------------------------
+
+
+def j14_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_type").alias("state"),
+    )
+    order = [F.col("us").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    marked = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("state").over(w).isNull()
+            | (F.lag("state").over(w) != F.col("state")),
+            1,
+        ).otherwise(0),
+    )
+    runs = marked.withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_run = runs.groupBy("user_id", "version").agg(
+        F.min("state").alias("iv_state"), F.min("us").alias("vf_us")
+    )
+    vw = Window.partitionBy("user_id").orderBy("version")
+    iv = (
+        per_run.withColumn("vt_us", F.lead("vf_us").over(vw))
+        # zero-length intervals can contain nothing — dropping them
+        # makes the as-of winner unique even under same-µs run starts
+        .filter(F.col("vt_us").isNull() | (F.col("vf_us") < F.col("vt_us")))
+    )
+    tagged = iv.select(
+        "user_id",
+        F.col("vf_us").alias("us"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        "iv_state",
+        "version",
+    ).unionByName(
+        ev.select(
+            "user_id",
+            "us",
+            F.lit(1).alias("kind"),
+            "event_id",
+            F.lit(None).cast("string").alias("iv_state"),
+            F.lit(None).cast("long").alias("version"),
+        )
+    )
+    cw = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "version")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.select(
+        "user_id",
+        "us",
+        "kind",
+        "event_id",
+        F.last("iv_state", ignorenulls=True).over(cw).alias("state"),
+        F.last("version", ignorenulls=True).over(cw).alias("version"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", "us", "state", "version"
+    )
+
+
+J14_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us,
+         event_type AS state
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                      OR lag(state) OVER w <> state
+                 THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+runs AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM marked
+),
+per_run AS (
+  SELECT user_id, version, min(state) AS iv_state, min(us) AS vf_us
+  FROM runs GROUP BY 1, 2
+),
+iv AS (
+  SELECT * FROM (
+    SELECT user_id, version, iv_state, vf_us,
+           lead(vf_us) OVER (PARTITION BY user_id ORDER BY version) AS vt_us
+    FROM per_run)
+  WHERE vt_us IS NULL OR vf_us < vt_us
+)
+SELECT e.event_id, e.user_id, e.us, i.iv_state AS state, i.version
+FROM ev e JOIN iv i
+  ON i.user_id = e.user_id AND e.us >= i.vf_us
+     AND (i.vt_us IS NULL OR e.us < i.vt_us)
+"""
+
+
 QUERIES = {
     "j11_bloom_semi_join": j11_bloom_semi_join,
     "j12_scd2_intervals": j12_scd2_intervals,
@@ -606,6 +729,7 @@ QUERIES = {
     "a19_incremental_agg": a19_incremental_agg,
     "d12_temperature_mix": d12_temperature_mix,
     "v1_constraint_checks": v1_constraint_checks,
+    "j14_pit_join": j14_pit_join,
 }
 
 ORACLES = {
@@ -616,4 +740,5 @@ ORACLES = {
     "a19_incremental_agg": A19_SQL,
     "d12_temperature_mix": D12_SQL,
     "v1_constraint_checks": V1_SQL,
+    "j14_pit_join": J14_SQL,
 }

@@ -7,7 +7,7 @@ final small aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from x17a5_spark.functions.text import (
@@ -522,6 +522,89 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# T25 — keyword extraction: top-k terms per document by tf-idf.
+#
+# The retrieval/labeling primitive (tag corpora, build weak labels,
+# summarize clusters). idf uses the BM25 rational form
+# (N - df + 0.5) / (df + 0.5) instead of ln((N+1)/(df+1)): same
+# ordering, but pure rational arithmetic — no transcendental whose
+# last-ulp could differ between engines and flip a rank at the top-k
+# boundary (t14 pins ln-idf cross-engine by rounding; for a PER-DOC
+# rank the rational form removes the risk class entirely).
+#
+# Scale: tf = one (doc, term) groupBy; df = one term groupBy; the
+# score join matches each tf row to one df row (never pairs docs);
+# top-k is a per-doc window — high-cardinality hash exchange, bounded
+# per-key sort, no global sort anywhere.
+# ---------------------------------------------------------------------------
+
+T25_K = 5
+
+
+def t25_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n")).withColumn("k", F.lit(1))
+    df_counts = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(n_docs), "k")
+        .select(
+            "term",
+            "df",
+            ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    scored = tf.join(df_counts, "term").select(
+        "doc_id", "term", "tf", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= T25_K)
+        .select("doc_id", "rank", "term", "tf", F.round("score", 6).alias("score"))
+    )
+
+
+T25_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                        '\\s+'),
+                                  t -> t <> '')) AS term
+        FROM documents)
+  GROUP BY 1, 2
+),
+n_docs AS (SELECT count(*) AS n FROM documents),
+dfs AS (
+  SELECT term, df, (n - df + 0.5) / (df + 0.5) AS idf
+  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN n_docs
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * dfs.idf AS score
+  FROM tf JOIN dfs USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tf, score, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, round(score, 6) AS score
+FROM ranked WHERE rank <= {T25_K}
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -533,6 +616,7 @@ QUERIES = {
     "t18_bpe_train": t18_bpe_train,
     "t19_hll_distinct": t19_hll_distinct,
     "t21_zipf_fit": t21_zipf_fit,
+    "t25_keyword_extraction": t25_keyword_extraction,
 }
 
 ORACLES = {
@@ -544,4 +628,5 @@ ORACLES = {
     "t17_bpe_pair_counts": T17_SQL,
     "t12_kmv_distinct": T12_SQL,
     "t21_zipf_fit": T21_SQL,
+    "t25_keyword_extraction": T25_SQL,
 }
