@@ -5,7 +5,7 @@ sf0.001; ``queries()`` exposes every implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
 gives the DuckDB-equivalent SQL for each hash-checkable query. Queries
 without an oracle entry are the genuinely non-SQL-expressible kernels
-(LSH ANN bucketing, grouped sequential algorithms) — those are verified
+(iterative BPE training, the HLL sketch) — those are verified
 by golden tests under tests/.
 """
 

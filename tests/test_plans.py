@@ -181,3 +181,33 @@ def test_g1_iterations_reuse_cached_edges(spark):
     # the annotated edge relation is persisted once and referenced by
     # every iteration: InMemoryTableScan must appear >= iteration count
     assert plan.count("InMemoryTableScan") >= 5
+
+
+def test_j14_pit_join_single_user_exchange(spark):
+    """The PIT join must stay an as-of union window — no range join,
+    no nested loop, no cartesian anywhere in the plan."""
+    from x17a5_spark.queries.lakehouse import j14_pit_join
+
+    plan = _plan(j14_pit_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t22_boilerplate_join_is_hash_not_pair(spark):
+    """Segment-df attach must be an equi-join (one row out per segment
+    row in) — never a doc-pair join."""
+    from x17a5_spark.queries.filtering import t22_boilerplate_removal
+
+    plan = _plan(t22_boilerplate_removal(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t23_sampling_is_shuffle_free(spark):
+    """Importance sampling is a stateless scan: zero exchanges."""
+    from x17a5_spark.queries.filtering import t23_quality_sampling
+
+    plan = _plan(t23_quality_sampling(spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
