@@ -58,6 +58,24 @@ PICKS = {
         "Six curation stages over one cached scored base; quota stage "
         "pre-filters before its per-source window."
     ),
+    "j14_pit_join": (
+        "PIT enrichment as an as-of union window: one hash exchange on "
+        "user_id serves interval build, carry-forward, and the event "
+        "filter — no range join, no nested loop."
+    ),
+    "t22_boilerplate_removal": (
+        "Segment df groupBy, one-row-per-segment equi-join attach, "
+        "per-doc sort_array reassembly — hot segments never pair."
+    ),
+    "s2_lsh_ann": (
+        "Bucket fan-out explode, (table, bucket) equi-join against the "
+        "broadcast query buckets, per-query top-k window."
+    ),
+    "a24_rolling_active_users": (
+        "(user, day) dedup, bounded 7-day coverage explode, second "
+        "dedup, per-day counts — distinct-over-window without a self-"
+        "join."
+    ),
 }
 
 
