@@ -108,6 +108,7 @@ HEADLINE = [
     "t24_bigram_perplexity",
     "t25_keyword_extraction",
     "a24_rolling_active_users",
+    "m6_phash_dedup",
 ]
 
 

@@ -294,3 +294,30 @@ def test_rolling_active_users_vs_bruteforce(spark):
         assert out[day].dau == len(dau)
         assert out[day].wau_7 == len(wau)
         assert out[day].wau_7 >= out[day].dau
+
+
+def test_phash_dedup_finds_planted_copies(spark):
+    """Exact copies hash to hamming 0; one-pixel perturbations stay
+    within the hamming threshold; corrupt blobs never pair."""
+    from x17a5_spark.queries.multimodal import M6_HAM_T, m6_phash_dedup
+
+    rows = m6_phash_dedup(spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    def src(media_id):
+        if media_id >= 500000:
+            return media_id - 500000
+        if media_id >= 400000:
+            return media_id - 400000
+        return media_id
+
+    for (a, b), h in pairs.items():
+        assert 0 <= h <= M6_HAM_T
+        # corrupt source docs (doc % 13 == 0) can never appear
+        assert src(a) % 13 != 0 and src(b) % 13 != 0
+    # every non-corrupt planted exact copy pairs at hamming 0
+    exact = [(a, b) for (a, b) in pairs if b == a + 500000]
+    for a, b in exact:
+        assert pairs[(a, b)] == 0
+    assert exact, "no exact-copy pairs found"
+    near = [(a, b) for (a, b) in pairs if b == a + 400000]
+    assert near, "no perturbed near-dup pairs found"

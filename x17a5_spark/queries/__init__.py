@@ -58,8 +58,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # 4 (t22 boilerplate segment removal, t23 quality-weighted importance
 # sampling, st8 TTL dedup) take the slots of a14/d9/d10, and the second
 # round-4 batch (j14 PIT join, t24 bigram LM, t25 tf-idf keywords, a24
-# rolling active users) takes d11/d12/s4/s5 — all six displaced rows
-# are green in CORRECTNESS_r03 and unchanged since.
+# rolling active users) takes d11/d12/s4/s5, and m6 (perceptual-hash
+# image dedup) takes m4 — all displaced rows are green in
+# CORRECTNESS_r03 and unchanged since.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -73,8 +74,8 @@ WINDOW_ORDER = [
     "s3_ivf_probe",
     "j14_pit_join",
     "s6_int8_quantize",
-    "m4_frame_sample",
     "m5_patch_grid",
+    "m6_phash_dedup",
     "t17_bpe_pair_counts",
     "t18_bpe_train",
     "t19_hll_distinct",

@@ -305,10 +305,206 @@ FROM documents WHERE doc_id % 13 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# M6 — perceptual-hash (aHash) image dedup: the multimodal arm of the
+# dedup family. Real 8-bit grayscale PNGs are synthesized per doc
+# (Sub-filtered scanlines — a different unfilter path than m3's Up),
+# decoded back through the stdlib codec, average-hashed (bit i set iff
+# pixel i > image mean, strict integer compare px*64 > sum so no
+# float), and near-duplicate pairs are found by d4's banded-Hamming
+# pattern: 4 x 16-bit bands, pigeonhole guarantees hamming <= 3 pairs
+# share >= 1 exact band, confirm computes true Hamming on candidates
+# only. Planted: one-pixel perturbations (media_id + 400000, hamming
+# small but > 0) and exact copies (media_id + 500000, hamming 0);
+# corrupt blobs (doc_id % 13 == 0) decode to NULL and can never pair.
+#
+# What the hash match proves: the ENTIRE encode -> PNG bytes -> Arrow
+# -> stdlib decode -> hash path reproduces the closed-form pixel
+# formula the oracle evaluates directly — a bit-exact codec round-trip
+# under a downstream analytic, not just a header parse.
+#
+# Scale: hashing is one Arrow batch pass per image (O(pixels)); the
+# band self-join is an equi-join on (band, value) — candidates bounded
+# by true collisions, never all-pairs; the Hamming confirm joins only
+# candidate ids. The same shape d4 uses for text SimHash.
+# ---------------------------------------------------------------------------
+
+M6_W = M6_H = 8
+M6_HAM_T = 3  # pigeonhole-complete for 4 bands
+
+
+def _m6_pixel_expr(doc: str, i: str, perturbed: str) -> str:
+    """Closed-form pixel value (SQL spelling), row-major index i.
+
+    md5-derived so every doc's image is DISTINCT noise (a linear
+    doc-dependent gradient collapses to 251 equivalence classes and
+    floods the hash with accidental near-dups); accidental hamming<=3
+    collisions between 64-bit hashes of independent noise are ~never,
+    so surviving pairs are exactly the planted ones."""
+    return (
+        f"(CAST('0x' || md5({doc} || 'px' || {i})[1:8] AS BIGINT)"
+        f" + CASE WHEN {perturbed} AND {i} = 0 THEN 128 ELSE 0 END) % 251"
+    )
+
+
+def m6_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from x17a5_spark.sources.multimodal import (
+        decode_png_pixels,
+        encode_png_gray,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(F.col("doc_id").alias("media_id"),
+                       F.col("doc_id").alias("doc"),
+                       F.lit(False).alias("perturbed"))
+    near = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 400000).alias("media_id"),
+        F.col("doc_id").alias("doc"),
+        F.lit(True).alias("perturbed"),
+    )
+    exact = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 500000).alias("media_id"),
+        F.col("doc_id").alias("doc"),
+        F.lit(False).alias("perturbed"),
+    )
+    imgs = base.unionByName(near).unionByName(exact)
+
+    def enc(batches):
+        import hashlib
+
+        for pdf in batches:
+            blobs = []
+            for mid, doc, pert in zip(
+                pdf["media_id"], pdf["doc"], pdf["perturbed"]
+            ):
+                if doc % 13 == 0:
+                    blobs.append(b"junk")
+                    continue
+                px = [
+                    (
+                        int(
+                            hashlib.md5(f"{doc}px{i}".encode()).hexdigest()[:8],
+                            16,
+                        )
+                        + (128 if pert and i == 0 else 0)
+                    )
+                    % 251
+                    for i in range(M6_W * M6_H)
+                ]
+                blobs.append(encode_png_gray(M6_W, M6_H, px))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "media": blobs})
+
+    media = imgs.mapInPandas(enc, "media_id bigint, media binary")
+
+    def hash_bits(batches):
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    w, h, ch, raw = decode_png_pixels(bytes(blob))
+                    px = list(raw)
+                    total = sum(px)
+                    bits = [1 if v * len(px) > total else 0 for v in px]
+                    out.append((mid, bits))
+                except Exception:
+                    pass  # corrupt blobs can never pair
+            yield pd.DataFrame(
+                {"media_id": [m for m, _ in out], "bits": [b for _, b in out]}
+            )
+
+    hashed = media.mapInPandas(hash_bits, "media_id bigint, bits array<int>")
+    bits = hashed.select(
+        "media_id", F.posexplode("bits").alias("i", "bit")
+    )
+    bands = bits.groupBy(
+        "media_id", (F.col("i") / 16).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.col("bit")
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 16 AS INT))")
+        ).cast("long").alias("v")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ba = bits.select(F.col("media_id").alias("id_a"), "i", F.col("bit").alias("bit_a"))
+    bb = bits.select(F.col("media_id").alias("id_b"), "i", F.col("bit").alias("bit_b"))
+    ham = (
+        cand.join(ba, "id_a")
+        .join(bb, ["id_b", "i"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("bit_a") != F.col("bit_b")).cast("int"))
+            .cast("long")
+            .alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= M6_HAM_T)
+
+
+_M6_PX = _m6_pixel_expr("doc", "i", "perturbed")
+
+M6_SQL = f"""
+WITH imgs AS (
+  SELECT doc_id AS media_id, doc_id AS doc, false AS perturbed FROM documents
+  UNION ALL
+  SELECT doc_id + 400000, doc_id, true FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 500000, doc_id, false FROM documents WHERE doc_id % 9 = 0
+),
+ok AS (SELECT * FROM imgs WHERE doc % 13 <> 0),
+px AS (
+  SELECT media_id, i, {_M6_PX} AS v
+  FROM ok CROSS JOIN (SELECT unnest(range(0, {M6_W * M6_H})) AS i)
+),
+tot AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS total FROM px GROUP BY 1),
+bits AS (
+  SELECT px.media_id, px.i,
+         CASE WHEN px.v * {M6_W * M6_H} > t.total THEN 1 ELSE 0 END AS bit
+  FROM px JOIN tot t USING (media_id)
+),
+bands AS (
+  SELECT media_id, CAST(i // 16 AS INT) AS band,
+         CAST(sum(bit * (1 << (i % 16))) AS BIGINT) AS v
+  FROM bits GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v = b.v AND a.media_id < b.media_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT)
+             AS hamming
+  FROM cand c
+  JOIN bits ba ON ba.media_id = c.id_a
+  JOIN bits bb ON bb.media_id = c.id_b AND bb.i = ba.i
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {M6_HAM_T}
+"""
+
+
 QUERIES = {
     "m1_multimodal_decode": m1_multimodal_decode,
     "m2_multimodal_features": m2_multimodal_features,
     "m3_png_pixel_stats": m3_png_pixel_stats,
+    "m6_phash_dedup": m6_phash_dedup,
     "m4_frame_sample": m4_frame_sample,
     "m5_patch_grid": m5_patch_grid,
 }
@@ -317,6 +513,7 @@ ORACLES = {
     "m1_multimodal_decode": M1_SQL,
     "m2_multimodal_features": M2_SQL,
     "m3_png_pixel_stats": M3_SQL,
+    "m6_phash_dedup": M6_SQL,
     "m4_frame_sample": M4_SQL,
     "m5_patch_grid": M5_SQL,
 }

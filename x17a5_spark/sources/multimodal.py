@@ -120,6 +120,28 @@ def encode_png_constant(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
     )
 
 
+def encode_png_gray(w: int, h: int, pixels: list[int]) -> bytes:
+    """Minimal real PNG encoder: non-interlaced 8-bit GRAYSCALE with
+    Sub-filtered scanlines (deltas from the left neighbour), so decoding
+    exercises the Sub unfilter path the constant encoder doesn't.
+    ``pixels`` is row-major, length w*h."""
+    raw = bytearray()
+    for row in range(h):
+        line = pixels[row * w : (row + 1) * w]
+        raw.append(1)  # Sub filter
+        prev = 0
+        for v in line:
+            raw.append((v - prev) & 0xFF)
+            prev = v
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png_pixels(content: bytes) -> tuple[int, int, int, bytearray]:
     """Pure-stdlib pixel decode for non-interlaced 8-bit PNG: inflate
     the IDAT stream and undo the per-scanline filters (spec §9).
