@@ -109,6 +109,7 @@ HEADLINE = [
     "t25_keyword_extraction",
     "a24_rolling_active_users",
     "m6_phash_dedup",
+    "k10_curriculum_order",
 ]
 
 

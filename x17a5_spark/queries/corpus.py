@@ -864,6 +864,76 @@ UNION ALL SELECT '6_quota', source, count(*) FROM s5 GROUP BY 2
 E6_SQL = _e6_sql()
 
 
+# ---------------------------------------------------------------------------
+# K10 — curriculum ordering: the training-order family's third member
+# (t16 = uniform epoch shuffle, k7-k9 = packing, k10 = quality-phased
+# curriculum). Docs are bucketed into phases by FIXED quality
+# thresholds (easy/high-quality first — fixed cutoffs, not ntile: a
+# global ntile is a full sort, and fixed cutoffs are also what makes
+# incremental re-runs stable when new data arrives), then shuffled
+# deterministically WITHIN each (phase, shard) by the t16 md5 order.
+# Training reads phases in order, shards in parallel.
+#
+# Scale: one stateless scoring scan + one window per (phase, shard) —
+# S * P independent small sorts, never a global one.
+# ---------------------------------------------------------------------------
+
+K10_SHARDS = 8
+K10_SEED = 17
+K10_CUTS = (0.55, 0.45)  # quality >= .55 -> phase 0; >= .45 -> 1; else 2
+
+
+def k10_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    q = F.size(F.array_distinct(toks)) / F.size(toks)
+    phase = (
+        F.when(q >= K10_CUTS[0], 0).when(q >= K10_CUTS[1], 1).otherwise(2)
+    )
+    h = F.md5(F.concat(F.lit(f"cur:{K10_SEED}:"), F.col("doc_id")))
+    hashed = docs.select(
+        "doc_id",
+        F.round(q, 6).alias("quality"),
+        phase.cast("int").alias("phase"),
+        h.alias("h"),
+    ).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("h", 1, 15), 16, 10).cast("long"),
+            F.lit(K10_SHARDS),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("phase", "shard").orderBy("h", "doc_id")
+    return hashed.withColumn(
+        "position", F.row_number().over(w)
+    ).select("doc_id", "quality", "phase", "shard", "position")
+
+
+_K10_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+K10_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(list_distinct({_K10_TOKS}))
+           / CAST(len({_K10_TOKS}) AS DOUBLE) AS q,
+         md5('cur:{K10_SEED}:' || doc_id) AS h
+  FROM documents
+),
+phased AS (
+  SELECT doc_id, round(q, 6) AS quality,
+         CAST(CASE WHEN q >= {K10_CUTS[0]} THEN 0
+                   WHEN q >= {K10_CUTS[1]} THEN 1 ELSE 2 END AS INT) AS phase,
+         h,
+         CAST(CAST('0x' || h[1:15] AS BIGINT) % {K10_SHARDS} AS INT) AS shard
+  FROM scored
+)
+SELECT doc_id, quality, phase, shard,
+       CAST(row_number() OVER (PARTITION BY phase, shard ORDER BY h, doc_id)
+            AS INT) AS position
+FROM phased
+"""
+
+
 QUERIES = {
     "t6_chunk_documents": t6_chunk_documents,
     "t7_stratified_split": t7_stratified_split,
@@ -871,6 +941,7 @@ QUERIES = {
     "k7_sequence_pack": k7_sequence_pack,
     "k8_sequence_pack_sharded": k8_sequence_pack_sharded,
     "t16_epoch_shuffle": t16_epoch_shuffle,
+    "k10_curriculum_order": k10_curriculum_order,
     "e5_incremental_ingest": e5_incremental_ingest,
     "k9_concat_chunking": k9_concat_chunking,
     "e6_curation_funnel": e6_curation_funnel,
@@ -883,6 +954,7 @@ ORACLES = {
     "k7_sequence_pack": K7_SQL,
     "k8_sequence_pack_sharded": K8_SQL,
     "t16_epoch_shuffle": T16_SQL,
+    "k10_curriculum_order": K10_SQL,
     "e5_incremental_ingest": E5_SQL,
     "k9_concat_chunking": K9_SQL,
     "e6_curation_funnel": E6_SQL,
