@@ -638,7 +638,14 @@ def d13_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cands.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    wc = w.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # persist the candidate-pruned weights (bounded by the duplicate
+    # rate): the two confirm joins each probe this table — without the
+    # persist every execution re-scans the FULL cached weight table
+    # through the semi join (the d3 cand_sh lesson; measured ~2.1 s ->
+    # ~0.9 s steady at sf0.1)
+    wc = w.join(F.broadcast(cand_docs), "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     wa = wc.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
     wb = wc.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
     dots = (

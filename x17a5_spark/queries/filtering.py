@@ -394,6 +394,8 @@ def t22_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = tokens(F.col("text"))
     n_seg = F.ceil(F.size(toks) / T22_K).cast("int")
+    from pyspark import StorageLevel
+
     segs = docs.select(
         "doc_id",
         F.posexplode(
@@ -408,7 +410,9 @@ def t22_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("pos", "seg"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ three consumers (df table, removal join, per-doc stats) — the
+    # persist stops each from re-running the corpus-wide explode
     df_counts = segs.groupBy("seg").agg(
         F.countDistinct("doc_id").alias("df")
     )
