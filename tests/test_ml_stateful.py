@@ -79,3 +79,55 @@ def test_streaming_dedup_first(spark, tmp_path):
     )
     for _, row in got.iterrows():
         assert row["first_ts"] == expected.loc[row["dedup_key"], "first_ts"]
+
+
+def test_streaming_ttl_dedup_matches_batch_twin(spark, tmp_path):
+    """The applyInPandasWithState TTL dedup must emit exactly the kept
+    set of its declarative batch twin (st8) when micro-batches arrive
+    in event-time order — state carries the chain across batches."""
+    import os
+
+    from x17a5_spark.queries.streaming import ST8_TTL_US, st8_ttl_dedup
+    from x17a5_spark.streaming.stateful import streaming_ttl_dedup
+
+    src = os.path.join(tmp_path, "ttl_src")
+    ev = load_table(spark, SF, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    # three time-ordered chunks -> three micro-batches, so the TTL
+    # chain must survive state hand-off, not just within-batch sorting
+    lo, hi = ev.agg(F.min("us"), F.max("us")).first()
+    step = (hi - lo) // 3 + 1
+    for i in range(3):
+        ev.filter(
+            (F.col("us") >= lo + i * step) & (F.col("us") < lo + (i + 1) * step)
+        ).coalesce(1).write.parquet(os.path.join(src, f"chunk={i}"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, event_id long, us long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    q = (
+        streaming_ttl_dedup(stream, ST8_TTL_US)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.event_type, r.kept_event_id, r.kept_us)
+        for r in spark.sql("SELECT * FROM ttl_out").collect()
+    }
+    want = {
+        (r.user_id, r.event_type, r.kept_event_id, r.kept_us)
+        for r in st8_ttl_dedup(spark, SF).collect()
+    }
+    assert got == want
