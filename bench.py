@@ -110,6 +110,7 @@ HEADLINE = [
     "a24_rolling_active_users",
     "m6_phash_dedup",
     "k10_curriculum_order",
+    "e7_dedup_audit",
 ]
 
 

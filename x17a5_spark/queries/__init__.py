@@ -59,8 +59,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # sampling, st8 TTL dedup) take the slots of a14/d9/d10, and the second
 # round-4 batch (j14 PIT join, t24 bigram LM, t25 tf-idf keywords, a24
 # rolling active users) takes d11/d12/s4/s5, and m6 (perceptual-hash
-# image dedup) takes m4 and k10 (curriculum ordering) takes a15 — all
-# displaced rows are green in CORRECTNESS_r03 and unchanged since.
+# image dedup) takes m4, k10 (curriculum ordering) takes a15, and e7
+# (per-source dedup audit) takes a16 — all displaced rows are green in
+# CORRECTNESS_r03 and unchanged since.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -91,12 +92,12 @@ WINDOW_ORDER = [
     "e4_corpus_pipeline",
     "e5_incremental_ingest",
     "e6_curation_funnel",
+    "e7_dedup_audit",
     # --- streaming ---
     "st4_watermark_drop",
     "st7_rate_anomaly",
     "st8_ttl_dedup",
     # --- analytics / joins / graph / maintenance ---
-    "a16_unpivot",
     "a17_sample_quantiles",
     "a18_histogram",
     "a19_incremental_agg",

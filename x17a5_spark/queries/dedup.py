@@ -265,8 +265,9 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-D3_SQL = f"""
-WITH {_AUG_SQL.strip()},
+# CTE chain through confirmed-candidate common counts — shared by
+# D3_SQL and the e7 audit report (identical semantics, one spelling).
+_D3_CHAIN = f"""{_AUG_SQL.strip()},
 {_SHINGLES_SQL.strip()},
 hashed AS (
   SELECT doc_id, md5(shingle) AS h,
@@ -301,7 +302,10 @@ common AS (
   JOIN shingles sa ON sa.doc_id = c.id_a
   JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
   GROUP BY 1, 2
-)
+)"""
+
+D3_SQL = f"""
+WITH {_D3_CHAIN}
 SELECT id_a, id_b,
        round(n_common / (za.n_shingles + zb.n_shingles - n_common), 6) AS jaccard
 FROM common
@@ -713,6 +717,110 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM dots WHERE cos >= {D13_TAU}
 """
 
 
+# ---------------------------------------------------------------------------
+# E7 — dedup audit report: the per-source duplication summary a corpus
+# owner reads before deciding retention policy. Composes d3's confirmed
+# near-dup pairs (planted 90%-truncation copies + organic collisions)
+# with source attribution: per source — corpus size, docs involved in
+# at least one near-dup pair, the dup-doc rate, pair count (attributed
+# to the left endpoint's source) and the average confirmed Jaccard
+# (micro-integer summed, e4's order-independent mean discipline).
+#
+# Scale: everything downstream of d3's bounded candidate machinery is
+# small (pairs are duplicate-rate-sized); attribution joins are key
+# equi-joins against the slim (doc_id, source) map.
+# ---------------------------------------------------------------------------
+
+
+def e7_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d3_minhash_lsh(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # copies (doc_id + 100000) belong to their base doc's source
+    aug_src = src.unionByName(
+        src.select((F.col("doc_id") + 100000).alias("doc_id"), "source")
+    )
+    n_docs = aug_src.groupBy("source").agg(F.count("*").alias("n_docs"))
+    involved = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .join(aug_src, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_near_dup_docs"))
+    )
+    jac_micro = F.round(F.col("jaccard") * 1e6).cast("long")
+    per_pair = (
+        pairs.join(
+            aug_src.select(F.col("doc_id").alias("id_a"), "source"), "id_a"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(jac_micro).cast("long").alias("jac_sum"),
+        )
+    )
+    return (
+        n_docs.join(involved, "source", "left")
+        .join(per_pair, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_near_dup_docs", F.lit(0)).alias("n_near_dup_docs"),
+            F.round(
+                F.coalesce("n_near_dup_docs", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("near_dup_rate"),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.round(
+                F.coalesce(F.col("jac_sum") / F.col("n_pairs") / 1e6, F.lit(0.0)),
+                6,
+            ).alias("avg_jaccard"),
+        )
+    )
+
+
+E7_SQL = "WITH " + _D3_CHAIN + """
+, pairs AS (
+  SELECT id_a, id_b,
+         round(n_common / (za.n_shingles + zb.n_shingles - n_common), 6)
+             AS jaccard
+  FROM common
+  JOIN sizes za ON za.doc_id = id_a
+  JOIN sizes zb ON zb.doc_id = id_b
+  WHERE round(n_common / (za.n_shingles + zb.n_shingles - n_common), 6) >= 0.5
+),
+aug_src AS (
+  SELECT doc_id, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, source FROM documents
+),
+nd AS (SELECT source, count(*) AS n_docs FROM aug_src GROUP BY 1),
+involved AS (
+  SELECT s.source, count(*) AS n_near_dup_docs
+  FROM (SELECT DISTINCT doc_id FROM (
+          SELECT id_a AS doc_id FROM pairs
+          UNION ALL SELECT id_b FROM pairs)) d
+  JOIN aug_src s USING (doc_id)
+  GROUP BY 1
+),
+per_pair AS (
+  SELECT s.source, count(*) AS n_pairs,
+         CAST(sum(CAST(round(p.jaccard * 1e6) AS BIGINT)) AS BIGINT) AS jac_sum
+  FROM pairs p JOIN aug_src s ON s.doc_id = p.id_a
+  GROUP BY 1
+)
+SELECT n.source, n.n_docs,
+       coalesce(i.n_near_dup_docs, 0) AS n_near_dup_docs,
+       round(coalesce(i.n_near_dup_docs, 0) / CAST(n.n_docs AS DOUBLE), 6)
+           AS near_dup_rate,
+       coalesce(p.n_pairs, 0) AS n_pairs,
+       round(coalesce(p.jac_sum / CAST(p.n_pairs AS DOUBLE) / 1e6, 0.0), 6)
+           AS avg_jaccard
+FROM nd n
+LEFT JOIN involved i USING (source)
+LEFT JOIN per_pair p USING (source)
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
@@ -722,6 +830,7 @@ QUERIES = {
     "d9_substring_dedup": d9_substring_dedup,
     "d11_sorted_neighborhood": d11_sorted_neighborhood,
     "d13_sparse_cosine_join": d13_sparse_cosine_join,
+    "e7_dedup_audit": e7_dedup_audit,
 }
 
 ORACLES = {
@@ -733,4 +842,5 @@ ORACLES = {
     "d9_substring_dedup": D9_SQL,
     "d11_sorted_neighborhood": D11_SQL,
     "d13_sparse_cosine_join": D13_SQL,
+    "e7_dedup_audit": E7_SQL,
 }
