@@ -111,6 +111,7 @@ HEADLINE = [
     "m6_phash_dedup",
     "k10_curriculum_order",
     "e7_dedup_audit",
+    "a26_ks_test",
 ]
 
 

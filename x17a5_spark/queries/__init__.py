@@ -60,8 +60,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-4 batch (j14 PIT join, t24 bigram LM, t25 tf-idf keywords, a24
 # rolling active users) takes d11/d12/s4/s5, and m6 (perceptual-hash
 # image dedup) takes m4, k10 (curriculum ordering) takes a15, and e7
-# (per-source dedup audit) takes a16 — all displaced rows are green in
-# CORRECTNESS_r03 and unchanged since.
+# (per-source dedup audit) takes a16 and a26 (two-sample KS drift test)
+# takes a17 — all displaced rows are green in CORRECTNESS_r03 and
+# unchanged since.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -98,7 +99,6 @@ WINDOW_ORDER = [
     "st7_rate_anomaly",
     "st8_ttl_dedup",
     # --- analytics / joins / graph / maintenance ---
-    "a17_sample_quantiles",
     "a18_histogram",
     "a19_incremental_agg",
     "a20_event_funnel",
@@ -106,6 +106,7 @@ WINDOW_ORDER = [
     "a22_robust_outliers",
     "a23_cumulative_distinct",
     "a24_rolling_active_users",
+    "a26_ks_test",
     "j9_range_join",
     "j10_salted_skew_join",
     "j11_bloom_semi_join",

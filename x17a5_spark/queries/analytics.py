@@ -494,6 +494,99 @@ SELECT day, dau, wau_7 FROM dau JOIN wau USING (day)
 """
 
 
+# ---------------------------------------------------------------------------
+# A26 — two-sample Kolmogorov-Smirnov statistic per source pair: the
+# distribution-drift monitor (is src_k's order-value distribution the
+# same as the reference source's?). D = max |ECDF_a(x) - ECDF_b(x)|
+# evaluated at the pooled sample points — exact, not binned.
+#
+# Scale shape: ECDFs via rank windows partitioned BY SOURCE (each
+# source sorts only its own values), then a pooled merge per pair
+# ordered by value with carry-forward of each side's last rank — the
+# as-of union trick again, so no cross-pair value join materializes.
+# For the bounded source set here the pooled window partitions by
+# pair; per-pair data is two sources' worth, the same partition-sort
+# cost profile as any per-key window. Values are exact DECIMAL-cast
+# doubles; D is a max of exact rational differences rounded once.
+# ---------------------------------------------------------------------------
+
+A26_REF = "src0"
+
+
+def a26_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("x")
+    )
+    ref = docs.filter(F.col("source") == A26_REF).select(
+        F.lit(0).alias("side"), "x"
+    )
+    others = docs.filter(F.col("source") != A26_REF).select(
+        "source", F.lit(1).alias("side"), "x"
+    )
+    counts_o = others.groupBy("source").agg(F.count("*").alias("n_b"))
+    # n_a stays IN the plan (broadcast 1-row aggregate, the g2 rule:
+    # construction must not run an eager action)
+    counts_a = ref.agg(F.count("*").alias("n_a"))
+    pooled = others.unionByName(
+        ref.crossJoin(counts_o.select("source")).select("source", "side", "x")
+    )
+    w = Window.partitionBy("source").orderBy(
+        "x", "side"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = pooled.select(
+        "source",
+        "x",
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).over(w).alias("ca"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).over(w).alias("cb"),
+    )
+    d_expr = F.abs(
+        F.col("ca") / F.col("n_a").cast("double") - F.col("cb") / F.col("n_b")
+    )
+    return (
+        cum.join(F.broadcast(counts_o), "source")
+        .crossJoin(F.broadcast(counts_a))
+        .groupBy("source", "n_a")
+        .agg(F.round(F.max(d_expr), 6).alias("ks_d"), F.max("n_b").alias("n_b"))
+        .select("source", "n_a", "n_b", "ks_d")
+    )
+
+
+A26_SQL = f"""
+WITH ref AS (
+  SELECT 0 AS side, CAST(n_chars AS DOUBLE) AS x
+  FROM documents WHERE source = '{A26_REF}'
+),
+others AS (
+  SELECT source, 1 AS side, CAST(n_chars AS DOUBLE) AS x
+  FROM documents WHERE source <> '{A26_REF}'
+),
+counts_o AS (SELECT source, count(*) AS n_b FROM others GROUP BY 1),
+n_a AS (SELECT count(*) AS n_a FROM ref),
+pooled AS (
+  SELECT source, side, x FROM others
+  UNION ALL
+  SELECT c.source, r.side, r.x FROM ref r CROSS JOIN counts_o c
+),
+cum AS (
+  SELECT source, x,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY source ORDER BY x, side
+                 ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY source ORDER BY x, side
+                 ROWS UNBOUNDED PRECEDING) AS cb
+  FROM pooled
+)
+SELECT c.source, CAST(n_a.n_a AS BIGINT) AS n_a, o.n_b,
+       round(max(abs(c.ca / CAST(n_a.n_a AS DOUBLE) - c.cb / CAST(o.n_b AS DOUBLE))), 6)
+           AS ks_d
+FROM cum c
+JOIN counts_o o USING (source)
+CROSS JOIN n_a
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "a14_percentiles": a14_percentiles,
     "a15_grouping_sets": a15_grouping_sets,
@@ -506,6 +599,7 @@ QUERIES = {
     "a22_robust_outliers": a22_robust_outliers,
     "a23_cumulative_distinct": a23_cumulative_distinct,
     "a24_rolling_active_users": a24_rolling_active_users,
+    "a26_ks_test": a26_ks_test,
 }
 
 ORACLES = {
@@ -520,4 +614,5 @@ ORACLES = {
     "a22_robust_outliers": A22_SQL,
     "a23_cumulative_distinct": A23_SQL,
     "a24_rolling_active_users": A24_SQL,
+    "a26_ks_test": A26_SQL,
 }
