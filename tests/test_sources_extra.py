@@ -174,3 +174,40 @@ def test_cross_validated_tuner(spark):
         )
     )
     assert preds.first()["predicted_label"] == "Cash"
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """S-family breadth: native ORC sink/scan round-trip; predicate
+    reaches the ORC reader (searchArgument pushdown)."""
+    import os
+
+    from x17a5_spark.tables import load_table
+
+    path = os.path.join(tmp_path, "orders_orc")
+    load_table(spark, "/root/testdata/sf0.001", "orders").write.orc(path)
+    back = spark.read.orc(path).filter("o_orderkey % 100 = 0")
+    want = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .filter("o_orderkey % 100 = 0")
+        .count()
+    )
+    assert back.count() == want
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """S-family breadth: Spark 4 native XML source — write rowTag
+    records, read them back schema-inferred, values intact."""
+    import os
+
+    path = os.path.join(tmp_path, "region_xml")
+    df = spark.createDataFrame(
+        [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA")], ["r_regionkey", "r_name"]
+    )
+    df.write.format("xml").option("rootTag", "regions").option(
+        "rowTag", "region"
+    ).save(path)
+    back = spark.read.format("xml").option("rowTag", "region").load(path)
+    got = {(r.r_regionkey, r.r_name) for r in back.collect()}
+    assert got == {(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA")}
