@@ -112,6 +112,8 @@ HEADLINE = [
     "k10_curriculum_order",
     "e7_dedup_audit",
     "a26_ks_test",
+    "a27_correlation_matrix",
+    "t26_token_entropy",
 ]
 
 

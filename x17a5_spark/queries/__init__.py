@@ -60,9 +60,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round-4 batch (j14 PIT join, t24 bigram LM, t25 tf-idf keywords, a24
 # rolling active users) takes d11/d12/s4/s5, and m6 (perceptual-hash
 # image dedup) takes m4, k10 (curriculum ordering) takes a15, and e7
-# (per-source dedup audit) takes a16 and a26 (two-sample KS drift test)
-# takes a17 — all displaced rows are green in CORRECTNESS_r03 and
-# unchanged since.
+# (per-source dedup audit) takes a16, a26 (KS drift test) takes a17,
+# and a27 (correlation matrix) + t26 (token entropy) take a18/a19 —
+# all displaced rows are green in CORRECTNESS_r03 and unchanged since.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -84,6 +84,7 @@ WINDOW_ORDER = [
     "t21_zipf_fit",
     "t24_bigram_perplexity",
     "t25_keyword_extraction",
+    "t26_token_entropy",
     "f22_url_extract",
     "t22_boilerplate_removal",
     "t23_quality_sampling",
@@ -99,14 +100,13 @@ WINDOW_ORDER = [
     "st7_rate_anomaly",
     "st8_ttl_dedup",
     # --- analytics / joins / graph / maintenance ---
-    "a18_histogram",
-    "a19_incremental_agg",
     "a20_event_funnel",
     "a21_cohort_retention",
     "a22_robust_outliers",
     "a23_cumulative_distinct",
     "a24_rolling_active_users",
     "a26_ks_test",
+    "a27_correlation_matrix",
     "j9_range_join",
     "j10_salted_skew_join",
     "j11_bloom_semi_join",

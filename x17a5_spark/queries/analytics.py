@@ -587,6 +587,79 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# A27 — pairwise Pearson correlation matrix over lineitem's numeric
+# columns, ONE scan: every pairwise sum (n, Σx, Σx², Σxy) rides a
+# single map-side-combined aggregation to one row — no per-pair passes,
+# no unpivot self-join. Sums go through exact DECIMAL (f15's
+# normal-equations discipline) so r is partition-order independent;
+# the final arithmetic is driver-free column math on the 1-row result.
+# ---------------------------------------------------------------------------
+
+A27_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def a27_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itertools import combinations
+
+    from x17a5_spark.functions.compat import to_dec
+
+    li = load_table(spark, sf_dir, "lineitem", fanout=True)
+    aggs = [F.count("*").alias("n")]
+    for c in A27_COLS:
+        aggs.append(F.sum(to_dec(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(to_dec(F.col(c) * F.col(c))).cast("double").alias(f"ss_{c}")
+        )
+    for a, b in combinations(A27_COLS, 2):
+        aggs.append(
+            F.sum(to_dec(F.col(a) * F.col(b))).cast("double").alias(f"sp_{a}_{b}")
+        )
+    stats = li.agg(*aggs)
+    pairs = None
+    for a, b in combinations(A27_COLS, 2):
+        num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        row = stats.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.round(num / den, 6).alias("pearson_r"),
+        )
+        pairs = row if pairs is None else pairs.unionByName(row)
+    return pairs
+
+
+def _a27_sql() -> str:
+    from itertools import combinations
+
+    from x17a5_spark.functions.compat import dec_sql
+
+    sums = ["count(*) AS n"]
+    for c in A27_COLS:
+        sums.append(f"{dec_sql(c)} AS s_{c}")
+        sums.append(f"{dec_sql(f'{c} * {c}')} AS ss_{c}")
+    for a, b in combinations(A27_COLS, 2):
+        sums.append(f"{dec_sql(f'{a} * {b}')} AS sp_{a}_{b}")
+    rows = []
+    for a, b in combinations(A27_COLS, 2):
+        rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"round((n * sp_{a}_{b} - s_{a} * s_{b}) / "
+            f"sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b})), 6)"
+            f" AS pearson_r FROM stats"
+        )
+    return (
+        "WITH stats AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(rows)
+    )
+
+
+A27_SQL = _a27_sql()
+
+
 QUERIES = {
     "a14_percentiles": a14_percentiles,
     "a15_grouping_sets": a15_grouping_sets,
@@ -600,6 +673,7 @@ QUERIES = {
     "a23_cumulative_distinct": a23_cumulative_distinct,
     "a24_rolling_active_users": a24_rolling_active_users,
     "a26_ks_test": a26_ks_test,
+    "a27_correlation_matrix": a27_correlation_matrix,
 }
 
 ORACLES = {
@@ -615,4 +689,5 @@ ORACLES = {
     "a23_cumulative_distinct": A23_SQL,
     "a24_rolling_active_users": A24_SQL,
     "a26_ks_test": A26_SQL,
+    "a27_correlation_matrix": A27_SQL,
 }

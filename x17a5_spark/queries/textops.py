@@ -605,6 +605,71 @@ FROM ranked WHERE rank <= {T25_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# T26 — per-source token Shannon entropy: the corpus-diversity monitor
+# (low entropy = templated/boilerplate-heavy source; pairs with t21's
+# Zipf slope). H = -sum p ln p over each source's token distribution.
+#
+# Cross-engine float discipline (t13's): each token's p*ln(p)
+# contribution is computed once in the bounded (source, token) vocab
+# table, rounded to 9 decimals, then summed through exact DECIMAL —
+# partition-order independent, hash-stable.
+#
+# Scale: one (source, token) groupBy (map-side combined) + a per-source
+# 1-row rollup; the vocab table is Heaps-law-bounded, never corpus-
+# sized.
+# ---------------------------------------------------------------------------
+
+
+def t26_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tok = docs.select("source", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+    counts = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+    )
+    p = F.col("c") / F.col("n_tokens")
+    plp = F.round(p * F.log(p), 9).cast("decimal(27,12)")
+    ent = (
+        counts.join(totals.select("source", "n_tokens"), "source")
+        .groupBy("source")
+        .agg((-F.sum(plp)).cast("double").alias("h_raw"))
+    )
+    return totals.join(ent, "source").select(
+        "source",
+        "n_tokens",
+        F.col("vocab").alias("vocab_size"),
+        F.round("h_raw", 6).alias("entropy_nats"),
+    )
+
+
+T26_SQL = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+counts AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+totals AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab
+  FROM counts GROUP BY 1
+),
+ent AS (
+  SELECT c.source,
+         CAST(-sum(CAST(round(c.c / CAST(t.n_tokens AS DOUBLE)
+                              * ln(c.c / CAST(t.n_tokens AS DOUBLE)), 9)
+                        AS DECIMAL(27,12))) AS DOUBLE) AS h_raw
+  FROM counts c JOIN totals t USING (source)
+  GROUP BY 1
+)
+SELECT t.source, t.n_tokens, t.vocab AS vocab_size,
+       round(e.h_raw, 6) AS entropy_nats
+FROM totals t JOIN ent e USING (source)
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -617,6 +682,7 @@ QUERIES = {
     "t19_hll_distinct": t19_hll_distinct,
     "t21_zipf_fit": t21_zipf_fit,
     "t25_keyword_extraction": t25_keyword_extraction,
+    "t26_token_entropy": t26_token_entropy,
 }
 
 ORACLES = {
@@ -629,4 +695,5 @@ ORACLES = {
     "t12_kmv_distinct": T12_SQL,
     "t21_zipf_fit": T21_SQL,
     "t25_keyword_extraction": T25_SQL,
+    "t26_token_entropy": T26_SQL,
 }
