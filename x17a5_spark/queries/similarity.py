@@ -8,9 +8,9 @@ scan — no shuffle of the big side at any scale; per-pair math is
 s2 is the scale path: random-hyperplane LSH bucketing (md5-derived
 deterministic hyperplanes), candidates only within matching buckets —
 at 100 TB candidate generation is an equi-join on bucket signature
-instead of a full cross product. Verified by recall against s1 in
-tests/test_similarity.py (no SQL oracle: the bucketing is not naturally
-SQL-expressible; the driver records a rows-only check).
+instead of a full cross product. Hash-checked against a closed-form
+SQL twin (the md5 hyperplanes make bucket assignment SQL-expressible)
+AND recall-checked against s1 in tests/test_dedup_similarity.py.
 """
 
 from __future__ import annotations
@@ -123,9 +123,9 @@ def lsh_bucket_expr(vec: Column, table: int, n_bits: int = BITS_PER_TABLE) -> Co
 # candidate is any vector sharing a bucket with the query in *any* of
 # the hash tables — the OR-of-ANDs construction that trades one
 # bucket-join per table for recall; candidate generation is an
-# equi-join on (table, bucket), never a cross product). Rows-only
-# driver check; recall vs the exact s1 baseline is asserted in
-# tests/test_dedup_similarity.py.
+# equi-join on (table, bucket), never a cross product). Oracle-backed
+# since round 4 (S2_SQL below — closed-form md5 hyperplanes); recall
+# vs the exact s1 baseline is asserted in tests/test_dedup_similarity.py.
 def s2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("vec"))
@@ -336,7 +336,7 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.99
 # cross product. ml/clustering.py::ivf_assign provides the same
 # structure over LEARNED KMeans centroids.
 N_CELLS = 16
-N_PROBE = 2
+N_PROBE = 4  # 4/16 cells probed: recall ~0.55 on the structureless fixture (SCALE.md)
 
 
 def _ivf_centroid(c: int, dim: int = 64) -> list[float]:
