@@ -114,6 +114,7 @@ HEADLINE = [
     "a26_ks_test",
     "a27_correlation_matrix",
     "t26_token_entropy",
+    "s7_trained_ivf",
 ]
 
 

@@ -61,8 +61,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # rolling active users) takes d11/d12/s4/s5, and m6 (perceptual-hash
 # image dedup) takes m4, k10 (curriculum ordering) takes a15, and e7
 # (per-source dedup audit) takes a16, a26 (KS drift test) takes a17,
-# and a27 (correlation matrix) + t26 (token entropy) take a18/a19 —
-# all displaced rows are green in CORRECTNESS_r03 and unchanged since.
+# a27 (correlation matrix) + t26 (token entropy) take a18/a19, and s7
+# (in-plan-trained IVF, unrolled Lloyd) takes j9 — all displaced rows
+# are green in CORRECTNESS_r03 and unchanged since.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -74,6 +75,7 @@ WINDOW_ORDER = [
     "d13_sparse_cosine_join",
     "s2_lsh_ann",
     "s3_ivf_probe",
+    "s7_trained_ivf",
     "j14_pit_join",
     "s6_int8_quantize",
     "m5_patch_grid",
@@ -107,7 +109,6 @@ WINDOW_ORDER = [
     "a24_rolling_active_users",
     "a26_ks_test",
     "a27_correlation_matrix",
-    "j9_range_join",
     "j10_salted_skew_join",
     "j11_bloom_semi_join",
     "j12_scd2_intervals",

@@ -859,10 +859,223 @@ FROM per_el GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# S7 — IVF probe over a TRAINED codebook, trained IN THE PLAN: two
+# unrolled Lloyd (k-means) iterations from the deterministic md5 seeds
+# — the g1-PageRank pattern applied to quantizer training, so the
+# learned-codebook path (ml/clustering.ivf_assign is the MLlib form)
+# gets an exact SQL oracle too. Float discipline per round:
+#   * assignment scores round(|c|^2 - 2 v.c, 6) with cell-id tiebreak
+#     (|v|^2 is constant per vector and cancels from the argmin);
+#   * centroid updates are exact-DECIMAL coordinate sums (round 12 ->
+#     DECIMAL(27,12), d13's discipline) divided by exact counts, so
+#     both engines derive bit-identical round-2 codebooks;
+#   * empty cells keep their previous centroid (LEFT JOIN + coalesce).
+# Search is then s3's shape over the trained cells: flat probe for the
+# O(1) query set, nprobe=4, top-k window.
+#
+# Scale: each round is one broadcast fan-out (N*k scores) + one
+# (cell, dim) aggregation; rounds are unrolled lineage, no iteration
+# state. Real deployments run Lloyd on a SAMPLE — the round count and
+# sample fraction are the knobs, the plan shape is this one.
+# ---------------------------------------------------------------------------
+
+S7_ROUNDS = 2
+
+
+def _assign_to(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, vec) x (c, w) -> (vec_id, c) by argmin squared distance."""
+    wsq = _dot(F.col("w"), F.col("w"))
+    score = F.round(wsq - 2 * _dot(F.col("vec"), F.col("w")), 6)
+    fanned = vecs.select(
+        "vec_id", "vec", F.explode(F.sequence(F.lit(0), F.lit(N_CELLS - 1))).alias("c")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").asc(), F.col("c").asc())
+    return (
+        fanned.join(F.broadcast(cents), "c")
+        .select("vec_id", "c", score.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "c")
+    )
+
+
+def s7_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+    v_long = vecs.select("vec_id", F.posexplode("vec").alias("d", "x"))
+    all_c = spark.createDataFrame([(c,) for c in range(N_CELLS)], "c int")
+    cents = spark.createDataFrame(
+        [(c, _ivf_centroid(c)) for c in range(N_CELLS)], "c int, w array<double>"
+    )
+    for _ in range(S7_ROUNDS):
+        asg = _assign_to(vecs, cents)
+        sums = (
+            v_long.join(asg, "vec_id")
+            .groupBy("c", "d")
+            .agg(
+                F.sum(F.round(F.col("x"), 12).cast("decimal(27,12)"))
+                .cast("double")
+                .alias("s"),
+                F.count("*").alias("n"),
+            )
+        )
+        new_w = sums.groupBy("c").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", (F.col("s") / F.col("n")).alias("m")))),
+                lambda t: t["m"],
+            ).alias("w_new")
+        )
+        cents = (
+            all_c.join(F.broadcast(cents), "c")
+            .join(F.broadcast(new_w), "c", "left")
+            .select("c", F.coalesce("w_new", "w").alias("w"))
+        )
+    assigned = _assign_to(vecs, cents).join(vecs, "vec_id")
+    # query-side probe: nearest nprobe trained cells by the same score
+    wsq = _dot(F.col("w"), F.col("w"))
+    score = F.round(wsq - 2 * _dot(F.col("vec"), F.col("w")), 6)
+    qfan = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "vec", F.explode(F.sequence(F.lit(0), F.lit(N_CELLS - 1))).alias("c")
+    )
+    cw = Window.partitionBy("vec_id").orderBy(F.col("score").asc(), F.col("c").asc())
+    probes = (
+        qfan.join(F.broadcast(cents), "c")
+        .select("vec_id", "c", score.alias("score"))
+        .withColumn("rk", F.row_number().over(cw))
+        .filter(F.col("rk") <= N_PROBE)
+        .select("vec_id", F.col("c").alias("cell"))
+        .join(vecs, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            _norm(F.col("vec")).alias("q_norm"),
+            "cell",
+        )
+    )
+    cands = assigned.select(
+        "vec_id", "vec", _norm(F.col("vec")).alias("norm"), F.col("c").alias("cell")
+    ).join(F.broadcast(probes), "cell").filter(F.col("q_id") != F.col("vec_id"))
+    sim = F.round(
+        _dot(F.col("q_vec"), F.col("vec")) / (F.col("q_norm") * F.col("norm")), 4
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        cands.select("q_id", F.col("vec_id").alias("c_id"), sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "c_id", "cos_sim")
+    )
+
+
+def _s7_round_sql(prev: str, rnd: int) -> str:
+    """One Lloyd round as CTE text: assignment against cent{rnd-1},
+    DECIMAL coordinate means, empty cells keep the previous centroid."""
+    return f"""score{rnd} AS (
+  SELECT v.vec_id, cent.c,
+         round(list_sum(list_transform(cent.w, x -> x * x))
+               - 2 * list_sum(list_transform(range(1, 65),
+                                             i -> v.vec[i] * cent.w[i])), 6)
+             AS score
+  FROM v CROSS JOIN {prev} cent
+),
+asg{rnd} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (
+             PARTITION BY vec_id ORDER BY score ASC, c ASC) AS rk
+    FROM score{rnd}) WHERE rk = 1
+),
+sums{rnd} AS (
+  SELECT a.c, vl.d,
+         CAST(sum(CAST(round(vl.x, 12) AS DECIMAL(27,12))) AS DOUBLE) AS s,
+         count(*) AS n
+  FROM v_long vl JOIN asg{rnd} a USING (vec_id)
+  GROUP BY 1, 2
+),
+neww{rnd} AS (
+  SELECT c, list(s / n ORDER BY d) AS w_new FROM sums{rnd} GROUP BY c
+),
+cent{rnd} AS (
+  SELECT p.c, coalesce(nw.w_new, p.w) AS w
+  FROM {prev} p LEFT JOIN neww{rnd} nw USING (c)
+)"""
+
+
+def _s7_sql() -> str:
+    rounds = ",\n".join(
+        _s7_round_sql("cent0" if r == 1 else f"cent{r-1}", r)
+        for r in range(1, S7_ROUNDS + 1)
+    )
+    last = f"cent{S7_ROUNDS}"
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+             AS norm
+  FROM embeddings
+),
+v_long AS (
+  SELECT vec_id, d, vec[d + 1] AS x
+  FROM v CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+),
+cent0 AS (
+  SELECT c,
+         list_transform(range(0, 64), d ->
+           (CAST('0x' || md5('ivf:' || c || ':' || d)[1:8] AS BIGINT)
+            % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(range(0, {N_CELLS})) AS c)
+),
+{rounds},
+fscore AS (
+  SELECT v.vec_id, cent.c,
+         round(list_sum(list_transform(cent.w, x -> x * x))
+               - 2 * list_sum(list_transform(range(1, 65),
+                                             i -> v.vec[i] * cent.w[i])), 6)
+             AS score
+  FROM v CROSS JOIN {last} cent
+),
+assigned AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c, row_number() OVER (
+             PARTITION BY vec_id ORDER BY score ASC, c ASC) AS rk
+    FROM fscore) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, c AS cell FROM (
+    SELECT vec_id, c, row_number() OVER (
+             PARTITION BY vec_id ORDER BY score ASC, c ASC) AS rk
+    FROM fscore WHERE vec_id < {N_QUERIES}) WHERE rk <= {N_PROBE}
+),
+cands AS (
+  SELECT p.q_id, a.vec_id AS c_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.q_id
+),
+sims AS (
+  SELECT c.q_id, c.c_id,
+         round(list_sum(list_transform(range(1, 65), i -> q.vec[i] * x.vec[i]))
+               / (q.norm * x.norm), 4) AS cos_sim
+  FROM cands c
+  JOIN v q ON q.vec_id = c.q_id
+  JOIN v x ON x.vec_id = c.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim, row_number() OVER (
+           PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, rank, c_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+S7_SQL = _s7_sql()
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_ann": s2_lsh_ann,
     "s3_ivf_probe": s3_ivf_probe,
+    "s7_trained_ivf": s7_trained_ivf,
     "s4_pq_adc": s4_pq_adc,
     "s5_quantile_norm": s5_quantile_norm,
     "s6_int8_quantize": s6_int8_quantize,
@@ -873,6 +1086,7 @@ ORACLES = {
     "s1_cosine_topk": S1_SQL,
     "s2_lsh_ann": S2_SQL,
     "s3_ivf_probe": S3_SQL,
+    "s7_trained_ivf": S7_SQL,
     "s4_pq_adc": S4_SQL,
     "s5_quantile_norm": S5_SQL,
     "s6_int8_quantize": S6_SQL,
