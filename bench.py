@@ -115,6 +115,7 @@ HEADLINE = [
     "a27_correlation_matrix",
     "t26_token_entropy",
     "s7_trained_ivf",
+    "s8_trained_pq",
 ]
 
 

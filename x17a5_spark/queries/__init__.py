@@ -62,8 +62,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # image dedup) takes m4, k10 (curriculum ordering) takes a15, and e7
 # (per-source dedup audit) takes a16, a26 (KS drift test) takes a17,
 # a27 (correlation matrix) + t26 (token entropy) take a18/a19, and s7
-# (in-plan-trained IVF, unrolled Lloyd) takes j9 — all displaced rows
-# are green in CORRECTNESS_r03 and unchanged since.
+# (in-plan-trained IVF, unrolled Lloyd) takes j9 and s8 (trained PQ +
+# exact re-rank) takes j10 — all displaced rows are green in
+# CORRECTNESS_r03 and unchanged since.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -109,7 +110,6 @@ WINDOW_ORDER = [
     "a24_rolling_active_users",
     "a26_ks_test",
     "a27_correlation_matrix",
-    "j10_salted_skew_join",
     "j11_bloom_semi_join",
     "j12_scd2_intervals",
     "j13_upsert_merge",

@@ -1071,12 +1071,251 @@ SELECT q_id, rank, c_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 S7_SQL = _s7_sql()
 
 
+# ---------------------------------------------------------------------------
+# S8 — PQ/ADC over IN-PLAN TRAINED sub-codebooks: s7's unrolled-Lloyd
+# pattern applied per sub-space. Two k-means rounds train each of the
+# M=8 sub-space codebooks (K=16 centroids over 8-d slices) from the
+# md5 seeds — round-6 argmin encoding, exact-DECIMAL coordinate means,
+# empty codes carry forward — then the PRODUCTION two-stage search:
+# ADC shortlists S8_SHORTLIST candidates from codes alone (the cheap
+# pass that never touches raw vectors), and an exact-cosine re-rank
+# over the shortlist produces the final top-k (FAISS's IndexPQ +
+# refine). SCALE.md documents why the re-rank stage is load-bearing:
+# 4-bit quantization error on structureless vectors swamps the tiny
+# cosine gaps between near-orthogonal neighbors, so ADC alone ranks
+# poorly no matter how well-trained — its job is candidate recall,
+# the exact pass's job is order.
+# ---------------------------------------------------------------------------
+
+S8_ROUNDS = 2
+S8_SHORTLIST = 50
+
+
+def s8_trained_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+    subs = vecs.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    ).join(vecs, "vec_id").select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(vec, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sub"),
+    )
+    sub_long = subs.select("vec_id", "m", F.posexplode("sub").alias("d", "x"))
+    all_mj = spark.createDataFrame(
+        [(m, j) for m in range(PQ_M) for j in range(PQ_K)], "m int, j int"
+    )
+    cb = spark.createDataFrame(
+        [(m, j, _pq_centroid(m, j)) for m in range(PQ_M) for j in range(PQ_K)],
+        "m int, j int, w array<double>",
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("sub", "w", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    enc_w = Window.partitionBy("vec_id", "m").orderBy("d2", "j")
+    for _ in range(S8_ROUNDS):
+        codes = (
+            subs.join(F.broadcast(cb), "m")
+            .select("vec_id", "m", "j", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(enc_w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "m", F.col("j").alias("code"))
+        )
+        sums = (
+            sub_long.join(codes, ["vec_id", "m"])
+            .groupBy("m", F.col("code").alias("j"), "d")
+            .agg(
+                F.sum(F.round(F.col("x"), 12).cast("decimal(27,12)"))
+                .cast("double")
+                .alias("s"),
+                F.count("*").alias("n"),
+            )
+        )
+        new_w = sums.groupBy("m", "j").agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("d", (F.col("s") / F.col("n")).alias("v")))
+                ),
+                lambda t: t["v"],
+            ).alias("w_new")
+        )
+        cb = (
+            all_mj.join(F.broadcast(cb), ["m", "j"])
+            .join(F.broadcast(new_w), ["m", "j"], "left")
+            .select("m", "j", F.coalesce("w_new", "w").alias("w"))
+        )
+    scores = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "j", d2.alias("d2")
+    )
+    codes = (
+        scores.withColumn("rk", F.row_number().over(enc_w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    lut = scores.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "m", F.col("j").alias("code"), "d2"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.sum(F.col("d2").cast("decimal(27,6)")).cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("c_id").asc())
+    shortlist = (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= S8_SHORTLIST)
+        .select("q_id", "c_id")
+    )
+    nv = vecs.withColumn("norm", _norm(F.col("vec")))
+    qv = nv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = nv.select(
+        F.col("vec_id").alias("c_id"), "vec", "norm"
+    )
+    sim = F.round(
+        _dot(F.col("q_vec"), F.col("vec")) / (F.col("q_norm") * F.col("norm")), 4
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("c_id").asc()
+    )
+    return (
+        shortlist.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .select("q_id", "c_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "rank", "c_id", "cos_sim")
+    )
+
+
+def _s8_round_sql(prev: str, rnd: int) -> str:
+    return f"""pscore{rnd} AS (
+  SELECT s.vec_id, s.m, c.j,
+         round(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+               i -> (s.sub[i] - c.w[i]) * (s.sub[i] - c.w[i]))), 6) AS d2
+  FROM subs s JOIN {prev} c USING (m)
+),
+pcode{rnd} AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j, row_number() OVER (
+             PARTITION BY vec_id, m ORDER BY d2, j) AS rk
+    FROM pscore{rnd}) WHERE rk = 1
+),
+psum{rnd} AS (
+  SELECT sl.m, pc.code AS j, sl.d,
+         CAST(sum(CAST(round(sl.x, 12) AS DECIMAL(27,12))) AS DOUBLE) AS s,
+         count(*) AS n
+  FROM sub_long sl JOIN pcode{rnd} pc USING (vec_id, m)
+  GROUP BY 1, 2, 3
+),
+pneww{rnd} AS (
+  SELECT m, j, list(s / n ORDER BY d) AS w_new FROM psum{rnd} GROUP BY 1, 2
+),
+pcb{rnd} AS (
+  SELECT p.m, p.j, coalesce(nw.w_new, p.w) AS w
+  FROM {prev} p LEFT JOIN pneww{rnd} nw USING (m, j)
+)"""
+
+
+def _s8_sql() -> str:
+    rounds = ",\n".join(
+        _s8_round_sql("pcb0" if r == 1 else f"pcb{r-1}", r)
+        for r in range(1, S8_ROUNDS + 1)
+    )
+    last = f"pcb{S8_ROUNDS}"
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+subs AS (
+  SELECT vec_id, m, vec[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+  FROM v CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
+),
+sub_long AS (
+  SELECT vec_id, m, d, sub[d + 1] AS x
+  FROM subs CROSS JOIN (SELECT unnest(range(0, {PQ_SUB})) AS d)
+),
+pcb0 AS (
+  SELECT m, j,
+         list_transform(range(0, {PQ_SUB}), d ->
+           (CAST('0x' || md5('pq:' || m || ':' || j || ':' || d)[1:8] AS BIGINT)
+            % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(range(0, {PQ_M})) AS m)
+  CROSS JOIN (SELECT unnest(range(0, {PQ_K})) AS j)
+),
+{rounds},
+fscore AS (
+  SELECT s.vec_id, s.m, c.j,
+         round(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+               i -> (s.sub[i] - c.w[i]) * (s.sub[i] - c.w[i]))), 6) AS d2
+  FROM subs s JOIN {last} c USING (m)
+),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j, row_number() OVER (
+             PARTITION BY vec_id, m ORDER BY d2, j) AS rk
+    FROM fscore) WHERE rk = 1
+),
+lut AS (
+  SELECT vec_id AS q_id, m, j AS code, d2 FROM fscore
+  WHERE vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(l.d2 AS DECIMAL(27,6))) AS DOUBLE) AS adc_dist
+  FROM codes c JOIN lut l USING (m, code)
+  WHERE l.q_id <> c.vec_id
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY adc_dist ASC, c_id ASC) AS rk
+    FROM adc) WHERE rk <= {S8_SHORTLIST}
+),
+nv AS (
+  SELECT vec_id, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS norm
+  FROM v
+),
+sims AS (
+  SELECT s.q_id, s.c_id,
+         round(list_sum(list_transform(range(1, 65), i -> q.vec[i] * x.vec[i]))
+               / (q.norm * x.norm), 4) AS cos_sim
+  FROM shortlist s
+  JOIN nv q ON q.vec_id = s.q_id
+  JOIN nv x ON x.vec_id = s.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, rank, c_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+S8_SQL = _s8_sql()
+
+
 QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_ann": s2_lsh_ann,
     "s3_ivf_probe": s3_ivf_probe,
     "s7_trained_ivf": s7_trained_ivf,
     "s4_pq_adc": s4_pq_adc,
+    "s8_trained_pq": s8_trained_pq,
     "s5_quantile_norm": s5_quantile_norm,
     "s6_int8_quantize": s6_int8_quantize,
     "d5_embedding_cosine_dedup": d5_embedding_cosine_dedup,
@@ -1088,6 +1327,7 @@ ORACLES = {
     "s3_ivf_probe": S3_SQL,
     "s7_trained_ivf": S7_SQL,
     "s4_pq_adc": S4_SQL,
+    "s8_trained_pq": S8_SQL,
     "s5_quantile_norm": S5_SQL,
     "s6_int8_quantize": S6_SQL,
     "d5_embedding_cosine_dedup": D5_SQL,
