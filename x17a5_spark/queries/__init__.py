@@ -77,6 +77,7 @@ WINDOW_ORDER = [
     "s2_lsh_ann",
     "s3_ivf_probe",
     "s7_trained_ivf",
+    "s8_trained_pq",
     "j14_pit_join",
     "s6_int8_quantize",
     "m5_patch_grid",
