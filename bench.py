@@ -172,13 +172,19 @@ def main() -> None:
             timings[name] = round(min(run(), run()), 3)
         spark.catalog.clearCache()
 
+    # "value" stays the STEADY-STATE suite total (comparable across
+    # rounds); the end-to-end pipeline numbers are reported separately
+    # so an ~85 s full-pipeline run doesn't read as a 3x suite
+    # regression against earlier rounds' steady-state-only totals.
+    steady = {k: v for k, v in timings.items() if k not in END_TO_END}
     out = {
         "metric": "headline_suite_wall_clock",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(steady.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cold_total_sec": round(cold_total, 3),
+        "e2e_pipeline_sec": {k: timings[k] for k in END_TO_END if k in timings},
     }
     print(json.dumps(out))
 
