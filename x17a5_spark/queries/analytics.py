@@ -198,7 +198,7 @@ def a18_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A18_SQL = f"""
 SELECT bucket,
-       {A18_LO} + bucket * {A18_STEP} AS bucket_lo,
+       CAST({A18_LO} + bucket * {A18_STEP} AS DOUBLE) AS bucket_lo,
        count(*) AS n,
        {dec_sql("o_totalprice")} AS total
 FROM (
