@@ -116,6 +116,7 @@ HEADLINE = [
     "t26_token_entropy",
     "s7_trained_ivf",
     "s8_trained_pq",
+    "e8_bpe_tokenize",
 ]
 
 

@@ -421,3 +421,47 @@ def test_curation_funnel_is_monotone(spark):
         assert counts[0] > 0
         assert all(a >= b for a, b in zip(counts, counts[1:])), (src, counts)
         assert counts[-1] <= E6_QUOTA
+
+
+def test_bpe_apply_replace_trick_equals_real_bpe(spark):
+    """e8's chained literal replace on space-joined symbols must equal
+    a real sequential BPE apply (merge-by-merge pair scan) for every
+    corpus word — including overlap cases like 'rrr' under ('r','r')."""
+    from x17a5_spark.queries.textops import E8_MERGES
+
+    def real_bpe_pieces(word: str) -> int:
+        syms = list(word)
+        for a, b in E8_MERGES:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    from pyspark.sql import functions as F
+
+    from x17a5_spark.functions.text import tokens
+    from x17a5_spark.tables import load_table
+
+    words = [
+        r.word
+        for r in load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .distinct()
+        .collect()
+    ] + ["error", "inner", "owow", "oror", "rrr"]
+    sym = F.array_join(F.filter(F.split("w", ""), lambda c: c != ""), " ")
+    for a, b in E8_MERGES:
+        sym = F.replace(sym, F.lit(f"{a} {b}"), F.lit(a + b))
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", F.size(F.split(sym, " ")).alias("pieces")
+    )
+    got = {r.w: r.pieces for r in df.collect()}
+    for w in words:
+        assert got[w] == real_bpe_pieces(w), w

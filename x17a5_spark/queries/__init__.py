@@ -62,9 +62,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # image dedup) takes m4, k10 (curriculum ordering) takes a15, and e7
 # (per-source dedup audit) takes a16, a26 (KS drift test) takes a17,
 # a27 (correlation matrix) + t26 (token entropy) take a18/a19, and s7
-# (in-plan-trained IVF, unrolled Lloyd) takes j9 and s8 (trained PQ +
-# exact re-rank) takes j10 — all displaced rows are green in
-# CORRECTNESS_r03 and unchanged since.
+# (in-plan-trained IVF, unrolled Lloyd) takes j9, s8 (trained PQ +
+# exact re-rank) takes j10, and e8 (BPE tokenizer apply) takes j11 —
+# all displaced rows are green in CORRECTNESS_r03 and unchanged since.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -99,6 +99,7 @@ WINDOW_ORDER = [
     "e5_incremental_ingest",
     "e6_curation_funnel",
     "e7_dedup_audit",
+    "e8_bpe_tokenize",
     # --- streaming ---
     "st4_watermark_drop",
     "st7_rate_anomaly",
@@ -111,7 +112,6 @@ WINDOW_ORDER = [
     "a24_rolling_active_users",
     "a26_ks_test",
     "a27_correlation_matrix",
-    "j11_bloom_semi_join",
     "j12_scd2_intervals",
     "j13_upsert_merge",
     "g1_pagerank",

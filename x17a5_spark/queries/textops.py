@@ -670,6 +670,104 @@ FROM totals t JOIN ent e USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# E8 — BPE tokenizer APPLY at scale + packing arithmetic: the missing
+# middle of the tokenizer lifecycle (t17 counts pairs, t18 trains,
+# e8 tokenizes the corpus with the trained artifact). The merge table
+# is a CONSTANT here — exactly how production works, where the
+# tokenizer file is a frozen artifact — specifically the table t18
+# trains on this corpus (4 rounds).
+#
+# The apply step is fully declarative in BOTH engines: a word becomes
+# its space-joined symbol string ("h e l l o"), and each merge (a, b)
+# is one LITERAL left-to-right replace("a b" -> "ab") — string replace
+# is exactly BPE's simultaneous left-to-right pair merge. Chained M
+# times (merge ORDER is the tokenizer's priority order), then piece
+# count = symbols remaining. Computed once per DISTINCT word (the t17
+# vocab trick: Heaps-bounded work, never per-occurrence), then joined
+# back to per-doc occurrence counts.
+#
+# Scale: one vocab groupBy + one join; the replaces are codegen string
+# ops over the vocab table only. n_seqs is k9's packing arithmetic.
+# ---------------------------------------------------------------------------
+
+E8_MERGES = [("e", "r"), ("i", "n"), ("o", "w"), ("o", "r")]  # t18 @ sf0.01
+E8_SEQ_LEN = 512
+
+
+def e8_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    occ = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    vocab = occ.select("word").distinct()
+    sym = F.array_join(F.filter(F.split("word", ""), lambda c: c != ""), " ")
+    for a, b in E8_MERGES:
+        sym = F.replace(sym, F.lit(f"{a} {b}"), F.lit(a + b))
+    pieces = vocab.select(
+        "word", F.size(F.split(sym, " ")).alias("pieces_per_word")
+    )
+    per_doc = (
+        occ.join(pieces, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("pieces_per_word"))
+            .cast("long")
+            .alias("n_pieces"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        F.ceil(F.col("n_pieces") / E8_SEQ_LEN).cast("long").alias("n_seqs"),
+        F.round(F.col("n_pieces") / F.col("n_words"), 6).alias("fertility"),
+    )
+
+
+def _e8_sym_sql() -> str:
+    expr = ("array_to_string(list_transform(range(1, length(word) + 1), "
+            "i -> word[i]), ' ')")
+    for a, b in E8_MERGES:
+        expr = f"replace({expr}, '{a} {b}', '{a}{b}')"
+    return expr
+
+
+E8_SQL = f"""
+WITH occ AS (
+  SELECT doc_id, word, count(*) AS n_occ
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents)
+  GROUP BY 1, 2
+),
+vocab AS (SELECT DISTINCT word FROM occ),
+pieces AS (
+  SELECT word,
+         len(string_split({_e8_sym_sql()}, ' ')) AS pieces_per_word
+  FROM vocab
+),
+per_doc AS (
+  SELECT o.doc_id,
+         CAST(sum(o.n_occ) AS BIGINT) AS n_words,
+         CAST(sum(o.n_occ * p.pieces_per_word) AS BIGINT) AS n_pieces
+  FROM occ o JOIN pieces p USING (word)
+  GROUP BY 1
+)
+SELECT doc_id, n_words, n_pieces,
+       CAST(ceil(n_pieces / {E8_SEQ_LEN}.0) AS BIGINT) AS n_seqs,
+       round(n_pieces / CAST(n_words AS DOUBLE), 6) AS fertility
+FROM per_doc
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -683,6 +781,7 @@ QUERIES = {
     "t21_zipf_fit": t21_zipf_fit,
     "t25_keyword_extraction": t25_keyword_extraction,
     "t26_token_entropy": t26_token_entropy,
+    "e8_bpe_tokenize": e8_bpe_tokenize,
 }
 
 ORACLES = {
@@ -696,4 +795,5 @@ ORACLES = {
     "t21_zipf_fit": T21_SQL,
     "t25_keyword_extraction": T25_SQL,
     "t26_token_entropy": T26_SQL,
+    "e8_bpe_tokenize": E8_SQL,
 }
