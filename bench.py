@@ -117,6 +117,10 @@ HEADLINE = [
     "s7_trained_ivf",
     "s8_trained_pq",
     "e8_bpe_tokenize",
+    "st10_trending",
+    "w10_ewma",
+    "o5_diversified_topk",
+    "j15_churn_absence",
 ]
 
 

@@ -63,8 +63,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (per-source dedup audit) takes a16, a26 (KS drift test) takes a17,
 # a27 (correlation matrix) + t26 (token entropy) take a18/a19, and s7
 # (in-plan-trained IVF, unrolled Lloyd) takes j9, s8 (trained PQ +
-# exact re-rank) takes j10, and e8 (BPE tokenizer apply) takes j11 —
-# all displaced rows are green in CORRECTNESS_r03 and unchanged since.
+# exact re-rank) takes j10, e8 (BPE tokenizer apply) takes j11, and the
+# last batch (st10 trending, w10 EWMA, o5 diversified top-k, j15
+# absence anti-join) takes st4/g1/w7/u7 — all displaced rows are green
+# in CORRECTNESS_r03 and unchanged since.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -79,6 +81,8 @@ WINDOW_ORDER = [
     "s7_trained_ivf",
     "s8_trained_pq",
     "j14_pit_join",
+    "j15_churn_absence",
+    "o5_diversified_topk",
     "s6_int8_quantize",
     "m5_patch_grid",
     "m6_phash_dedup",
@@ -101,9 +105,9 @@ WINDOW_ORDER = [
     "e7_dedup_audit",
     "e8_bpe_tokenize",
     # --- streaming ---
-    "st4_watermark_drop",
     "st7_rate_anomaly",
     "st8_ttl_dedup",
+    "st10_trending",
     # --- analytics / joins / graph / maintenance ---
     "a20_event_funnel",
     "a21_cohort_retention",
@@ -114,13 +118,11 @@ WINDOW_ORDER = [
     "a27_correlation_matrix",
     "j12_scd2_intervals",
     "j13_upsert_merge",
-    "g1_pagerank",
     "g2_triangle_count",
     "v1_constraint_checks",
-    "w7_ranking_family",
     "w8_rolling_time_window",
     "w9_rolling_median",
-    "u7_snapshot_diff",
+    "w10_ewma",
 ]
 
 DRIVER_WINDOW = 50

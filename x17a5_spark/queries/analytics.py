@@ -660,6 +660,116 @@ def _a27_sql() -> str:
 A27_SQL = _a27_sql()
 
 
+# ---------------------------------------------------------------------------
+# O5 — diversified top-k: the global top-10 orders by value with AT
+# MOST ONE order per customer (result diversification — the dedupe
+# every leaderboard/search page applies). Two-stage, scale-safe:
+# per-customer argmax first (hash-partitioned window), then the global
+# rank runs over AT MOST one row per customer — the global sort's
+# input is group-winner-sized, never table-sized.
+# ---------------------------------------------------------------------------
+
+O5_K = 10
+
+
+def o5_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    winners = (
+        orders.withColumn("rn", F.row_number().over(per_cust))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    glob = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        winners.withColumn("rank", F.row_number().over(glob))
+        .filter(F.col("rank") <= O5_K)
+        .select("rank", "o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+O5_SQL = f"""
+WITH winners AS (
+  SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders) WHERE rn = 1
+)
+SELECT rank, o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM winners)
+WHERE rank <= {O5_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# J15 — temporal absence anti-join (churn detection): users active in
+# the first half of the observation window with NO PURCHASE event in
+# the final 10%. Absence is not expressible as a filter — it is an
+# anti-join between two time-sliced activity sets; both sides reduce
+# to distinct user ids BEFORE the join (bounded by |users|, not
+# events), so the anti-join probe is dimension-sized at any scale.
+# Window edges derive from the data inside the plan (broadcast 1-row
+# min/max aggregate — no eager action, the g2/a26 rule).
+# ---------------------------------------------------------------------------
+
+
+def j15_churn_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    span = ev.agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    )
+    with_span = ev.crossJoin(F.broadcast(span))
+    early = (
+        with_span.filter(F.col("us") < F.col("lo") + (F.col("hi") - F.col("lo")) / 2)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_early"),
+            F.max("us").alias("last_early_us"),
+        )
+    )
+    late_users = (
+        with_span.filter(
+            (F.col("us") >= F.col("lo") + 0.9 * (F.col("hi") - F.col("lo")))
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return early.join(late_users, "user_id", "left_anti").select(
+        "user_id", "n_early", "last_early_us"
+    )
+
+
+J15_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+  FROM events
+),
+span AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+early AS (
+  SELECT user_id, count(*) AS n_early, max(us) AS last_early_us
+  FROM ev CROSS JOIN span
+  WHERE us < lo + (hi - lo) / 2
+  GROUP BY 1
+),
+late_users AS (
+  SELECT DISTINCT user_id FROM ev CROSS JOIN span
+  WHERE us >= lo + 0.9 * (hi - lo) AND event_type = 'purchase'
+)
+SELECT e.user_id, e.n_early, e.last_early_us
+FROM early e ANTI JOIN late_users l ON l.user_id = e.user_id
+"""
+
+
 QUERIES = {
     "a14_percentiles": a14_percentiles,
     "a15_grouping_sets": a15_grouping_sets,
@@ -674,6 +784,8 @@ QUERIES = {
     "a24_rolling_active_users": a24_rolling_active_users,
     "a26_ks_test": a26_ks_test,
     "a27_correlation_matrix": a27_correlation_matrix,
+    "o5_diversified_topk": o5_diversified_topk,
+    "j15_churn_absence": j15_churn_absence,
 }
 
 ORACLES = {
@@ -690,4 +802,6 @@ ORACLES = {
     "a24_rolling_active_users": A24_SQL,
     "a26_ks_test": A26_SQL,
     "a27_correlation_matrix": A27_SQL,
+    "o5_diversified_topk": O5_SQL,
+    "j15_churn_absence": J15_SQL,
 }

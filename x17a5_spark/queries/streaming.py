@@ -482,6 +482,61 @@ GROUP BY 1, 2, 3
 """
 
 
+# ST10 — windowed trending top-k: per tumbling hour, the top-3 event
+# types by count with their share of the hour — the "trending topics"
+# panel every event platform runs as a continuous query. Batch form
+# here (oracle-checkable); under readStream the same groupBy(window,
+# type) + rank runs with a watermark. Scale: one (hour, type) hash
+# aggregation (map-side combined, bounded by |types| per hour), then a
+# per-hour window over |types| rows — never a global sort.
+ST10_K = 3
+
+
+def st10_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    tot = hourly.groupBy("hour_start").agg(F.sum("n").cast("long").alias("n_hour"))
+    w = Window.partitionBy("hour_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        hourly.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ST10_K)
+        .join(tot, "hour_start")
+        .select(
+            "hour_start",
+            "rank",
+            "event_type",
+            "n",
+            F.round(F.col("n") / F.col("n_hour"), 6).alias("share"),
+        )
+    )
+
+
+ST10_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT hour_start, CAST(sum(n) AS BIGINT) AS n_hour
+        FROM hourly GROUP BY 1),
+ranked AS (
+  SELECT hour_start, event_type, n, row_number() OVER (
+           PARTITION BY hour_start ORDER BY n DESC, event_type ASC) AS rank
+  FROM hourly
+)
+SELECT r.hour_start, r.rank, r.event_type, r.n,
+       round(r.n / CAST(t.n_hour AS DOUBLE), 6) AS share
+FROM ranked r JOIN tot t USING (hour_start)
+WHERE r.rank <= {ST10_K}
+"""
+
+
 QUERIES = {
     "st1_tumbling_window": st1_tumbling_window,
     "st2_sliding_window": st2_sliding_window,
@@ -491,6 +546,7 @@ QUERIES = {
     "st6_stream_stream_join": st6_stream_stream_join,
     "st7_rate_anomaly": st7_rate_anomaly,
     "st8_ttl_dedup": st8_ttl_dedup,
+    "st10_trending": st10_trending,
 }
 
 ORACLES = {
@@ -502,4 +558,5 @@ ORACLES = {
     "st6_stream_stream_join": ST6_SQL,
     "st7_rate_anomaly": ST7_SQL,
     "st8_ttl_dedup": ST8_SQL,
+    "st10_trending": ST10_SQL,
 }

@@ -387,6 +387,73 @@ WINDOW w AS (PARTITION BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# W10 — fixed-lag EWMA (exponentially weighted moving average): the
+# signal-smoothing window every monitoring/trading pipeline runs. The
+# textbook recursive EWMA is sequential; the 100 TB-safe spelling
+# truncates the tail at L=24 lags (weight (1-a)^24 ~ 0.008 at a=0.2 —
+# below any 6-decimal observable) and evaluates the weighted sum as 24
+# lag() terms over one per-key window — pure codegen, no kernel, no
+# recursion. The weights are PYTHON-COMPUTED literals rounded to 12
+# decimals and embedded identically in both engines, so no pow() runs
+# at query time in either.
+# ---------------------------------------------------------------------------
+
+W10_ALPHA = 0.2
+W10_LAGS = 24
+_W10_WEIGHTS = [
+    round(W10_ALPHA * (1 - W10_ALPHA) ** j, 12) for j in range(W10_LAGS)
+]
+
+
+def w10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    # sum of available weighted lags, renormalized by the weight mass
+    # actually present (standard "adjusted" EWMA start-up)
+    num = None
+    den = None
+    for j, wt in enumerate(_W10_WEIGHTS):
+        term = F.lag("value", j).over(w) * F.lit(wt)
+        mass = F.when(F.lag("value", j).over(w).isNotNull(), F.lit(wt)).otherwise(
+            F.lit(0.0)
+        )
+        num = term if num is None else num + F.coalesce(term, F.lit(0.0))
+        den = mass if den is None else den + mass
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+def _w10_sql() -> str:
+    num = " + ".join(
+        f"coalesce(lag(value, {j}) OVER w * {wt!r}, 0.0)"
+        for j, wt in enumerate(_W10_WEIGHTS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN {wt!r} ELSE 0.0 END"
+        for j, wt in enumerate(_W10_WEIGHTS)
+    )
+    return f"""
+SELECT event_id, user_id,
+       round(({num}) / ({den}), 6) AS ewma
+FROM (SELECT event_id, user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us, value
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+"""
+
+
+W10_SQL = _w10_sql()
+
+
 QUERIES = {
     "w1_running_and_lookback": w1_running_and_lookback,
     "w2_first_match_position": w2_first_match_position,
@@ -398,6 +465,7 @@ QUERIES = {
     "c4_sequence_scan": c4_sequence_scan,
     "w8_rolling_time_window": w8_rolling_time_window,
     "w9_rolling_median": w9_rolling_median,
+    "w10_ewma": w10_ewma,
 }
 
 ORACLES = {
@@ -411,4 +479,5 @@ ORACLES = {
     "w6_carry_forward": W6_SQL,
     "w8_rolling_time_window": W8_SQL,
     "w9_rolling_median": W9_SQL,
+    "w10_ewma": W10_SQL,
 }
