@@ -399,17 +399,19 @@ def m6_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = imgs.mapInPandas(enc, "media_id bigint, media binary")
 
     def hash_bits(batches):
+        import struct
+
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
                 try:
                     w, h, ch, raw = decode_png_pixels(bytes(blob))
-                    px = list(raw)
-                    total = sum(px)
-                    bits = [1 if v * len(px) > total else 0 for v in px]
-                    out.append((mid, bits))
-                except Exception:
-                    pass  # corrupt blobs can never pair
+                except (ValueError, NotImplementedError, struct.error):
+                    continue  # corrupt blobs can never pair
+                px = list(raw)
+                total = sum(px)
+                bits = [1 if v * len(px) > total else 0 for v in px]
+                out.append((mid, bits))
             yield pd.DataFrame(
                 {"media_id": [m for m, _ in out], "bits": [b for _, b in out]}
             )
