@@ -121,6 +121,7 @@ HEADLINE = [
     "w10_ewma",
     "o5_diversified_topk",
     "j15_churn_absence",
+    "v2_profile_columns",
 ]
 
 

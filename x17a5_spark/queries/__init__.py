@@ -65,8 +65,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (in-plan-trained IVF, unrolled Lloyd) takes j9, s8 (trained PQ +
 # exact re-rank) takes j10, e8 (BPE tokenizer apply) takes j11, and the
 # last batch (st10 trending, w10 EWMA, o5 diversified top-k, j15
-# absence anti-join) takes st4/g1/w7/u7 — all displaced rows are green
-# in CORRECTNESS_r03 and unchanged since.
+# absence anti-join) takes st4/g1/w7/u7 and v2 (column profiling)
+# takes j13 — all displaced rows are green in CORRECTNESS_r03 and
+# unchanged since.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -117,9 +118,9 @@ WINDOW_ORDER = [
     "a26_ks_test",
     "a27_correlation_matrix",
     "j12_scd2_intervals",
-    "j13_upsert_merge",
     "g2_triangle_count",
     "v1_constraint_checks",
+    "v2_profile_columns",
     "w8_rolling_time_window",
     "w9_rolling_median",
     "w10_ewma",

@@ -721,6 +721,80 @@ FROM ev e JOIN iv i
 """
 
 
+# ---------------------------------------------------------------------------
+# V2 — column profiling report (the dbt/great-expectations "profile"
+# surface, v1's observability sibling): per numeric column of orders —
+# row count, null count, exact distinct count, min/max, DECIMAL-exact
+# mean. ALL metrics for ALL columns ride ONE aggregation pass over one
+# scan (a27's one-pass discipline); the long-form report is a constant
+# 1-row -> N-row unpivot after the aggregate, so profiling cost is a
+# single table scan at any scale.
+# ---------------------------------------------------------------------------
+
+V2_COLS = ("o_totalprice", "o_custkey", "o_orderkey")
+
+
+def v2_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.functions.compat import to_dec
+
+    orders = load_table(spark, sf_dir, "orders", fanout=True)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in V2_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"max_{c}"),
+            (F.sum(to_dec(F.col(c))).cast("double") / F.count(c)).alias(
+                f"mean_{c}"
+            ),
+        ]
+    stats = orders.agg(*aggs)
+    rows = None
+    for c in V2_COLS:
+        row = stats.select(
+            F.lit(c).alias("column"),
+            F.col("n_rows"),
+            F.col(f"nulls_{c}").alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"min_{c}").alias("min_value"),
+            F.col(f"max_{c}").alias("max_value"),
+            F.round(F.col(f"mean_{c}"), 6).alias("mean_value"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def _v2_sql() -> str:
+    from x17a5_spark.functions.compat import dec_sql
+
+    aggs = ["count(*) AS n_rows"]
+    for c in V2_COLS:
+        aggs += [
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nulls_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+            f"min(CAST({c} AS DOUBLE)) AS min_{c}",
+            f"max(CAST({c} AS DOUBLE)) AS max_{c}",
+            f"{dec_sql(c)} / count({c}) AS mean_{c}",
+        ]
+    rows = [
+        f"SELECT '{c}' AS column, n_rows, nulls_{c} AS n_nulls,"
+        f" nd_{c} AS n_distinct, min_{c} AS min_value, max_{c} AS max_value,"
+        f" round(mean_{c}, 6) AS mean_value FROM stats"
+        for c in V2_COLS
+    ]
+    return (
+        "WITH stats AS (SELECT " + ", ".join(aggs) + " FROM orders)\n"
+        + "\nUNION ALL ".join(rows)
+    )
+
+
+V2_SQL = _v2_sql()
+
+
 QUERIES = {
     "j11_bloom_semi_join": j11_bloom_semi_join,
     "j12_scd2_intervals": j12_scd2_intervals,
@@ -730,6 +804,7 @@ QUERIES = {
     "d12_temperature_mix": d12_temperature_mix,
     "v1_constraint_checks": v1_constraint_checks,
     "j14_pit_join": j14_pit_join,
+    "v2_profile_columns": v2_profile_columns,
 }
 
 ORACLES = {
@@ -741,4 +816,5 @@ ORACLES = {
     "d12_temperature_mix": D12_SQL,
     "v1_constraint_checks": V1_SQL,
     "j14_pit_join": J14_SQL,
+    "v2_profile_columns": V2_SQL,
 }
