@@ -122,6 +122,7 @@ HEADLINE = [
     "o5_diversified_topk",
     "j15_churn_absence",
     "v2_profile_columns",
+    "m7_audio_frames",
 ]
 
 

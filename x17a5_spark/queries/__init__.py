@@ -65,9 +65,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (in-plan-trained IVF, unrolled Lloyd) takes j9, s8 (trained PQ +
 # exact re-rank) takes j10, e8 (BPE tokenizer apply) takes j11, and the
 # last batch (st10 trending, w10 EWMA, o5 diversified top-k, j15
-# absence anti-join) takes st4/g1/w7/u7 and v2 (column profiling)
-# takes j13 — all displaced rows are green in CORRECTNESS_r03 and
-# unchanged since.
+# absence anti-join) takes st4/g1/w7/u7, v2 (column profiling) takes
+# j13, and m7 (WAV codec round-trip frame features) takes e6 — all
+# displaced rows are green in CORRECTNESS_r03 and unchanged since.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -87,6 +87,7 @@ WINDOW_ORDER = [
     "s6_int8_quantize",
     "m5_patch_grid",
     "m6_phash_dedup",
+    "m7_audio_frames",
     "t17_bpe_pair_counts",
     "t18_bpe_train",
     "t19_hll_distinct",
@@ -102,7 +103,6 @@ WINDOW_ORDER = [
     "k10_curriculum_order",
     "e4_corpus_pipeline",
     "e5_incremental_ingest",
-    "e6_curation_funnel",
     "e7_dedup_audit",
     "e8_bpe_tokenize",
     # --- streaming ---

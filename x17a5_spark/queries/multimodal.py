@@ -502,11 +502,107 @@ SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {M6_HAM_T}
 """
 
 
+# ---------------------------------------------------------------------------
+# M7 — audio frame features over a REAL codec round trip: per doc a
+# PCM16-mono WAV is synthesized from closed-form integer samples
+# (s_i = ((doc*7 + i*13) % 201) - 100), RIFF-encoded
+# (sources/multimodal.py::encode_wav_pcm16), decoded back through the
+# chunk-walk + struct unpack, and per-64-sample frames yield RMS and
+# peak — the windowed-feature shape a real audio pipeline (VAD,
+# loudness normalization) runs. Integer samples make RMS closed-form:
+# the oracle evaluates sqrt(sum s_i^2 / 64) from the same formula, so
+# a hash match proves encode -> Arrow -> decode -> frame math end to
+# end. Every 13th blob is junk and must be dropped (the m6 rule:
+# corrupt media can't produce frames).
+#
+# Scale: one Arrow batch pass per media (O(samples)); the frame
+# fan-out is a bounded per-doc explode, features are pure column math.
+# ---------------------------------------------------------------------------
+
+M7_N_SAMPLES = 256
+M7_FRAME = 64
+
+
+def m7_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    from x17a5_spark.sources.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            blobs = []
+            for doc in pdf["doc_id"]:
+                if doc % 13 == 0:
+                    blobs.append(b"junk")
+                    continue
+                samples = [
+                    ((doc * 7 + i * 13) % 201) - 100
+                    for i in range(M7_N_SAMPLES)
+                ]
+                blobs.append(encode_wav_pcm16(samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "media": blobs})
+
+    media = docs.mapInPandas(enc, "media_id bigint, media binary")
+
+    def frames(batches):
+        import struct as _struct
+
+        for pdf in batches:
+            ids, idxs, rms, peak = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    _rate, samples = decode_wav_samples(bytes(blob))
+                except (ValueError, NotImplementedError, _struct.error):
+                    continue
+                for f in range(len(samples) // M7_FRAME):
+                    fr = samples[f * M7_FRAME : (f + 1) * M7_FRAME]
+                    ids.append(mid)
+                    idxs.append(f)
+                    rms.append(
+                        round(math.sqrt(sum(v * v for v in fr) / M7_FRAME), 6)
+                    )
+                    peak.append(max(abs(v) for v in fr))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "rms": rms,
+                    "peak": peak,
+                }
+            )
+
+    return media.mapInPandas(
+        frames, "media_id bigint, frame_idx int, rms double, peak int"
+    )
+
+
+M7_SQL = f"""
+WITH ok AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 13 <> 0),
+sam AS (
+  SELECT media_id, i // {M7_FRAME} AS frame_idx,
+         ((media_id * 7 + i * 13) % 201) - 100 AS s
+  FROM ok CROSS JOIN (SELECT unnest(range(0, {M7_N_SAMPLES})) AS i)
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       round(sqrt(CAST(sum(s * s) AS DOUBLE) / {M7_FRAME}), 6) AS rms,
+       CAST(max(abs(s)) AS INT) AS peak
+FROM sam GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "m1_multimodal_decode": m1_multimodal_decode,
     "m2_multimodal_features": m2_multimodal_features,
     "m3_png_pixel_stats": m3_png_pixel_stats,
     "m6_phash_dedup": m6_phash_dedup,
+    "m7_audio_frames": m7_audio_frames,
     "m4_frame_sample": m4_frame_sample,
     "m5_patch_grid": m5_patch_grid,
 }
@@ -516,6 +612,7 @@ ORACLES = {
     "m2_multimodal_features": M2_SQL,
     "m3_png_pixel_stats": M3_SQL,
     "m6_phash_dedup": M6_SQL,
+    "m7_audio_frames": M7_SQL,
     "m4_frame_sample": M4_SQL,
     "m5_patch_grid": M5_SQL,
 }

@@ -231,6 +231,33 @@ def decode_wav(content: bytes) -> tuple[int, int, int, int]:
     return rate, ch, bits, n_data // frame_bytes
 
 
+def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
+    """Minimal real RIFF/WAVE encoder: PCM16 mono. Used by the m7
+    audio round-trip fixture (the audio sibling of encode_png_*)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_samples(content: bytes) -> tuple[int, list[int]]:
+    """Full PCM16-mono sample decode (header via decode_wav's walk):
+    returns (sample_rate, samples)."""
+    rate, ch, bits, n_frames = decode_wav(content)
+    if ch != 1 or bits != 16:
+        raise NotImplementedError(f"PCM variant (ch={ch}, bits={bits})")
+    i = 12
+    while i + 8 <= len(content):
+        ctype = content[i : i + 4]
+        (length,) = struct.unpack("<I", content[i + 4 : i + 8])
+        if ctype == b"data":
+            raw = content[i + 8 : i + 8 + length]
+            return rate, list(struct.unpack(f"<{length // 2}h", raw[: length // 2 * 2]))
+        i += 8 + length + (length & 1)
+    raise ValueError("malformed WAV: missing data chunk")
+
+
 def decode_mp4_duration(content: bytes) -> float:
     """ISO-BMFF (MP4) box walk to moov/mvhd: duration in seconds —
     the container-level sniff a video pipeline runs before any codec."""
