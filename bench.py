@@ -123,6 +123,7 @@ HEADLINE = [
     "j15_churn_absence",
     "v2_profile_columns",
     "m7_audio_frames",
+    "j16_fuzzy_name_join",
 ]
 
 

@@ -66,8 +66,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # exact re-rank) takes j10, e8 (BPE tokenizer apply) takes j11, and the
 # last batch (st10 trending, w10 EWMA, o5 diversified top-k, j15
 # absence anti-join) takes st4/g1/w7/u7, v2 (column profiling) takes
-# j13, and m7 (WAV codec round-trip frame features) takes e6 — all
-# displaced rows are green in CORRECTNESS_r03 and unchanged since.
+# j13, m7 (WAV codec round-trip frame features) takes e6, and j16
+# (fuzzy key join) takes e4 — all displaced rows are green in
+# CORRECTNESS_r03 and unchanged since.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -101,7 +102,6 @@ WINDOW_ORDER = [
     # --- corpus-prep + packing layer ---
     "k9_concat_chunking",
     "k10_curriculum_order",
-    "e4_corpus_pipeline",
     "e5_incremental_ingest",
     "e7_dedup_audit",
     "e8_bpe_tokenize",
@@ -121,6 +121,7 @@ WINDOW_ORDER = [
     "g2_triangle_count",
     "v1_constraint_checks",
     "v2_profile_columns",
+    "j16_fuzzy_name_join",
     "w8_rolling_time_window",
     "w9_rolling_median",
     "w10_ewma",

@@ -795,6 +795,68 @@ def _v2_sql() -> str:
 V2_SQL = _v2_sql()
 
 
+# ---------------------------------------------------------------------------
+# J16 — fuzzy key join (MDM/entity-matching): supplier names matched
+# against a dirty feed (planted in-query: one character deleted at a
+# deterministic position — OCR/typo shape) by edit distance <= 2.
+# Spark and DuckDB both ship native integer levenshtein, so the
+# confirm is exact cross-engine.
+#
+# Scale discipline: NEVER levenshtein(all x all). Candidates block on
+# the LAST-4-character key — on templated names ("Supplier#0000...")
+# a PREFIX block is degenerate (every row shares it, candidates go
+# quadratic — measured: 40k pairs for 200 rows), while the tail is
+# the discriminative part AND is invariant under any single deletion
+# occurring before it, so blocking recall for the planted dirt is
+# structural. Same bounded-candidates-then-confirm shape as d11/d13,
+# the expensive scalar only on blocked pairs.
+# ---------------------------------------------------------------------------
+
+J16_MAX_DIST = 2
+J16_PREFIX = 4
+
+
+def j16_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # dirty feed: delete the character at position 5 + key % 3 (0-based)
+    pos = (F.lit(5) + F.col("s_suppkey") % 3).cast("int")
+    dirty = sup.select(
+        F.col("s_suppkey").alias("feed_id"),
+        F.concat(
+            F.substring("s_name", 1, pos),
+            F.substring("s_name", pos + 2, F.lit(10_000)),
+        ).alias("feed_name"),
+    )
+    cand = dirty.join(
+        sup,
+        F.substring("feed_name", -J16_PREFIX, J16_PREFIX)
+        == F.substring("s_name", -J16_PREFIX, J16_PREFIX),
+    )
+    dist = F.levenshtein("feed_name", "s_name")
+    return (
+        cand.withColumn("distance", dist)
+        .filter(F.col("distance") <= J16_MAX_DIST)
+        .select("feed_id", "feed_name", "s_suppkey", "s_name", "distance")
+    )
+
+
+J16_SQL = f"""
+WITH dirty AS (
+  SELECT s_suppkey AS feed_id,
+         substring(s_name, 1, CAST(5 + s_suppkey % 3 AS INT))
+           || substring(s_name, CAST(5 + s_suppkey % 3 AS INT) + 2, 10000)
+             AS feed_name
+  FROM supplier
+)
+SELECT d.feed_id, d.feed_name, s.s_suppkey, s.s_name,
+       CAST(levenshtein(d.feed_name, s.s_name) AS INT) AS distance
+FROM dirty d JOIN supplier s
+  ON substring(d.feed_name, length(d.feed_name) - {J16_PREFIX - 1}, {J16_PREFIX})
+     = substring(s.s_name, length(s.s_name) - {J16_PREFIX - 1}, {J16_PREFIX})
+WHERE levenshtein(d.feed_name, s.s_name) <= {J16_MAX_DIST}
+"""
+
+
 QUERIES = {
     "j11_bloom_semi_join": j11_bloom_semi_join,
     "j12_scd2_intervals": j12_scd2_intervals,
@@ -805,6 +867,7 @@ QUERIES = {
     "v1_constraint_checks": v1_constraint_checks,
     "j14_pit_join": j14_pit_join,
     "v2_profile_columns": v2_profile_columns,
+    "j16_fuzzy_name_join": j16_fuzzy_name_join,
 }
 
 ORACLES = {
@@ -817,4 +880,5 @@ ORACLES = {
     "v1_constraint_checks": V1_SQL,
     "j14_pit_join": J14_SQL,
     "v2_profile_columns": V2_SQL,
+    "j16_fuzzy_name_join": J16_SQL,
 }
