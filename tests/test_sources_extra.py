@@ -211,3 +211,17 @@ def test_xml_roundtrip(spark, tmp_path):
     back = spark.read.format("xml").option("rowTag", "region").load(path)
     got = {(r.r_regionkey, r.r_name) for r in back.collect()}
     assert got == {(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA")}
+
+
+def test_wav_roundtrip_odd_and_negative(spark):
+    """RIFF PCM16 encoder/decoder edge cases: negative samples, and the
+    chunk walk's odd-length padding rule."""
+    from x17a5_spark.sources.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+    )
+
+    for samples in ([0], [-32768, 32767, -1, 1], [((i * 37) % 199) - 99 for i in range(257)]):
+        rate, back = decode_wav_samples(encode_wav_pcm16(samples, rate=16000))
+        assert rate == 16000
+        assert back == samples
