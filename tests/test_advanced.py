@@ -321,3 +321,42 @@ def test_phash_dedup_finds_planted_copies(spark):
     assert exact, "no exact-copy pairs found"
     near = [(a, b) for (a, b) in pairs if b == a + 400000]
     assert near, "no perturbed near-dup pairs found"
+
+
+def test_a26_oracle_identical_samples_score_zero():
+    """Regression: mid-tie ECDF evaluation inflated D to 1.0 for
+    IDENTICAL samples. With per-x grouping the statistic must be 0."""
+    import duckdb
+
+    from x17a5_spark.queries.analytics import A26_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT * FROM (VALUES (0, 'src0', 5), (1, 'src0', 5), "
+        "(2, 'srcX', 5), (3, 'srcX', 5)) t(doc_id, source, n_chars)"
+    )
+    rows = con.execute(A26_SQL).fetchall()
+    assert rows == [("srcX", 2, 2, 0.0)]
+
+
+def test_st8_oracle_non_monotone_event_ids():
+    """Regression: the oracle's kept_event_id must be the FIRST event
+    of the burst in (us, event_id) order, not the globally smallest id
+    — exercised with ids deliberately anti-ordered vs time."""
+    import duckdb
+
+    from x17a5_spark.queries.streaming import ST8_SQL
+
+    con = duckdb.connect()
+    # one user/type: events at us 100 (id 7) and 200 (id 3) — within TTL
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(1, 'click', 7, CAST('2024-01-01 00:00:00.1' AS TIMESTAMP_NS)), "
+        "(1, 'click', 3, CAST('2024-01-01 00:00:00.2' AS TIMESTAMP_NS))"
+        ") t(user_id, event_type, event_id, ts)"
+    )
+    rows = con.execute(ST8_SQL).fetchall()
+    assert len(rows) == 1
+    user_id, event_type, burst_id, kept_id, kept_us, n_sup = rows[0]
+    assert (kept_id, n_sup) == (7, 1), rows

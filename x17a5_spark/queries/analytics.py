@@ -530,14 +530,23 @@ def a26_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = others.unionByName(
         ref.crossJoin(counts_o.select("source")).select("source", "side", "x")
     )
-    w = Window.partitionBy("source").orderBy(
-        "x", "side"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    cum = pooled.select(
+    # group each distinct x FIRST, then cumulate: evaluating the gap
+    # mid-tie-group (e.g. after side 0's rows but before side 1's at
+    # the same x) is not |F_a(t) - F_b(t)| for any t and inflates D —
+    # identical samples would score D = 1. With per-x totals the scan
+    # touches only complete ECDF evaluation points.
+    per_x = pooled.groupBy("source", "x").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("na_x"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("nb_x"),
+    )
+    w = Window.partitionBy("source").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_x.select(
         "source",
         "x",
-        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).over(w).alias("ca"),
-        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).over(w).alias("cb"),
+        F.sum("na_x").over(w).alias("ca"),
+        F.sum("nb_x").over(w).alias("cb"),
     )
     d_expr = F.abs(
         F.col("ca") / F.col("n_a").cast("double") - F.col("cb") / F.col("n_b")
@@ -567,15 +576,19 @@ pooled AS (
   UNION ALL
   SELECT c.source, r.side, r.x FROM ref r CROSS JOIN counts_o c
 ),
+per_x AS (
+  SELECT source, x,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na_x,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb_x
+  FROM pooled GROUP BY 1, 2
+),
 cum AS (
   SELECT source, x,
-         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY source ORDER BY x, side
-                 ROWS UNBOUNDED PRECEDING) AS ca,
-         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY source ORDER BY x, side
-                 ROWS UNBOUNDED PRECEDING) AS cb
-  FROM pooled
+         sum(na_x) OVER (PARTITION BY source ORDER BY x
+                         ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(nb_x) OVER (PARTITION BY source ORDER BY x
+                         ROWS UNBOUNDED PRECEDING) AS cb
+  FROM per_x
 )
 SELECT c.source, CAST(n_a.n_a AS BIGINT) AS n_a, o.n_b,
        round(max(abs(c.ca / CAST(n_a.n_a AS DOUBLE) - c.cb / CAST(o.n_b AS DOUBLE))), 6)

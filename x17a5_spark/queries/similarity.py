@@ -488,8 +488,6 @@ assigned AS (
 
 
 def s3_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id", _as_double(F.col("embedding")).alias("vec")
@@ -641,10 +639,13 @@ def s4_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
     # fan each vector out to its M sub-vectors; the 8-double slices are
     # the only vector data that rides any exchange
+    # select vec ALONGSIDE the explode: pure map-side fan-out, no
+    # self-join / exchange to re-attach the vector
     subs = vecs.select(
         "vec_id",
+        "vec",
         F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-    ).join(vecs, "vec_id").select(
+    ).select(
         "vec_id",
         "m",
         F.expr(f"slice(vec, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sub"),
@@ -1098,10 +1099,13 @@ S8_SHORTLIST = 50
 def s8_trained_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+    # select vec ALONGSIDE the explode: pure map-side fan-out, no
+    # self-join / exchange to re-attach the vector
     subs = vecs.select(
         "vec_id",
+        "vec",
         F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-    ).join(vecs, "vec_id").select(
+    ).select(
         "vec_id",
         "m",
         F.expr(f"slice(vec, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sub"),

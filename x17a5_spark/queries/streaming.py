@@ -474,7 +474,10 @@ bursts AS (
         FROM ev)
 )
 SELECT user_id, event_type, burst AS burst_id,
-       min(event_id ORDER BY us, event_id) AS kept_event_id,
+       -- lexicographic struct-min mirrors Spark's min(struct(us, id));
+       -- a bare min(event_id ORDER BY ...) would silently return the
+       -- burst's globally smallest id (ORDER BY is a no-op on min)
+       (min({{'us': us, 'event_id': event_id}})).event_id AS kept_event_id,
        min(us) AS kept_us,
        count(*) - 1 AS n_suppressed
 FROM bursts

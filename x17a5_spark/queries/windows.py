@@ -423,7 +423,8 @@ def w10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         mass = F.when(F.lag("value", j).over(w).isNotNull(), F.lit(wt)).otherwise(
             F.lit(0.0)
         )
-        num = term if num is None else num + F.coalesce(term, F.lit(0.0))
+        cterm = F.coalesce(term, F.lit(0.0))
+        num = cterm if num is None else num + cterm
         den = mass if den is None else den + mass
     return ev.select(
         "event_id",
