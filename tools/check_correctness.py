@@ -122,7 +122,16 @@ def compare(name: str, spark_df, con) -> dict:
     arrow = res.fetch_arrow_table()
     duck_cols = arrow.column_names
     duck_types = {f.name: _arrow_type_class(f.type) for f in arrow.schema}
-    duck_rows = [tuple(r.values()) for r in arrow.to_pylist()]
+    from decimal import Decimal
+
+    # DECIMAL values reach the driver's hasher as pandas float64 — the
+    # value compare must see floats too, or a decimal-typed oracle
+    # column passes the dtype gate then spuriously fails on
+    # Decimal('0.1') != 0.1 and mismatched sort-key string forms.
+    duck_rows = [
+        tuple(float(v) if isinstance(v, Decimal) else v for v in r.values())
+        for r in arrow.to_pylist()
+    ]
     t_duck = time.time() - t0
 
     info = {

@@ -541,6 +541,11 @@ def t24_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     )
+    # `bi` feeds two consumers but is deliberately NOT persisted: the
+    # t22/d13 discipline was tried and MEASURED here — caching the
+    # ~corpus-sized bigram stream bought nothing at sf0.1 (1.15 s ->
+    # 1.2-1.39 s steady; scanning the cache costs what the re-explode
+    # costs), unlike the pruned/bounded stage tables that do persist.
     uni = docs.select("doc_id", F.explode(toks).alias("tok"))
     c1 = uni.groupBy("tok").agg(F.count("*").alias("c1"))
     v = c1.agg(F.count("*").alias("v")).withColumn("k", F.lit(1))

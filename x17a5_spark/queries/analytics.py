@@ -695,11 +695,16 @@ def o5_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+    # global top-K via sort+limit: Catalyst plans TakeOrderedAndProject
+    # (per-partition top-K, merge of K*partitions rows) — an
+    # unpartitioned row_number window would instead funnel EVERY
+    # group winner through one task. Ranking then runs over K rows.
+    topk = winners.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).limit(O5_K)
     glob = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
-        winners.withColumn("rank", F.row_number().over(glob))
-        .filter(F.col("rank") <= O5_K)
-        .select("rank", "o_custkey", "o_orderkey", "o_totalprice")
+    return topk.withColumn("rank", F.row_number().over(glob)).select(
+        "rank", "o_custkey", "o_orderkey", "o_totalprice"
     )
 
 

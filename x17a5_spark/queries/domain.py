@@ -652,6 +652,14 @@ def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = ["Cash", "Receivables", "Total assets"]
     out_dir = tempfile.mkdtemp(prefix="x17a5_e1_")
+    # every e1 execution builds a fresh sink tree; reclaim it when the
+    # process exits so repeated bench/driver runs don't leak /tmp disk
+    # (the tree must outlive this call — the returned plan lazily reads
+    # the gold parquet, so an immediate rmtree would break execution)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     gold = run_pipeline(spark, docs, text, out_dir, label_map, labels)
     return gold.select(
         "cik",
