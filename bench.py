@@ -124,6 +124,7 @@ HEADLINE = [
     "v2_profile_columns",
     "m7_audio_frames",
     "j16_fuzzy_name_join",
+    "e9_training_manifest",
 ]
 
 

@@ -66,14 +66,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # exact re-rank) takes j10, e8 (BPE tokenizer apply) takes j11, and the
 # last batch (st10 trending, w10 EWMA, o5 diversified top-k, j15
 # absence anti-join) takes st4/g1/w7/u7, v2 (column profiling) takes
-# j13, m7 (WAV codec round-trip frame features) takes e6, and j16
-# (fuzzy key join) takes e4 — all displaced rows are green in
-# CORRECTNESS_r03 and unchanged since.
+# j13, m7 (WAV codec round-trip frame features) takes e6, j16 (fuzzy
+# key join) takes e4, and e9 (the training-manifest capstone
+# composite) takes e3l (r3-green, unchanged, e3's twin which stays) —
+# all displaced rows are green in CORRECTNESS_r03 and unchanged
+# since. j12 KEEPS its slot: its round-4 oracle fix needs the first
+# green driver row (round-3 verdict ask #1).
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
     "e3_structured_assets",
-    "e3l_structured_liabilities",
     # --- LLM-data-pipeline: dedup / similarity / text / multimodal ---
     "d3_minhash_lsh",
     "d8_semdedup",
@@ -82,6 +84,7 @@ WINDOW_ORDER = [
     "s3_ivf_probe",
     "s7_trained_ivf",
     "s8_trained_pq",
+    "j12_scd2_intervals",
     "j14_pit_join",
     "j15_churn_absence",
     "o5_diversified_topk",
@@ -105,6 +108,7 @@ WINDOW_ORDER = [
     "e5_incremental_ingest",
     "e7_dedup_audit",
     "e8_bpe_tokenize",
+    "e9_training_manifest",
     # --- streaming ---
     "st7_rate_anomaly",
     "st8_ttl_dedup",
@@ -117,7 +121,6 @@ WINDOW_ORDER = [
     "a24_rolling_active_users",
     "a26_ks_test",
     "a27_correlation_matrix",
-    "j12_scd2_intervals",
     "g2_triangle_count",
     "v1_constraint_checks",
     "v2_profile_columns",

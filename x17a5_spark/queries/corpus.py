@@ -934,6 +934,153 @@ FROM phased
 """
 
 
+# ---------------------------------------------------------------------------
+# E9 — training-data manifest: the capstone composite that hands a
+# corpus to the trainer. Chains the round-4 layers end to end —
+# t23's quality-weighted importance sampling decides WHO trains,
+# k10's fixed-cutoff curriculum decides WHEN (phase) and WHERE
+# (shard), e8's frozen-merge BPE apply decides HOW MANY pieces — and
+# reports per (phase, shard): docs, words, pieces, packed sequence
+# count (k9 arithmetic) and fertility. Every stage is the same
+# closed-form spelling its standalone operator uses, so the oracle
+# checks the full composition, not just the parts.
+#
+# Scale: sampling/phase/shard are stateless scan expressions; the BPE
+# piece table is vocab-bounded (distinct words); the manifest is one
+# (phase, shard) aggregation — nothing new shuffles beyond the
+# standalone stages.
+# ---------------------------------------------------------------------------
+
+
+def e9_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.queries.filtering import T23_FLOOR, _TWO60
+    from x17a5_spark.queries.textops import E8_MERGES, E8_SEQ_LEN
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    q = F.size(F.array_distinct(toks)) / F.size(toks)
+    p = F.greatest(q * q, F.lit(T23_FLOOR))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(_TWO60)
+    )
+    phase = (
+        F.when(q >= K10_CUTS[0], 0).when(q >= K10_CUTS[1], 1).otherwise(2)
+    ).cast("int")
+    h = F.md5(F.concat(F.lit(f"cur:{K10_SEED}:"), F.col("doc_id")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(K10_SHARDS)
+    ).cast("int")
+    kept = docs.filter(u < p).select(
+        "doc_id", "text", phase.alias("phase"), shard.alias("shard")
+    )
+    occ = (
+        kept.select(
+            "doc_id",
+            "phase",
+            "shard",
+            F.explode(tokens(F.lower(F.col("text")))).alias("word"),
+        )
+        .groupBy("doc_id", "phase", "shard", "word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    vocab = occ.select("word").distinct()
+    sym = F.array_join(F.filter(F.split("word", ""), lambda c: c != ""), " ")
+    for a, b in E8_MERGES:
+        sym = F.replace(sym, F.lit(f"{a} {b}"), F.lit(a + b))
+    pieces = vocab.select(
+        "word", F.size(F.split(sym, " ")).alias("ppw")
+    )
+    per_doc = (
+        occ.join(pieces, "word")
+        .groupBy("doc_id", "phase", "shard")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("ppw")).cast("long").alias("n_pieces"),
+        )
+    )
+    return (
+        per_doc.groupBy("phase", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_pieces").cast("long").alias("total_pieces"),
+            F.sum(F.ceil(F.col("n_pieces") / E8_SEQ_LEN))
+            .cast("long")
+            .alias("n_sequences"),
+        )
+        .select(
+            "phase",
+            "shard",
+            "n_docs",
+            "total_words",
+            "total_pieces",
+            "n_sequences",
+            F.round(F.col("total_pieces") / F.col("total_words"), 6).alias(
+                "fertility"
+            ),
+        )
+    )
+
+
+def _e9_sql() -> str:
+    from x17a5_spark.queries.filtering import T23_FLOOR, _TWO60
+    from x17a5_spark.queries.textops import E8_SEQ_LEN, _e8_sym_sql
+
+    toks = _K10_TOKS
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         len(list_distinct({toks})) / CAST(len({toks}) AS DOUBLE) AS q,
+         CAST('0x' || md5(CAST(doc_id AS VARCHAR))[1:15] AS BIGINT)
+           / {_TWO60} AS u,
+         md5('cur:{K10_SEED}:' || doc_id) AS h
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN q >= {K10_CUTS[0]} THEN 0
+                   WHEN q >= {K10_CUTS[1]} THEN 1 ELSE 2 END AS INT) AS phase,
+         CAST(CAST('0x' || h[1:15] AS BIGINT) % {K10_SHARDS} AS INT) AS shard
+  FROM scored
+  WHERE u < greatest(q * q, {T23_FLOOR})
+),
+occ AS (
+  SELECT doc_id, phase, shard, word, count(*) AS n_occ
+  FROM (SELECT doc_id, phase, shard,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                        '\\s+'),
+                                  t -> t <> '')) AS word
+        FROM kept)
+  GROUP BY 1, 2, 3, 4
+),
+vocab AS (SELECT DISTINCT word FROM occ),
+pieces AS (
+  SELECT word, len(string_split({_e8_sym_sql()}, ' ')) AS ppw FROM vocab
+),
+per_doc AS (
+  SELECT o.doc_id, o.phase, o.shard,
+         CAST(sum(o.n_occ) AS BIGINT) AS n_words,
+         CAST(sum(o.n_occ * p.ppw) AS BIGINT) AS n_pieces
+  FROM occ o JOIN pieces p USING (word)
+  GROUP BY 1, 2, 3
+)
+SELECT phase, shard,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+       CAST(sum(CAST(ceil(n_pieces / {E8_SEQ_LEN}.0) AS BIGINT)) AS BIGINT)
+           AS n_sequences,
+       round(sum(n_pieces) / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
+FROM per_doc
+GROUP BY 1, 2
+"""
+
+
+E9_SQL = _e9_sql()
+
+
 QUERIES = {
     "t6_chunk_documents": t6_chunk_documents,
     "t7_stratified_split": t7_stratified_split,
@@ -942,6 +1089,7 @@ QUERIES = {
     "k8_sequence_pack_sharded": k8_sequence_pack_sharded,
     "t16_epoch_shuffle": t16_epoch_shuffle,
     "k10_curriculum_order": k10_curriculum_order,
+    "e9_training_manifest": e9_training_manifest,
     "e5_incremental_ingest": e5_incremental_ingest,
     "k9_concat_chunking": k9_concat_chunking,
     "e6_curation_funnel": e6_curation_funnel,
@@ -955,6 +1103,7 @@ ORACLES = {
     "k8_sequence_pack_sharded": K8_SQL,
     "t16_epoch_shuffle": T16_SQL,
     "k10_curriculum_order": K10_SQL,
+    "e9_training_manifest": E9_SQL,
     "e5_incremental_ingest": E5_SQL,
     "k9_concat_chunking": K9_SQL,
     "e6_curation_funnel": E6_SQL,
