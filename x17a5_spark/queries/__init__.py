@@ -71,7 +71,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # composite) takes e3l (r3-green, unchanged, e3's twin which stays) —
 # all displaced rows are green in CORRECTNESS_r03 and unchanged
 # since. j12 KEEPS its slot: its round-4 oracle fix needs the first
-# green driver row (round-3 verdict ask #1).
+# green driver row (round-3 verdict ask #1). Two round-4 changes ride
+# their standing r3 rows without a slot, both value-identical and
+# locally hash-verified: a18 (oracle-side CAST only) and s4 (plan-only
+# explode fix, same rows).
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
