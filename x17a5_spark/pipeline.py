@@ -97,6 +97,13 @@ def clean_filings(raw: DataFrame, text: DataFrame) -> DataFrame:
 
 FILING_KEY = ["cik", "filing_date"]
 
+# Stage-level wall clock of the most recent ``run_pipeline`` call
+# (keys: ocr_bronze / silver_clean / gold_build). Stage writes execute
+# eagerly inside run_pipeline, so construction time IS stage time;
+# bench.py reports these alongside the end-to-end number so a future
+# e2e regression localizes to a stage instead of a 90-second blob.
+LAST_STAGE_SECONDS: dict[str, float] = {}
+
 
 def _incremental_stage(
     spark: SparkSession, inp: DataFrame, transform, path: str
@@ -129,10 +136,19 @@ def run_pipeline(
     ``docs``: (cik, filing_date, content binary) document corpus;
     ``text``: (cik, filing_date, line_idx, line_text) page-text channel.
     """
+    import time
+
     from x17a5_spark.operators.structured import build_structured_assets
     from x17a5_spark.sources.ocr import OcrSource, StubOcrBackend, quarantine
 
     source = OcrSource(backend_factory=ocr_backend_factory or StubOcrBackend)
+    LAST_STAGE_SECONDS.clear()
+    t0 = time.time()
+
+    def _mark(stage: str) -> None:
+        nonlocal t0
+        LAST_STAGE_SECONDS[stage] = round(time.time() - t0, 3)
+        t0 = time.time()
 
     # Steps 1-2 (main_p1/main_p2): OCR only the docs not yet in bronze;
     # failures go to the S10 quarantine ledger, not the job.
@@ -148,6 +164,7 @@ def run_pipeline(
     bronze = _incremental_stage(
         spark, docs, ocr_stage, os.path.join(out_dir, "bronze_cells")
     )
+    _mark("ocr_bronze")
 
     # Step 3 (clean chain): clean only the bronze filings not in silver.
     silver = _incremental_stage(
@@ -156,6 +173,7 @@ def run_pipeline(
         lambda todo: clean_filings(todo, text),
         os.path.join(out_dir, "silver"),
     )
+    _mark("silver_clean")
 
     # Step 4 (main_p3): structured gold from the asset side.
     def gold_stage(todo: DataFrame) -> DataFrame:
@@ -170,6 +188,8 @@ def run_pipeline(
             labels,
         )
 
-    return _incremental_stage(
+    gold = _incremental_stage(
         spark, silver, gold_stage, os.path.join(out_dir, "gold_assets")
     )
+    _mark("gold_build")
+    return gold

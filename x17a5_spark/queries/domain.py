@@ -627,6 +627,10 @@ E1_DOC = (
 )
 
 
+# most recent e1 sink tree; replaced (and deleted) by the next build
+_E1_PREV_DIR: str | None = None
+
+
 def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -652,13 +656,18 @@ def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = ["Cash", "Receivables", "Total assets"]
     out_dir = tempfile.mkdtemp(prefix="x17a5_e1_")
-    # every e1 execution builds a fresh sink tree; reclaim it when the
-    # process exits so repeated bench/driver runs don't leak /tmp disk
-    # (the tree must outlive this call — the returned plan lazily reads
-    # the gold parquet, so an immediate rmtree would break execution)
+    # every e1 execution builds a fresh sink tree; the tree must outlive
+    # this call (the returned plan lazily reads the gold parquet, so an
+    # immediate rmtree would break execution). Keep at most ONE live
+    # tree: building a new e1 means the previous plan is dead, so its
+    # tree goes now; the atexit backstop reclaims the last one.
     import atexit
     import shutil
 
+    global _E1_PREV_DIR
+    if _E1_PREV_DIR is not None:
+        shutil.rmtree(_E1_PREV_DIR, ignore_errors=True)
+    _E1_PREV_DIR = out_dir
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     gold = run_pipeline(spark, docs, text, out_dir, label_map, labels)
     return gold.select(
