@@ -282,8 +282,11 @@ def test_hll_distinct_error_bound(spark):
     from x17a5_spark.queries.textops import t19_hll_distinct
 
     for r in t19_hll_distinct(spark, SF).collect():
-        rel = abs(r["approx_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
-        assert rel < 0.05, f"{r['source']}: rel err {rel:.3f}"
+        rel = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        # explicit 256-register HLL: rsd ~ 6.5%, so the bound loosens
+        # from the old rsd=0.02 native sketch's 5% to 3 sigma ~ 20%
+        assert rel < 0.20, f"{r['source']}: rel err {rel:.3f}"
+        assert r["rel_err"] == round(rel, 4) or abs(r["rel_err"] - rel) < 1e-3
 
 
 def test_incremental_ingest_verdicts(spark):

@@ -9,9 +9,10 @@ from x17a5_spark.queries import DRIVER_WINDOW, WINDOW_ORDER, registry
 
 # the only window entries without a SQL oracle (genuinely
 # non-SQL-expressible; the driver records rows-only checks)
-# s2 gained a closed-form oracle in round 4; t18/t19 are rows-only by
-# design (iterative BPE / HLL rel-err golden-checked in pytest instead)
-ROWS_ONLY = {"t18_bpe_train", "t19_hll_distinct"}
+# s2 gained a closed-form oracle in round 4; t19 gained one in round 5
+# (explicit md5-register HLL, exact-integer harmonic denominator); t18
+# is rows-only by design (iterative BPE, golden-checked in pytest)
+ROWS_ONLY = {"t18_bpe_train"}
 
 
 def test_window_order_is_exactly_the_driver_window():

@@ -91,6 +91,15 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sum(F.col("c").cast("decimal(38,9)")).cast("double")
             ).alias("rank")
         )
+        # iteration breaker: truncate lineage each round (lazy, so the
+        # query stays a plan until the driver materializes it). Without
+        # this the unrolled plan grows superlinearly in iteration count
+        # — at sf0.01 the 5-round plan cost ~7 s of pure Catalyst
+        # compile; at real scale a 20-round walk would never finish
+        # ANALYZING. Values are unaffected: every iteration's ranks are
+        # already exact (round-9 then DECIMAL-sum), so checkpointed ==
+        # unrolled, and the oracle keeps its unrolled CTE chain.
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

@@ -425,15 +425,27 @@ def t18_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-# T19 — HyperLogLog approximate distinct (Spark's native
-# approx_count_distinct sketch) next to the exact count, per source.
-# No DuckDB oracle ON PURPOSE: HLL estimates are engine-specific (the
-# sketch layouts differ), so the driver records a rows-only check and
-# the accuracy contract lives in the test: relative error < 5% at
-# rsd=0.02 against the exact count computed in the same query. At
-# 100 TB the sketch is the only viable form — constant memory per
-# group, one pass, mergeable across partitions; the exact twin here is
-# the local-scale correctness anchor.
+# T19 — HyperLogLog approximate distinct next to the exact count, per
+# source. Through round 4 this used Spark's native approx_count_distinct
+# and was rows-only by design (native sketch layouts are
+# engine-specific). Round 5 replaces it with an EXPLICIT HLL whose
+# every step is closed-form in both engines (the s2 md5-hyperplane
+# trick): register = low 8 bits of the 60-bit md5 prefix, rank =
+# leading-zero count of the remaining 52 bits via length(bin(w)), the
+# harmonic denominator kept EXACT as sum(1 << (53 - max_rank)) in
+# BIGINT, and the final estimate one literal/integer division — so the
+# driver's value hash covers the whole sketch, not just row counts.
+# Flajolet's small-range linear-counting branch is included (m*ln(m/V));
+# ln is the one non-closed-form op, rounded at 4 decimals like every
+# float column here. Scale shape is HLL's own: one narrow scan, one
+# (source, register) aggregation bounded at 256 rows per group key,
+# mergeable across partitions — the 100-TB distinct-count answer.
+
+T19_P = 8
+T19_M = 1 << T19_P  # 256 registers: rsd ~ 1.04/sqrt(256) = 6.5%
+# alpha_m * m^2 * 2^53 as ONE double literal so both engines divide the
+# same numerator by the same exact-integer denominator
+T19_NUM = (0.7213 / (1 + 1.079 / T19_M)) * T19_M * T19_M * float(1 << 53)
 
 
 def t19_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,10 +453,77 @@ def t19_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
-    return toks.groupBy("source").agg(
-        F.approx_count_distinct("token", rsd=0.02).alias("approx_distinct"),
-        F.countDistinct("token").alias("exact_distinct"),
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    w = F.shiftright(h, T19_P)
+    rank = F.lit(53) - F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    regs = (
+        toks.select("source", (h % T19_M).alias("reg"), rank.alias("rank"))
+        .groupBy("source", "reg")
+        .agg(F.max("rank").alias("m"))
     )
+    per_src = regs.groupBy("source").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m)"))
+            + (F.lit(T19_M) - F.count("*")) * F.lit(1 << 53)
+        ).alias("s"),
+        (F.lit(T19_M) - F.count("*")).alias("v_zero"),
+    )
+    raw = F.lit(T19_NUM) / F.col("s").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * T19_M)) & (F.col("v_zero") > 0),
+        F.lit(float(T19_M)) * F.log(F.lit(float(T19_M)) / F.col("v_zero").cast("double")),
+    ).otherwise(raw)
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    return exact.join(per_src, "source").select(
+        "source",
+        "exact_distinct",
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+T19_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+h AS (
+  SELECT source, token, CAST('0x' || md5(token)[1:15] AS BIGINT) AS hv
+  FROM toks
+),
+regs AS (
+  SELECT source, hv % {T19_M} AS reg,
+         max(53 - CASE WHEN hv // {T19_M} = 0 THEN 0
+                       ELSE length(bin(hv // {T19_M})) END) AS m
+  FROM h GROUP BY 1, 2
+),
+per_src AS (
+  SELECT source,
+         CAST(sum(1::BIGINT << (53 - m)) AS BIGINT)
+           + ({T19_M} - count(*)) * {1 << 53} AS s,
+         {T19_M} - count(*) AS v_zero
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT source, v_zero,
+         CASE WHEN {T19_NUM!r} / CAST(s AS DOUBLE) <= {2.5 * T19_M}
+                   AND v_zero > 0
+              THEN {float(T19_M)!r} * ln({float(T19_M)!r} / CAST(v_zero AS DOUBLE))
+              ELSE {T19_NUM!r} / CAST(s AS DOUBLE) END AS e
+  FROM per_src
+),
+ex AS (SELECT source, count(DISTINCT token) AS exact_distinct FROM toks GROUP BY 1)
+SELECT ex.source, CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+       round(e, 4) AS hll_estimate,
+       round(abs(e - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+FROM ex JOIN est ON ex.source = est.source
+"""
 
 
 
@@ -792,6 +871,7 @@ ORACLES = {
     "t5_bpe_pieces": T5_SQL,
     "t17_bpe_pair_counts": T17_SQL,
     "t12_kmv_distinct": T12_SQL,
+    "t19_hll_distinct": T19_SQL,
     "t21_zipf_fit": T21_SQL,
     "t25_keyword_extraction": T25_SQL,
     "t26_token_entropy": T26_SQL,
