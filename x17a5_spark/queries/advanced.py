@@ -29,11 +29,11 @@ from x17a5_spark.functions.compat import dec_sql, to_dec
 from x17a5_spark.functions.text import tokens
 from x17a5_spark.operators.skew import salted_aggregate, salted_join
 from x17a5_spark.queries.similarity import (
-    STAGED_ASSIGN_SQL,
     _as_double,
     _dot,
     _norm,
     ivf_tables,
+    staged_assign_sql,
     staged_assignment,
 )
 from x17a5_spark.tables import load_table
@@ -251,6 +251,26 @@ FROM ranked WHERE vr IN ({", ".join(str(r) for r in _A17_RANKS)})
 
 D8_THRESHOLD = 0.99
 
+# SemDeDup's own recipe scales the cell count with the corpus
+# (k ~ N / target_cell_size); X17A5_D8_CELLS applies that recipe to the
+# scaled-lake runs (SCALE.md) with the ORACLE TRACKING the same k —
+# staged_assign_sql is parameterized, so the hash gate still holds at
+# any k. Default 16 keeps the registry query byte-identical to r3/r4.
+
+
+def _d8_params() -> tuple[int, int]:
+    import math
+    import os
+
+    k = int(os.environ.get("X17A5_D8_CELLS", "16"))
+    s = max(1, math.isqrt(k))
+    while k % s:
+        s -= 1
+    return k, s
+
+
+D8_CELLS, D8_SUPERS = _d8_params()
+
 
 def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -263,8 +283,10 @@ def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-level coarse assignment (similarity.staged_assignment): the
     # per-vector explode is 2*sqrt(k) wide, so assignment stays
     # N*2*sqrt(k) under SemDeDup's corpus-scaled k — never N*k.
-    cents, sups = ivf_tables(spark)
-    assigned = staged_assignment(vecs, cents, sups).join(vecs, "vec_id")
+    cents, sups = ivf_tables(spark, D8_CELLS, D8_SUPERS)
+    assigned = staged_assignment(
+        vecs, cents, sups, D8_SUPERS, D8_CELLS // D8_SUPERS
+    ).join(vecs, "vec_id")
     # within-cell pairwise cosine as ONE Arrow-batched numpy matmul per
     # cell (BLAS beats 3M per-pair JVM folds ~6x at sf0.1). Safe for the
     # hash check: the output carries no float column — the cosine is
@@ -307,7 +329,7 @@ v AS (
          sqrt(list_sum(list_transform(vec, x -> x * x))) AS norm
   FROM aug
 ),
-{STAGED_ASSIGN_SQL},
+{staged_assign_sql(D8_CELLS, D8_SUPERS)},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_sum(list_transform(range(1, 65), i -> va.vec[i] * vb.vec[i]))

@@ -363,41 +363,56 @@ N_SUPERS = 4
 IVF_FAN = N_CELLS // N_SUPERS
 
 
-def _ivf_super(s: int, dim: int = 64) -> list[float]:
+def _ivf_super(s: int, dim: int = 64, fan: int = IVF_FAN) -> list[float]:
     import hashlib
 
     return [
         sum(
             int(hashlib.md5(f"ivf:{c}:{d}".encode()).hexdigest()[:8], 16) % 2001
             - 1000
-            for c in range(s * IVF_FAN, (s + 1) * IVF_FAN)
+            for c in range(s * fan, (s + 1) * fan)
         )
-        / (1000.0 * IVF_FAN)
+        / (1000.0 * fan)
         for d in range(dim)
     ]
 
 
-def ivf_tables(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
-    """Broadcastable codebook tables: (children, supers), norms baked in."""
+def ivf_tables(
+    spark: SparkSession, n_cells: int = N_CELLS, n_supers: int = N_SUPERS
+) -> tuple[DataFrame, DataFrame]:
+    """Broadcastable codebook tables: (children, supers), norms baked in.
+
+    ``n_cells``/``n_supers`` parameterize the codebook size so callers
+    (d8's corpus-scaled k, SCALE.md's scaled-lake runs) can grow k with
+    N — the recipe the staged assignment exists for. Defaults keep the
+    registry queries' hashes stable.
+    """
     import math
 
+    fan = n_cells // n_supers
     cent_rows = [
         (c, w, math.sqrt(sum(x * x for x in w)))
-        for c, w in ((c, _ivf_centroid(c)) for c in range(N_CELLS))
+        for c, w in ((c, _ivf_centroid(c)) for c in range(n_cells))
     ]
     sup_rows = [
         (s, w, math.sqrt(sum(x * x for x in w)))
-        for s, w in ((s, _ivf_super(s)) for s in range(N_SUPERS))
+        for s, w in ((s, _ivf_super(s, fan=fan)) for s in range(n_supers))
     ]
     cents = spark.createDataFrame(cent_rows, "c int, w array<double>, wnorm double")
     sups = spark.createDataFrame(sup_rows, "s int, w array<double>, wnorm double")
     return cents, sups
 
 
-def staged_assignment(vecs: DataFrame, cents: DataFrame, sups: DataFrame) -> DataFrame:
+def staged_assignment(
+    vecs: DataFrame,
+    cents: DataFrame,
+    sups: DataFrame,
+    n_supers: int = N_SUPERS,
+    fan: int = IVF_FAN,
+) -> DataFrame:
     """(vec_id, vec, norm) -> (vec_id, cell) via the two-level argmax.
 
-    Per vector: N_SUPERS super scores, then IVF_FAN child scores of the
+    Per vector: n_supers super scores, then fan child scores of the
     winning super only — the explode never scales with total cell
     count. Both joins broadcast the (tiny) codebook side.
     """
@@ -408,7 +423,7 @@ def staged_assignment(vecs: DataFrame, cents: DataFrame, sups: DataFrame) -> Dat
         "vec_id",
         "vec",
         "norm",
-        F.explode(F.sequence(F.lit(0), F.lit(N_SUPERS - 1))).alias("s"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_supers - 1))).alias("s"),
     )
     sw = Window.partitionBy("vec_id").orderBy(F.col("cos_s").desc(), F.col("s").asc())
     best_sup = (
@@ -423,7 +438,7 @@ def staged_assignment(vecs: DataFrame, cents: DataFrame, sups: DataFrame) -> Dat
         "vec",
         "norm",
         F.explode(
-            F.sequence(F.col("s") * IVF_FAN, F.col("s") * IVF_FAN + (IVF_FAN - 1))
+            F.sequence(F.col("s") * fan, F.col("s") * fan + (fan - 1))
         ).alias("c"),
     )
     cos_c = F.round(
@@ -441,19 +456,25 @@ def staged_assignment(vecs: DataFrame, cents: DataFrame, sups: DataFrame) -> Dat
 
 # SQL twin of the staged assignment — CTE block expecting a prior
 # ``v(vec_id, vec, norm)`` CTE; defines cent/sup/best_sup/assigned.
-STAGED_ASSIGN_SQL = f"""cent AS (
+# Parameterized in (n_cells, n_supers) so d8's corpus-scaled-k runs get
+# a tracking oracle; the module constant keeps the default text stable.
+
+
+def staged_assign_sql(n_cells: int = N_CELLS, n_supers: int = N_SUPERS) -> str:
+    fan = n_cells // n_supers
+    return f"""cent AS (
   SELECT c,
          list_transform(range(0, 64), d ->
            (CAST('0x' || md5('ivf:' || c || ':' || d)[1:8] AS BIGINT)
             % 2001 - 1000) / 1000.0) AS w
-  FROM (SELECT unnest(range(0, {N_CELLS})) AS c)
+  FROM (SELECT unnest(range(0, {n_cells})) AS c)
 ),
 sup AS (
   SELECT s, list(wv ORDER BY d) AS w FROM (
-    SELECT c // {IVF_FAN} AS s, d,
+    SELECT c // {fan} AS s, d,
            CAST(sum(CAST('0x' || md5('ivf:' || c || ':' || d)[1:8] AS BIGINT)
-                    % 2001 - 1000) AS DOUBLE) / {1000 * IVF_FAN} AS wv
-    FROM (SELECT unnest(range(0, {N_CELLS})) AS c)
+                    % 2001 - 1000) AS DOUBLE) / {1000 * fan} AS wv
+    FROM (SELECT unnest(range(0, {n_cells})) AS c)
     CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
     GROUP BY 1, 2
   ) GROUP BY s
@@ -477,7 +498,7 @@ child_scores AS (
                / (v.norm * sqrt(list_sum(list_transform(cent.w, x -> x * x)))), 6)
              AS cos_c
   FROM v JOIN best_sup USING (vec_id)
-  JOIN cent ON cent.c // {IVF_FAN} = best_sup.s
+  JOIN cent ON cent.c // {fan} = best_sup.s
 ),
 assigned AS (
   SELECT vec_id, c AS cell FROM (
@@ -485,6 +506,9 @@ assigned AS (
              PARTITION BY vec_id ORDER BY cos_c DESC, c ASC) AS rk
     FROM child_scores) WHERE rk = 1
 )"""
+
+
+STAGED_ASSIGN_SQL = staged_assign_sql()
 
 
 def s3_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,7 +1117,11 @@ S7_SQL = _s7_sql()
 # ---------------------------------------------------------------------------
 
 S8_ROUNDS = 2
-S8_SHORTLIST = 50
+# re-rank list: ~20x top_k (FAISS refine practice). 50 left true
+# neighbors below the ADC cut on clustered corpora whose cluster size
+# (64 in tools/make_clustered_fixture.py) exceeded the shortlist — ADC
+# can't order WITHIN a tight cluster, so the list must cover it.
+S8_SHORTLIST = 100
 
 
 def s8_trained_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
