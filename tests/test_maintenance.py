@@ -308,6 +308,77 @@ def test_incremental_ingest_verdicts(spark):
     assert any(v[d] == "ingested" for d in v if d < 200000)
 
 
+def test_e5_blocked_equals_exhaustive_rejections(spark):
+    """The recall contract of e5's bounded blocking, measured (round-4
+    advice #1): on real testdata the df-capped prefix blocking must
+    reject exactly the same batch docs the (quadratic, quarantined)
+    exhaustive shingle join would — the bound buys scale, not silent
+    recall loss. The oracle mirrors the blocking, so only THIS test can
+    see a semantic gap between bounded and exhaustive."""
+    from x17a5_spark.functions.text import normalized_fingerprint, tokens
+    from x17a5_spark.queries.corpus import blocked_candidates, word_shingles
+    from x17a5_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    toks = tokens(F.col("text"))
+    keep = F.greatest(F.floor(F.size(toks) * 9 / 10).cast("int"), F.lit(1))
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            existing.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat_ws(" ", F.slice(toks, 1, keep)).alias("text"),
+            )
+        )
+    )
+    efp = existing.select(
+        normalized_fingerprint(F.col("text")).alias("fp")
+    ).distinct()
+    novel = batch.select(
+        "doc_id", "text", normalized_fingerprint(F.col("text")).alias("fp")
+    ).join(efp, "fp", "left_anti")
+
+    def shingle(df, idc):
+        return df.select(
+            F.col(f"doc_id").alias(idc),
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text"), 3))
+            ).alias("shingle"),
+        )
+
+    shb = shingle(novel, "b_id").persist()
+    she = shingle(existing, "e_id").persist()
+    n_sh = shb.groupBy("b_id").agg(F.count("*").alias("n_sh"))
+
+    def rejected(cand):
+        she_c = she.join(cand.select("e_id").distinct(), "e_id", "left_semi")
+        shared = (
+            cand.join(shb, "b_id")
+            .join(she_c, ["e_id", "shingle"])
+            .groupBy("b_id", "e_id")
+            .agg(F.count("*").alias("n_shared"))
+        )
+        rej = (
+            shared.join(n_sh, "b_id")
+            .filter(F.col("n_shared") * 2 >= F.col("n_sh"))
+            .select("b_id")
+            .distinct()
+        )
+        return {r["b_id"] for r in rej.collect()}
+
+    blocked = rejected(blocked_candidates(shb, she))
+    exhaustive = rejected(shb.join(she, "shingle").select("b_id", "e_id").distinct())
+    shb.unpersist()
+    she.unpersist()
+    assert exhaustive, "fixture must plant rejectable near-copies"
+    assert blocked == exhaustive, (
+        f"blocking lost {len(exhaustive - blocked)} rejections "
+        f"(and invented {len(blocked - exhaustive)})"
+    )
+
+
 def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
     """Built-in streaming dedup: dropDuplicatesWithinWatermark keeps
     the first arrival per key across micro-batches and stays equal to

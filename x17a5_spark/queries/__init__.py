@@ -5,6 +5,15 @@ and ``ORACLES`` (name -> DuckDB SQL string) dicts; this package merges
 them for ``__spark_entry__``. Queries without an oracle entry are the
 genuinely non-SQL-expressible kernels (driver records a rows-only check).
 
+Caching contract (round-4 advice #2): a handful of queries persist()
+stage tables their returned plan references more than once (d3/d13
+candidate tables, e5's shingle indexes, s7/s8 trained codebooks, g1's
+edge list — each a stand-in for a pre-materialized production stage
+table). Those relations must outlive this builder call, so they are
+NOT unpersisted here; a long-lived session that keeps constructing
+queries should ``spark.catalog.clearCache()`` between them (bench.py
+does, per query) — otherwise Spark's LRU eviction is the backstop.
+
 Ordering matters: the grading driver hash-checks exactly the FIRST 50
 registry entries, so ``WINDOW_ORDER`` pins the window to the queries
 that carry the most operator evidence. Round-3 rotation: the 14 queries

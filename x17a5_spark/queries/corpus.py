@@ -408,6 +408,19 @@ def blocked_candidates(shb: DataFrame, she: DataFrame) -> DataFrame:
     hotter than ``E5_DF_CAP`` never block — so the join emits at most
     P * DF_CAP pairs per batch doc no matter how hot a stop-phrase
     shingle is in either table.
+
+    RECALL CONTRACT (round-4 advice #1, stated explicitly): rejection
+    is GUARANTEED only for subset-shingle near-copies — a batch doc
+    whose shingles are a subset of one existing doc's (the planted
+    exact/90%-truncation classes) always blocks into its source,
+    because every blocking shingle it has hits that source. For
+    arbitrary near-dups the bound can in principle lose a pair whose
+    shared shingles are all hotter than E5_DF_CAP or outside the P
+    rarest; tests/test_maintenance.py::
+    test_e5_blocked_equals_exhaustive_rejections measures the blocked
+    vs exhaustive rejection sets on real testdata (equal at sf0.001 —
+    recall 1.0), and the knobs if a corpus ever shows a gap are
+    E5_PREFIX / a df-cap scaled to the index size.
     """
     dfe = she.groupBy("shingle").agg(F.count("*").alias("df"))
     pw = Window.partitionBy("b_id").orderBy(F.col("df").asc(), F.col("shingle"))

@@ -39,30 +39,39 @@ def read_document_corpus(
 def slice_pages(df: DataFrame, max_pages: int = 20) -> DataFrame:
     """First-N-pages subset (reference FocusReportSlicing.py:78-109).
 
-    The pypdf dependency is optional in this container, so the slice is
-    gated behind an import-try; without it the content passes through
-    untouched (plumbing — schema, batching — stays real and tested).
+    Engine ladder inside each Arrow batch: pypdf when importable (full
+    PDF spec), else the vendored pure-Python slicer for the simple
+    uncompressed subset (sources/pdf_mini.py), else pass-through — so
+    the operator does real work with zero optional dependencies and
+    never fails a batch on an unparseable document (quarantine-style
+    leniency: a bad PDF flows on unsliced rather than killing the job).
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from x17a5_spark.sources.pdf_mini import slice_pdf_first_pages
+
         try:
             import io
 
             from pypdf import PdfReader, PdfWriter  # type: ignore
 
             def subset(content: bytes) -> bytes:
-                reader = PdfReader(io.BytesIO(content))
-                writer = PdfWriter()
-                for page in reader.pages[:max_pages]:
-                    writer.add_page(page)
-                buf = io.BytesIO()
-                writer.write(buf)
-                return buf.getvalue()
+                try:
+                    reader = PdfReader(io.BytesIO(content))
+                    writer = PdfWriter()
+                    for page in reader.pages[:max_pages]:
+                        writer.add_page(page)
+                    buf = io.BytesIO()
+                    writer.write(buf)
+                    return buf.getvalue()
+                except Exception:  # noqa: BLE001 — lenient per-doc
+                    return content
 
         except ImportError:
 
             def subset(content: bytes) -> bytes:
-                return content
+                sliced = slice_pdf_first_pages(bytes(content), max_pages)
+                return content if sliced is None else sliced
 
         for pdf in batches:
             pdf["content"] = pdf["content"].map(subset)
