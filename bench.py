@@ -137,6 +137,11 @@ HEADLINE = [
     "m7_audio_frames",
     "j16_fuzzy_name_join",
     "e9_training_manifest",
+    # round 5: closed-form HLL (was rows-only), Count-Min sketch,
+    # compaction planner
+    "t19_hll_distinct",
+    "t27_countmin",
+    "v3_compaction_plan",
 ]
 
 

@@ -539,3 +539,48 @@ def test_bpe_apply_replace_trick_equals_real_bpe(spark):
     got = {r.w: r.pieces for r in df.collect()}
     for w in words:
         assert got[w] == real_bpe_pieces(w), w
+
+
+def test_countmin_guarantee(spark):
+    """Count-Min invariants: estimate >= truth for EVERY queried token
+    (one-sided error is the sketch's defining property), and the mean
+    overcount respects the eN/w envelope loosely (w=256 on this corpus
+    leaves plenty of headroom)."""
+    from x17a5_spark.queries.textops import T27_W, t27_countmin
+    from x17a5_spark.functions.text import tokens
+    from x17a5_spark.tables import load_table
+
+    rows = t27_countmin(spark, SF).collect()
+    assert len(rows) == 20
+    n_total = (
+        load_table(spark, SF, "documents", fanout=True)
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        .count()
+    )
+    for r in rows:
+        assert r["cm_estimate"] >= r["true_count"], r
+        assert r["overcount"] == r["cm_estimate"] - r["true_count"]
+        # d=4 independent rows: overshoot beyond ~3x the expected
+        # single-row collision mass (N/w) would mean broken hashing
+        assert r["overcount"] <= 3 * n_total / T27_W, (r, n_total)
+
+
+def test_compaction_plan_bins_are_tight(spark):
+    """Sequential-fill invariant: every planned bin's bytes stay under
+    TARGET + one file (the greedy's overshoot bound), bins hold >= 2
+    files, and file ranges never overlap within a partition."""
+    from x17a5_spark.queries.lakehouse import V3_TARGET_BYTES, v3_compaction_plan
+
+    rows = v3_compaction_plan(spark, SF).collect()
+    assert rows
+    by_part: dict[int, list] = {}
+    for r in rows:
+        assert r["n_files"] >= 2
+        by_part.setdefault(r["part_year"], []).append(r)
+    max_size = max(r["bin_bytes"] / r["n_files"] for r in rows) * 2  # loose file bound
+    for part, bins in by_part.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        for i, r in enumerate(bins):
+            assert r["bin_bytes"] < V3_TARGET_BYTES + max_size, r
+            if i:
+                assert r["first_file"] > bins[i - 1]["last_file"], (part, r)

@@ -47,7 +47,12 @@ def test_every_query_has_driver_evidence_or_is_rows_only():
 
     queries, oracles = registry()
     prior: set[str] = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+    for f in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
+    ):
         path = os.path.join(os.path.dirname(__file__), "..", f)
         if os.path.exists(path):
             prior |= set(json.load(open(path)))

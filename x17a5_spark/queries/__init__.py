@@ -54,6 +54,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Round-5 rotation (verdict ask #3 + the never-ride-a-stale-row rule):
+# IN — a18_histogram and s4_pq_adc (both changed in round 4 on standing
+# r3 rows; the verdict's explicit ask), g1_pagerank (round-5 lazy
+# localCheckpoint iteration breaker — values identical and locally
+# verified, but changed code never rides), and the two round-5
+# additions v3_compaction_plan and t27_countmin (first-ever rows).
+# OUT — j12_scd2_intervals, j14_pit_join, j15_churn_absence,
+# o5_diversified_topk, m5_patch_grid: all hash-green in
+# CORRECTNESS_r04 and untouched since. Round-5 in-window changes
+# keeping their slots: t19 (new closed-form HLL + first oracle), s8
+# (S8_SHORTLIST 50->100), d3/e7 (shingle-width parameterization,
+# default path value-identical, re-verified), d8 (cell-count
+# parameterization, default identical, re-verified), e1 (stage timing
+# marks only).
+#
 # The driver's 50-entry correctness window, in order. Grouped by layer.
 # Round-4 rotation: IN — the 15 round-3 additions that never had a
 # driver row (a20/a21/a23/d13/f22/g2/k9/m5/st7/t17/t21/v1/w9 +
@@ -96,17 +111,14 @@ WINDOW_ORDER = [
     "s3_ivf_probe",
     "s7_trained_ivf",
     "s8_trained_pq",
-    "j12_scd2_intervals",
-    "j14_pit_join",
-    "j15_churn_absence",
-    "o5_diversified_topk",
+    "s4_pq_adc",
     "s6_int8_quantize",
-    "m5_patch_grid",
     "m6_phash_dedup",
     "m7_audio_frames",
     "t17_bpe_pair_counts",
     "t18_bpe_train",
     "t19_hll_distinct",
+    "t27_countmin",
     "t21_zipf_fit",
     "t24_bigram_perplexity",
     "t25_keyword_extraction",
@@ -133,9 +145,12 @@ WINDOW_ORDER = [
     "a24_rolling_active_users",
     "a26_ks_test",
     "a27_correlation_matrix",
+    "a18_histogram",
+    "g1_pagerank",
     "g2_triangle_count",
     "v1_constraint_checks",
     "v2_profile_columns",
+    "v3_compaction_plan",
     "j16_fuzzy_name_join",
     "w8_rolling_time_window",
     "w9_rolling_median",

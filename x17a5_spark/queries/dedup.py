@@ -26,6 +26,19 @@ from x17a5_spark.tables import load_table
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
 
+# Shingle width — the PRECISION knob for degenerate vocabularies
+# (SCALE.md round-4: the ~30-word synthetic vocab gives random doc
+# pairs high baseline 3-gram Jaccard, so banding admits ~22 candidates
+# per true pair at the 20x lake). Widening the shingle collapses the
+# random-collision base rate (~vocab^-k) while near-copies keep sharing
+# most shingles, so candidate volume — not the algorithm — shrinks.
+# Env-tunable like d8's X17A5_D8_CELLS, with the ORACLE TRACKING the
+# same k (both the Spark plan and the SQL below derive from it);
+# default 3 keeps every registry hash byte-identical.
+import os as _os
+
+D3_SHINGLE_K = int(_os.environ.get("X17A5_D3_SHINGLE", "3"))
+
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ perturbed near-duplicate copies (deterministic)."""
@@ -53,11 +66,15 @@ aug AS (
 )
 """
 
-_SHINGLES_SQL = """
+def _shingles_sql(k: int = D3_SHINGLE_K) -> str:
+    terms = " || ' ' || ".join(
+        "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(k)
+    )
+    return f"""
 shingles AS (
   SELECT doc_id, unnest(list_distinct(
-           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+           list_transform(range(1, greatest(len(toks) - {k - 1}, 0) + 1),
+                          i -> {terms})))
          AS shingle
   FROM (SELECT doc_id,
                list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
@@ -66,10 +83,15 @@ shingles AS (
 """
 
 
+_SHINGLES_SQL = _shingles_sql()
+
+
 def _shingle_table(aug: DataFrame) -> DataFrame:
     return aug.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("shingle"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), D3_SHINGLE_K))
+        ).alias("shingle"),
     )
 
 
@@ -174,9 +196,7 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
     hashed = sh.select("doc_id", h.alias("h"), bucket.alias("bk"))
     minhash_cols = [
-        F.coalesce(
-            F.min(F.when(F.col("bk") == i, F.col("h"))), F.lit("z")
-        ).alias(f"mh{i}")
+        F.min(F.when(F.col("bk") == i, F.col("h"))).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
     # fold the per-doc shingle count into the SAME aggregation — the
@@ -184,9 +204,34 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second full groupBy over the shingle table (one exchange, not two)
     # one row per doc, 17 narrow columns — cached so the band explode
     # AND the confirm's size lookup both read the same materialization
-    sigs = hashed.groupBy("doc_id").agg(
-        *minhash_cols, F.count("*").alias("n_shingles")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    #
+    # ROTATION densification (Shrivastava & Li, ICML'14): an empty
+    # bucket borrows the nearest non-empty bucket's min cyclically to
+    # the right, tagged with the borrow distance. Round 4 densified to
+    # a constant 'z' sentinel — and two SHORT docs then collided on
+    # every all-empty band regardless of content (measured at the 20x
+    # lake: 5.4M of 8.1M five-gram candidates were 'z'-band collisions
+    # between unrelated short docs). Borrowed values collide only when
+    # the borrowed-from minima AND distances match, i.e. when the docs
+    # genuinely share shingle structure; 'z' survives only for the
+    # impossible all-empty signature.
+    dens_cols = [
+        F.coalesce(
+            F.col(f"mh{i}"),
+            *[
+                F.concat(F.col(f"mh{(i + d) % N_MINHASH}"), F.lit(f"+{d}"))
+                for d in range(1, N_MINHASH)
+            ],
+            F.lit("z"),
+        ).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    sigs = (
+        hashed.groupBy("doc_id")
+        .agg(*minhash_cols, F.count("*").alias("n_shingles"))
+        .select("doc_id", *dens_cols, "n_shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # the band index is folded INTO the signature md5, so band
     # collision is a SINGLE-key equi-join (one narrow string compare
     # instead of (int, string)); candidate pairs are identical to the
@@ -267,6 +312,33 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # CTE chain through confirmed-candidate common counts — shared by
 # D3_SQL and the e7 audit report (identical semantics, one spelling).
+# The minhash/densify/band steps are generated in the same wide-column
+# form the Spark plan uses, so the rotation densification (see
+# d3_minhash_lsh) is spelled once per engine but term-for-term equal.
+_MINWIDE_COLS = ",\n         ".join(
+    f"min(CASE WHEN bk = {i} THEN h END) AS mh{i}" for i in range(N_MINHASH)
+)
+_DENS_COLS = ",\n         ".join(
+    "coalesce(mh{i}, {borrows}, 'z') AS mh{i}".format(
+        i=i,
+        borrows=", ".join(
+            f"mh{(i + d) % N_MINHASH} || '+{d}'" for d in range(1, N_MINHASH)
+        ),
+    )
+    for i in range(N_MINHASH)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({expr}) AS band_sig FROM dens".format(
+        b=b,
+        expr=" || '|' || ".join(
+            f"mh{i}"
+            for i in range(
+                b * (N_MINHASH // N_BANDS), (b + 1) * (N_MINHASH // N_BANDS)
+            )
+        ),
+    )
+    for b in range(N_BANDS)
+)
 _D3_CHAIN = f"""{_AUG_SQL.strip()},
 {_SHINGLES_SQL.strip()},
 hashed AS (
@@ -274,21 +346,18 @@ hashed AS (
          CAST('0x' || md5(shingle)[1:1] AS INT) AS bk
   FROM shingles
 ),
-grid AS (
-  SELECT d.doc_id, b.bk
-  FROM (SELECT DISTINCT doc_id FROM shingles) d
-  CROSS JOIN (SELECT unnest(range(0, {N_MINHASH})) AS bk) b
+minwide AS (
+  SELECT doc_id,
+         {_MINWIDE_COLS}
+  FROM hashed GROUP BY doc_id
 ),
-minhash AS (
-  SELECT g.doc_id, g.bk,
-         coalesce(min(hashed.h), 'z') AS mh
-  FROM grid g LEFT JOIN hashed ON hashed.doc_id = g.doc_id AND hashed.bk = g.bk
-  GROUP BY g.doc_id, g.bk
+dens AS (
+  SELECT doc_id,
+         {_DENS_COLS}
+  FROM minwide
 ),
 bands AS (
-  SELECT doc_id, CAST(bk // {N_MINHASH // N_BANDS} AS INT) AS band,
-         md5(array_to_string(list(mh ORDER BY bk), '|')) AS band_sig
-  FROM minhash GROUP BY 1, 2
+  {_BAND_SELECTS}
 ),
 candidates AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

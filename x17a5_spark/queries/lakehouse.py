@@ -857,7 +857,84 @@ WHERE levenshtein(d.feed_name, s.s_name) <= {J16_MAX_DIST}
 """
 
 
+# ---------------------------------------------------------------------------
+# V3 — small-file compaction planner (Delta/Iceberg OPTIMIZE's planning
+# step). The lakehouse failure mode at 100 TB isn't data volume, it's
+# FILE COUNT: streaming/incremental writers leave thousands of small
+# files per partition and every scan pays per-file open + listing cost.
+# OPTIMIZE planning = per partition, pack files (in a deterministic
+# order) into target-size bins; each bin becomes one rewrite task.
+#
+# The file listing is synthesized deterministically from orders (file
+# per order, partition = order year, size = totalprice in bytes); the
+# packing rule is sequential fill by file id: a file's bin is
+# floor(prev_cumsum / TARGET) — one window cumsum per partition, no
+# global shuffle, bins overshoot by at most one file (the standard
+# greedy). Output: one row per planned rewrite task (bins that hold
+# >= 2 files — singleton bins need no compaction), with file count and
+# bytes. Scale shape: everything is partition-local after ONE hash
+# exchange on the partition key; planning output is bounded by
+# total_bytes / TARGET, tiny next to the listing.
+# ---------------------------------------------------------------------------
+
+V3_TARGET_BYTES = 1_000_000
+
+
+def v3_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("file_id"),
+        F.year("o_orderdate").alias("part_year"),
+        F.round("o_totalprice", 0).cast("long").alias("size_bytes"),
+    )
+    w = (
+        Window.partitionBy("part_year")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = files.withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+            / F.lit(V3_TARGET_BYTES)
+        ).cast("int"),
+    )
+    return (
+        binned.groupBy("part_year", "bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("size_bytes").alias("bin_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .filter(F.col("n_files") >= 2)
+    )
+
+
+V3_SQL = f"""
+WITH files AS (
+  SELECT o_orderkey AS file_id,
+         year(o_orderdate) AS part_year,
+         CAST(round(o_totalprice, 0) AS BIGINT) AS size_bytes
+  FROM orders
+),
+binned AS (
+  SELECT part_year, file_id, size_bytes,
+         CAST(floor(coalesce(sum(size_bytes) OVER (
+                  PARTITION BY part_year ORDER BY file_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {V3_TARGET_BYTES}) AS INT) AS bin_id
+  FROM files
+)
+SELECT part_year, bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS bin_bytes,
+       min(file_id) AS first_file, max(file_id) AS last_file
+FROM binned GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 QUERIES = {
+    "v3_compaction_plan": v3_compaction_plan,
     "j11_bloom_semi_join": j11_bloom_semi_join,
     "j12_scd2_intervals": j12_scd2_intervals,
     "d10_source_quota": d10_source_quota,
@@ -871,6 +948,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "v3_compaction_plan": V3_SQL,
     "j11_bloom_semi_join": J11_SQL,
     "j12_scd2_intervals": J12_SQL,
     "d10_source_quota": D10_SQL,

@@ -527,6 +527,88 @@ FROM ex JOIN est ON ex.source = est.source
 
 
 
+# T27 — Count-Min sketch point queries (Cormode/Muthukrishnan): the
+# OTHER canonical mergeable frequency sketch next to t15's heavy
+# hitters and t19's HLL. d=4 md5-derived hash rows x w=256 counters;
+# closed-form in both engines (the s2/t19 discipline), so the whole
+# sketch — build AND point-query — is hash-checked, not just its
+# shape. Scale: the sketch is built from the VOCAB table weighted by
+# frequency (t17's lesson: vocab << corpus, so the d-way fan-out runs
+# over unique tokens, not occurrences), is d*w = 1,024 rows — constant
+# memory, trivially mergeable across partitions/epochs — and the
+# point-query side joins the top-k tokens against it broadcast. The
+# CM guarantee (estimate >= truth, overcount bounded by eN/w) is
+# asserted per-row in tests and visible in the overcount column.
+
+T27_D = 4
+T27_W = 256
+T27_TOPK = 20
+
+
+def _t27_col(j, token):
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", j, token)), 1, 15), 16, 10
+    ).cast("long") % T27_W
+
+
+def t27_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("true_count"))
+    fan = freq.select(
+        "token",
+        "true_count",
+        F.explode(F.sequence(F.lit(0), F.lit(T27_D - 1))).alias("j"),
+    )
+    sketch = (
+        fan.select("j", _t27_col(F.col("j"), F.col("token")).alias("c"), "true_count")
+        .groupBy("j", "c")
+        .agg(F.sum("true_count").alias("cnt"))
+    )
+    topk = freq.orderBy(F.col("true_count").desc(), F.col("token")).limit(T27_TOPK)
+    qfan = topk.select(
+        "token",
+        "true_count",
+        F.explode(F.sequence(F.lit(0), F.lit(T27_D - 1))).alias("j"),
+    ).withColumn("c", _t27_col(F.col("j"), F.col("token")))
+    return (
+        qfan.join(F.broadcast(sketch), ["j", "c"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(
+            "token",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_count")).alias("overcount"),
+        )
+    )
+
+
+T27_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS true_count FROM toks GROUP BY 1),
+fan AS (SELECT token, true_count, unnest(range(0, {T27_D})) AS j FROM freq),
+sketch AS (
+  SELECT j, CAST('0x' || md5(j || ':' || token)[1:15] AS BIGINT) % {T27_W} AS c,
+         CAST(sum(true_count) AS BIGINT) AS cnt
+  FROM fan GROUP BY 1, 2
+),
+topk AS (SELECT token, true_count FROM freq
+         ORDER BY true_count DESC, token LIMIT {T27_TOPK}),
+qfan AS (SELECT token, true_count, unnest(range(0, {T27_D})) AS j FROM topk)
+SELECT q.token, q.true_count, min(s.cnt) AS cm_estimate,
+       min(s.cnt) - q.true_count AS overcount
+FROM qfan q JOIN sketch s
+  ON s.j = q.j
+ AND s.c = CAST('0x' || md5(q.j || ':' || q.token)[1:15] AS BIGINT) % {T27_W}
+GROUP BY 1, 2
+"""
+
+
 # T21 — Zipf-law fit of the token frequency distribution: rank tokens
 # by frequency, regress log(freq) on log(rank) with exact normal
 # equations (the f15 pattern — DECIMAL-summed moments, closed-form
@@ -857,6 +939,7 @@ QUERIES = {
     "t12_kmv_distinct": t12_kmv_distinct,
     "t18_bpe_train": t18_bpe_train,
     "t19_hll_distinct": t19_hll_distinct,
+    "t27_countmin": t27_countmin,
     "t21_zipf_fit": t21_zipf_fit,
     "t25_keyword_extraction": t25_keyword_extraction,
     "t26_token_entropy": t26_token_entropy,
@@ -872,6 +955,7 @@ ORACLES = {
     "t17_bpe_pair_counts": T17_SQL,
     "t12_kmv_distinct": T12_SQL,
     "t19_hll_distinct": T19_SQL,
+    "t27_countmin": T27_SQL,
     "t21_zipf_fit": T21_SQL,
     "t25_keyword_extraction": T25_SQL,
     "t26_token_entropy": T26_SQL,
