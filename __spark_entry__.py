@@ -3,10 +3,10 @@
 ``entry(spark)`` runs the flagship pricing-summary aggregation at
 sf0.001; ``queries()`` exposes every implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for each hash-checkable query. Queries
-without an oracle entry are the genuinely non-SQL-expressible kernels
-(iterative BPE training, the HLL sketch) — those are verified
-by golden tests under tests/.
+gives the DuckDB-equivalent SQL for each hash-checkable query
+(169 queries / 168 oracles). The single query without an oracle entry
+is the genuinely non-SQL-expressible iterative BPE training kernel
+(``t18_bpe_train``) — verified by golden tests under tests/.
 """
 
 from __future__ import annotations

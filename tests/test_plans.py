@@ -176,11 +176,37 @@ def test_d12_quota_join_is_broadcast(spark):
 def test_g1_iterations_reuse_cached_edges(spark):
     from x17a5_spark.queries.graph import g1_pagerank
 
+    # production form: each iteration ends in a lazy localCheckpoint, so
+    # the returned plan is the (truncated) last iteration only — assert
+    # it is sound, then assert the reuse property on the unrolled form.
     plan = _plan(g1_pagerank(spark, SF))
     assert "CartesianProduct" not in plan
-    # the annotated edge relation is persisted once and referenced by
-    # every iteration: InMemoryTableScan must appear >= iteration count
-    assert plan.count("InMemoryTableScan") >= 5
+    assert "Scan ExistingRDD" in plan  # the lineage breaker is in place
+    # breaker off exposes the full unrolled plan: the annotated edge
+    # relation is persisted once and referenced by EVERY iteration, so
+    # InMemoryTableScan must appear >= iteration count (3 keeps Catalyst
+    # compile time test-friendly; the property is per-iteration).
+    unrolled = _plan(g1_pagerank(spark, SF, iters=3, breaker=False))
+    assert "CartesianProduct" not in unrolled
+    assert unrolled.count("InMemoryTableScan") >= 3
+
+
+def test_g1_reliable_checkpoint_matches_local(spark, tmp_path):
+    """checkpoint_dir knob (cluster-durable lineage break) must be
+    value-identical to the default localCheckpoint path."""
+    from x17a5_spark.queries.graph import g1_pagerank
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        tuple(r) for r in g1_pagerank(spark, sf).collect()
+    }
+    durable = {
+        tuple(r)
+        for r in g1_pagerank(
+            spark, sf, checkpoint_dir=str(tmp_path / "g1_ckpt")
+        ).collect()
+    }
+    assert base == durable and len(base) > 0
 
 
 def test_j14_pit_join_single_user_exchange(spark):

@@ -57,7 +57,26 @@ G1_ITERS = 5
 G1_DAMP = 0.85
 
 
-def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g1_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = G1_ITERS,
+    breaker: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """G1 — weighted PageRank over the customer–supplier bipartite graph.
+
+    ``breaker`` controls the per-iteration lineage breaker (default on;
+    off exposes the fully unrolled plan for plan-discipline tests).
+    ``checkpoint_dir``: when set, iterations break lineage with a
+    *reliable* ``checkpoint()`` into that directory instead of
+    ``localCheckpoint()``. localCheckpoint stores blocks on executors
+    only — fine at local[32], but on a real cluster losing an executor
+    after lineage truncation kills the job; at 100 TB pass a DFS path
+    here (the durable trade is one extra write per iteration).
+    """
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     fwd = (
@@ -79,7 +98,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before execution would recompute the edge build G1_ITERS times.
     e = edges.join(outw, "src").persist()
     ranks = outw.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
-    for _ in range(G1_ITERS):
+    for _ in range(iters):
         contrib = e.join(ranks, e["src"] == ranks["node"]).select(
             F.col("dst").alias("node"),
             F.round(F.col("rank") * F.col("w") / F.col("out_w"), 9).alias("c"),
@@ -99,7 +118,10 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ANALYZING. Values are unaffected: every iteration's ranks are
         # already exact (round-9 then DECIMAL-sum), so checkpointed ==
         # unrolled, and the oracle keeps its unrolled CTE chain.
-        ranks = ranks.localCheckpoint(eager=False)
+        if checkpoint_dir is not None:
+            ranks = ranks.checkpoint(eager=False)
+        elif breaker:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
