@@ -246,7 +246,14 @@ def main() -> None:
     n_keep = len(timings)
     while n_keep > 10 and len(line_for(n_keep)) > 1800:
         n_keep -= 5
-    print(line_for(n_keep))
+    line = line_for(n_keep)
+    if len(line) > 1800:
+        # even 10 entries can blow the ~2KB capture budget (long
+        # full-name fallbacks, future top-level keys): drop the queries
+        # map entirely — the headline survives, BENCH_FULL.json has
+        # the rest (ADVICE r5)
+        line = line_for(0)
+    print(line)
 
 
 if __name__ == "__main__":

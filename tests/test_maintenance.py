@@ -577,7 +577,17 @@ def test_compaction_plan_bins_are_tight(spark):
     for r in rows:
         assert r["n_files"] >= 2
         by_part.setdefault(r["part_year"], []).append(r)
-    max_size = max(r["bin_bytes"] / r["n_files"] for r in rows) * 2  # loose file bound
+    # the true largest single file in the synthesized listing (file
+    # size = round(o_totalprice)), not a per-bin mean proxy (ADVICE r5)
+    from pyspark.sql import functions as F
+
+    from x17a5_spark.tables import load_table
+
+    max_size = (
+        load_table(spark, SF, "orders")
+        .agg(F.max(F.round("o_totalprice", 0).cast("long")))
+        .collect()[0][0]
+    )
     for part, bins in by_part.items():
         bins.sort(key=lambda r: r["bin_id"])
         for i, r in enumerate(bins):

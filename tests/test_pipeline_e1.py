@@ -107,3 +107,25 @@ def test_build_unstructured_prunes_and_orders(spark):
     rows = {r["cik"]: r for r in wide.collect()}
     assert rows["1"]["Cash"] == 3.0 and rows["1"]["Loans"] is None
     assert rows["2"]["Loans"] == 5.0 and rows["2"]["Cash"] is None
+
+
+def test_e1_keeps_exactly_one_live_sink_tree(spark):
+    """One-live-plan contract (e1 docstring / ADVICE r5): building a
+    second e1 plan deletes the first build's sink tree, and at most one
+    tree exists at a time."""
+    import os
+
+    from x17a5_spark.queries import domain
+
+    sf = "/root/testdata/sf0.001"
+    df1 = domain.e1_full_pipeline(spark, sf)
+    first_dir = domain._E1_PREV_DIR
+    assert first_dir is not None and os.path.isdir(first_dir)
+    assert df1.count() > 0
+
+    df2 = domain.e1_full_pipeline(spark, sf)
+    second_dir = domain._E1_PREV_DIR
+    assert second_dir != first_dir
+    assert not os.path.exists(first_dir), "previous e1 sink tree must be gone"
+    assert os.path.isdir(second_dir)
+    assert df2.count() > 0

@@ -237,3 +237,29 @@ def test_t23_sampling_is_shuffle_free(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_silver_kernels_keep_explicit_width(spark):
+    """The grouped Python kernels must sit behind REPARTITION_BY_NUM
+    exchanges (kernel_part.py): those are contractually exempt from
+    AQE's byte-based coalescing. Without them, a byte-small corpus
+    collapses every kernel to ONE task and the silver chain serializes
+    (measured round 6: silver_clean 100.6 s -> 15.6 s at sf0.1)."""
+    from x17a5_spark.queries.domain import e2_clean_pipeline
+
+    plan = _plan(e2_clean_pipeline(spark, SF))
+    # three kernels in the chain: conjoined split, bisection, subtotals
+    assert plan.count("REPARTITION_BY_NUM") >= 3, plan.count("REPARTITION_BY_NUM")
+    assert plan.count("FlatMapGroupsInPandas") == 3
+
+
+def test_kernel_width_never_equals_session_shuffle_width(spark):
+    """kernel_width must differ from spark.sql.shuffle.partitions —
+    equal hash partitioning gets the explicit exchange elided at
+    planning time, which re-serializes the kernels (round-6 bug)."""
+    from x17a5_spark.operators.kernel_part import kernel_width
+
+    df = spark.range(10)
+    w = kernel_width(df)
+    assert w != int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert w >= spark.sparkContext.defaultParallelism

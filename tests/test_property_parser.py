@@ -82,3 +82,30 @@ def test_parser_matches_python_reference(spark):
             assert actual is None or math.isnan(actual), f"num_strip({s!r})"
         else:
             assert actual == expected, f"num_strip({s!r}): spark={actual}, py={expected}"
+
+
+def test_staged_parser_matches_column_form(spark):
+    """The staged-projection F1 (wide-hot-path form, round-6 codegen
+    fix) must agree with the Column form on arbitrary dirty strings —
+    including null, which the hot path sees after the borrow merge."""
+    from x17a5_spark.functions.accounting import stage_parse_accounting_number
+
+    samples: list[str] = []
+    DIRT_SAMPLER = given(st.lists(DIRT, min_size=400, max_size=400))
+
+    @settings(max_examples=5, deadline=None, derandomize=True)
+    @DIRT_SAMPLER
+    def grab(batch):
+        samples.extend(batch)
+
+    grab()
+    samples += ["(", ")", "-", ".", "..", "1.2.3.4", "(1,2I4)", "$-", "||", "-.", None]
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "id int, raw string"
+    )
+    both = stage_parse_accounting_number(df, "raw", "staged").select(
+        "id", "staged", parse_accounting_number(F.col("raw")).alias("expr")
+    )
+    for r in both.collect():
+        assert r["staged"] == r["expr"], f"id={r['id']}: {r['staged']} != {r['expr']}"

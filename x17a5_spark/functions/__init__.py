@@ -11,6 +11,7 @@ from x17a5_spark.functions.accounting import (
     is_power_of_ten_ratio,
     parse_accounting_number,
     relative_error_class,
+    stage_parse_accounting_number,
 )
 from x17a5_spark.functions.compat import davg, dsum
 from x17a5_spark.functions.keys import (
@@ -38,6 +39,7 @@ __all__ = [
     "levenshtein_ratio",
     "normalized_fingerprint",
     "parse_accounting_number",
+    "stage_parse_accounting_number",
     "punct_ratio",
     "relative_error_class",
     "token_count",

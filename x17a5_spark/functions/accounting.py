@@ -7,7 +7,9 @@ Behavioral contracts cite the reference (/root/reference) file:line.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import itertools
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -53,6 +55,85 @@ def parse_accounting_number(col: Column | str) -> Column:
     # try_cast: malformed residue (e.g. a surviving '|') -> null rather
     # than an ANSI-mode cast error
     return F.when(s.isin("-", "."), F.lit(0.0)).otherwise(s.try_cast("double"))
+
+
+# unique temp-column prefix per staging call, so the helper can be
+# applied to several columns of the same DataFrame without collisions
+_STAGE_SEQ = itertools.count()
+
+
+def stage_parse_accounting_number(
+    df: DataFrame, src: Column | str, out: str
+) -> DataFrame:
+    """F1 as *staged projections* — the wide-hot-path form.
+
+    Same semantics as ``parse_accounting_number`` (property-tested
+    equal), but each rewrite step lands in a real intermediate column
+    instead of being inlined into every reference site. The Column
+    form's expression tree multiplies (~3 × 3 × 6 copies of the input
+    subtree); composed twice inside the W4 merge plus once on the split
+    output, the generated ``processNext`` exceeds janino's 64 KB method
+    limit and Spark silently drops the whole stage to interpreted
+    row-at-a-time eval — the round-5 e1 regression. Staging keeps each
+    projection's tree linear; the non-cheap producers referenced more
+    than once are protected from CollapseProject re-inlining
+    (SPARK-36718), so whole-stage codegen compiles again.
+    """
+    s = F.col(src) if isinstance(src, str) else src
+    p = f"__pan{next(_STAGE_SEQ)}"
+    a, b, t, c = f"{p}a", f"{p}b", f"{p}t", f"{p}c"
+    # sign mark + OCR confusions + character-class strip (one pass —
+    # the input is an attribute, so multiple references stay cheap)
+    df = df.withColumn(
+        a,
+        F.regexp_replace(
+            F.translate(
+                F.when(s.startswith("("), F.concat(F.lit("-"), s)).otherwise(s),
+                "Il",
+                "11",
+            ),
+            r"[^0-9|.\-]",
+            "",
+        ),
+    )
+    # '-' kept only in leading position
+    df = df.withColumn(
+        b,
+        F.when(
+            F.col(a).startswith("-"),
+            F.concat(F.lit("-"), F.translate(F.col(a), "-", "")),
+        ).otherwise(F.translate(F.col(a), "-", "")),
+    )
+    # keep only the last '.'; kill all dots when the decimal tail is
+    # longer than 2 digits (misplaced OCR period)
+    df = df.withColumn(t, F.substring_index(F.col(b), ".", -1))
+    df = df.withColumn(
+        c,
+        F.when(~F.col(b).contains("."), F.col(b))
+        .when(F.length(F.col(t)) > 2, F.translate(F.col(b), ".", ""))
+        .otherwise(
+            F.concat(
+                F.translate(
+                    F.substr(
+                        F.col(b),
+                        F.lit(1),
+                        F.length(F.col(b)) - F.length(F.col(t)) - 1,
+                    ),
+                    ".",
+                    "",
+                ),
+                F.lit("."),
+                F.col(t),
+            )
+        ),
+    )
+    df = df.withColumn(
+        out,
+        F.when(F.col(c).isin("-", "."), F.lit(0.0)).otherwise(
+            F.col(c).try_cast("double")
+        ),
+    )
+    return df.drop(a, b, t, c)
 
 
 def is_power_of_ten_ratio(x1: Column, x2: Column) -> Column:

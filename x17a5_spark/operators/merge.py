@@ -23,8 +23,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from x17a5_spark.functions.accounting import parse_accounting_number
-
 
 def merge_three_columns(
     df: DataFrame,
@@ -34,10 +32,20 @@ def merge_three_columns(
     col1: str = "col1",
     col2: str = "col2",
 ) -> DataFrame:
-    """Declarative 3→2 merge; output column ``raw_value``."""
+    """Declarative 3→2 merge; output column ``raw_value``.
+
+    The two F1 parses land as staged intermediate columns (not inlined
+    Column expressions): inlined, the duplicated parse trees push the
+    generated stage past janino's 64 KB limit and the whole merge runs
+    interpreted (round-5 e1 regression; VERDICT r5 what's-wrong #2).
+    """
+    from x17a5_spark.functions.accounting import stage_parse_accounting_number
+
+    df = stage_parse_accounting_number(df, col1, "_n1")
+    df = stage_parse_accounting_number(df, col2, "_n2")
     w = Window.partitionBy(*group_cols).orderBy(order_col)
-    n1 = parse_accounting_number(F.col(col1))
-    n2 = parse_accounting_number(F.col(col2))
+    n1 = F.col("_n1")
+    n2 = F.col("_n2")
     prev_c1 = F.lag(col1, 1).over(w)
     prev_c2 = F.lag(col2, 1).over(w)
     prev_pos = F.lag(order_col, 1).over(w)
@@ -177,4 +185,10 @@ def special_merge(
         out["row_idx"] = range(len(out))
         return out[group_cols + ["row_idx", item_col, value_col]]
 
-    return tagged.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+    from x17a5_spark.operators.kernel_part import kernel_partitions
+
+    return (
+        kernel_partitions(tagged, group_cols)
+        .groupBy(*group_cols)
+        .applyInPandas(fn, schema=schema)
+    )

@@ -102,7 +102,11 @@ def split_conjoined_rows(
             F.collect_list(F.struct(F.col("line_idx"), F.col("line_text")))
         ).alias("_text_lines")
     )
-    joined = df.join(text_arrays, group_cols, "left")
+    from x17a5_spark.operators.kernel_part import kernel_partitions
+
+    # full-width kernel execution (AQE would serialize this CPU-bound
+    # stage on a byte-small corpus; see kernel_part.py)
+    joined = kernel_partitions(df.join(text_arrays, group_cols, "left"), group_cols)
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)

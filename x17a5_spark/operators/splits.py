@@ -78,4 +78,10 @@ def split_balance_sheet(
         out["side"] = ["asset"] * stop1 + ["liability"] * (stop2 - stop1)
         return out[in_cols + ["side"]]
 
-    return df.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+    from x17a5_spark.operators.kernel_part import kernel_partitions
+
+    return (
+        kernel_partitions(df, group_cols)
+        .groupBy(*group_cols)
+        .applyInPandas(fn, schema=schema)
+    )

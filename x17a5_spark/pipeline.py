@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from x17a5_spark.functions.accounting import parse_accounting_number
+from x17a5_spark.functions.accounting import stage_parse_accounting_number
 from x17a5_spark.operators.merge import merge_three_columns
 from x17a5_spark.operators.row_split import split_conjoined_rows
 from x17a5_spark.operators.scaler import detect_unit_scale
@@ -55,8 +55,8 @@ def clean_filings(raw: DataFrame, text: DataFrame) -> DataFrame:
         purged, group_cols=["cik", "filing_date"], col1="col1", col2="col2"
     )
     split = split_conjoined_rows(merged, text, group_cols=["cik", "filing_date"])
-    parsed = split.withColumn(
-        "value_unscaled", parse_accounting_number(F.col("raw_value"))
+    parsed = stage_parse_accounting_number(
+        split, "raw_value", "value_unscaled"
     ).filter(F.col("value_unscaled").isNotNull())
     scales = detect_unit_scale(text, group_cols=["cik", "filing_date"])
     scaled = parsed.join(scales, ["cik", "filing_date"], "left").withColumn(

@@ -54,6 +54,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Round-6 rotation (never-ride-a-stale-row): the silver-chain rebuild
+# (staged F1 projections for whole-stage codegen + explicit kernel-width
+# repartition immune to AQE byte-coalescing) changes the plans of every
+# query touching merge_three_columns / split_conjoined_rows /
+# split_balance_sheet / remove_subtotals / special_merge.
+# IN — e2_clean_pipeline, k1_totals_check, k2_balance_split,
+# k3_merge_columns, k4_row_split, j7_special_merge (all changed this
+# round; e1 and g1 also changed and already hold slots).
+# OUT — a18_histogram, a26_ks_test, a27_correlation_matrix,
+# w8_rolling_time_window, w9_rolling_median, w10_ewma: all hash-green
+# in CORRECTNESS_r05 and untouched in round 6 (the local gate still
+# value-checks them every run).
+
 # Round-5 rotation (verdict ask #3 + the never-ride-a-stale-row rule):
 # IN — a18_histogram and s4_pq_adc (both changed in round 4 on standing
 # r3 rows; the verdict's explicit ask), g1_pagerank (round-5 lazy
@@ -143,18 +156,19 @@ WINDOW_ORDER = [
     "a22_robust_outliers",
     "a23_cumulative_distinct",
     "a24_rolling_active_users",
-    "a26_ks_test",
-    "a27_correlation_matrix",
-    "a18_histogram",
     "g1_pagerank",
     "g2_triangle_count",
     "v1_constraint_checks",
     "v2_profile_columns",
     "v3_compaction_plan",
     "j16_fuzzy_name_join",
-    "w8_rolling_time_window",
-    "w9_rolling_median",
-    "w10_ewma",
+    # --- round-6 silver-chain rebuild: fresh rows for changed plans ---
+    "e2_clean_pipeline",
+    "k1_totals_check",
+    "k2_balance_split",
+    "k3_merge_columns",
+    "k4_row_split",
+    "j7_special_merge",
 ]
 
 DRIVER_WINDOW = 50

@@ -35,6 +35,10 @@ N_BANDS = 4  # 4 rows per band
 # Env-tunable like d8's X17A5_D8_CELLS, with the ORACLE TRACKING the
 # same k (both the Spark plan and the SQL below derive from it);
 # default 3 keeps every registry hash byte-identical.
+# Blast radius: the shared _SHINGLES_SQL/_shingle_table means this knob
+# also changes d2_jaccard_dedup's shingle width (d2's oracle tracks it
+# too, so parity holds at any k) — it is the corpus-wide shingle width,
+# not a d3-only setting.
 import os as _os
 
 D3_SHINGLE_K = int(_os.environ.get("X17A5_D3_SHINGLE", "3"))

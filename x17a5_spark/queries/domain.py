@@ -632,6 +632,16 @@ _E1_PREV_DIR: str | None = None
 
 
 def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — bronze→silver→gold with persisted stage sinks.
+
+    ONE-LIVE-PLAN CONTRACT: each call builds a fresh sink tree and
+    deletes the previous call's tree (the returned plan lazily reads
+    its gold parquet, so the tree must outlive the call — but only the
+    MOST RECENT e1 plan is executable). A long-lived session holding
+    two e1 DataFrames will see the older one fail on re-execution with
+    a missing-parquet error; bench and the driver execute sequentially,
+    which is the supported shape (ADVICE r5).
+    """
     import tempfile
 
     from x17a5_spark.pipeline import run_pipeline
