@@ -248,9 +248,11 @@ def test_silver_kernels_keep_explicit_width(spark):
     from x17a5_spark.queries.domain import e2_clean_pipeline
 
     plan = _plan(e2_clean_pipeline(spark, SF))
-    # three kernels in the chain: conjoined split, bisection, subtotals
-    assert plan.count("REPARTITION_BY_NUM") >= 3, plan.count("REPARTITION_BY_NUM")
-    assert plan.count("FlatMapGroupsInPandas") == 3
+    # two kernels in the chain: conjoined split + the FUSED tail
+    # (bisection + subtotal removal in one pass) — a third kernel here
+    # means the fusion regressed; fewer means a kernel silently died
+    assert plan.count("REPARTITION_BY_NUM") >= 2, plan.count("REPARTITION_BY_NUM")
+    assert plan.count("FlatMapGroupsInPandas") == 2
 
 
 def test_kernel_width_never_equals_session_shuffle_width(spark):

@@ -219,3 +219,42 @@ def test_split_conjoined_rows_spark(spark):
     assert list(out.lineitem) == ["Header", "Securities Held", "Total Assets"]
     assert list(out.raw_value) == ["1,0", "9,112,943", "13,151,663"]
     assert (out.split_flag == 1).all()
+
+
+def test_fused_tail_equals_composition(spark):
+    """bisect_and_remove_subtotals must equal split_balance_sheet |>
+    remove_subtotals row-for-row (the fused silver tail, round 6)."""
+    from x17a5_spark.operators.splits import (
+        bisect_and_remove_subtotals,
+        split_balance_sheet,
+    )
+    from x17a5_spark.operators.totals_check import remove_subtotals
+
+    rows = []
+    # filing A: both sides, subtotal planted on the asset side
+    for i, (item, val) in enumerate([
+        ("Cash", 2.0), ("Receivables", 5.0), ("Total assets", 7.0),
+        ("Payables", 11.0), ("Total liabilities and equity", 11.0),
+    ]):
+        rows.append(("A", "2021-06-30", i, item, val))
+    # filing B: assets only -> rejected by the bisection (no rows out)
+    for i, (item, val) in enumerate([("Cash", 1.0), ("Total assets", 1.0)]):
+        rows.append(("B", "2021-06-30", i, item, val))
+    # filing C: liability term first -> bounds never valid, rejected
+    for i, (item, val) in enumerate([("Liabilities", 3.0), ("Assets", 3.0)]):
+        rows.append(("C", "2021-06-30", i, item, val))
+    df = spark.createDataFrame(
+        rows, "cik string, filing_date string, row_idx int, "
+        "lineitem string, value double"
+    )
+
+    cols = ["cik", "filing_date", "side", "row_idx", "lineitem", "value",
+            "total_flag", "total_amt"]
+    fused = {tuple(r[c] for c in cols)
+             for r in bisect_and_remove_subtotals(df).collect()}
+    composed = {tuple(r[c] for c in cols)
+                for r in remove_subtotals(
+                    split_balance_sheet(df),
+                    group_cols=["cik", "filing_date", "side"],
+                ).collect()}
+    assert fused == composed and len(fused) > 0

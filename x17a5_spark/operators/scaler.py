@@ -65,7 +65,16 @@ def detect_unit_scale(
     """
     group_cols = list(group_cols)
     cik_col, date_col = group_cols[0], group_cols[1]
-    per_line = text.withColumn("line_scale", _line_scale(F.col("line_text")))
+    from x17a5_spark.operators.kernel_part import kernel_partitions
+
+    # the indel-ratio UDF is CPU-bound per LINE (difflib over tokens);
+    # spread the text table before the projection so a byte-small
+    # corpus doesn't evaluate it on one task (round-6 attribution:
+    # 1.5 s serial at sf0.1). Keyed on the filing key so the groupBy
+    # below reuses the exchange.
+    per_line = kernel_partitions(text, group_cols).withColumn(
+        "line_scale", _line_scale(F.col("line_text"))
+    )
     first_match = (
         per_line.withColumn(
             "match_line",

@@ -30,8 +30,7 @@ from x17a5_spark.functions.accounting import stage_parse_accounting_number
 from x17a5_spark.operators.merge import merge_three_columns
 from x17a5_spark.operators.row_split import split_conjoined_rows
 from x17a5_spark.operators.scaler import detect_unit_scale
-from x17a5_spark.operators.splits import split_balance_sheet
-from x17a5_spark.operators.totals_check import remove_subtotals
+from x17a5_spark.operators.splits import bisect_and_remove_subtotals
 
 
 def clean_filings(raw: DataFrame, text: DataFrame) -> DataFrame:
@@ -68,9 +67,10 @@ def clean_filings(raw: DataFrame, text: DataFrame) -> DataFrame:
     dense = scaled.withColumn("row_idx", F.row_number().over(w) - 1).select(
         "cik", "filing_date", "row_idx", "lineitem", "value"
     )
-    sided = split_balance_sheet(dense, group_cols=["cik", "filing_date"])
-    no_subtotals = remove_subtotals(
-        sided, group_cols=["cik", "filing_date", "side"]
+    # fused tail: bisection + subtotal removal in one kernel pass (one
+    # filing-key exchange instead of two; see bisect_and_remove_subtotals)
+    no_subtotals = bisect_and_remove_subtotals(
+        dense, group_cols=["cik", "filing_date"]
     )
     return no_subtotals.select(
         "cik", "filing_date", "side", "row_idx", "lineitem", "value",
@@ -155,6 +155,14 @@ def run_pipeline(
     err_path = os.path.join(out_dir, "ocr_errors")
 
     def ocr_stage(todo_docs: DataFrame) -> DataFrame:
+        from x17a5_spark.operators.kernel_part import kernel_width
+
+        # spread the per-document OCR calls across every core: the doc
+        # batch is byte-small but each document costs a full backend
+        # round-trip, so AQE/scan parallelism by bytes serializes it
+        # (round-6: the bronze stage ran as ONE mapInPandas task).
+        # Round-robin is fine — OCR needs no key clustering.
+        todo_docs = todo_docs.repartition(kernel_width(todo_docs))
         # persist so the external OCR calls run once, not once per sink
         ocr_out = source.run(todo_docs).persist()
         cells, errors = quarantine(ocr_out)
