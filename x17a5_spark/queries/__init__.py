@@ -60,13 +60,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # query touching merge_three_columns / split_conjoined_rows /
 # split_balance_sheet / remove_subtotals / special_merge.
 # IN — e2_clean_pipeline, k1_totals_check, k2_balance_split,
-# k3_merge_columns, k4_row_split, j7_special_merge, k5_unit_scale
-# (all changed this round — the last via detect_unit_scale's spread
-# UDF; e1 and g1 also changed and already hold slots).
+# k3_merge_columns, k4_row_split, j7_special_merge, k5_unit_scale,
+# k6_table_select (all changed this round — k5 via detect_unit_scale's
+# spread UDF, k6 via the stitch kernel's spread; e1, g1 and d8 also
+# changed and already hold slots).
 # OUT — a18_histogram, a26_ks_test, a27_correlation_matrix,
 # w8_rolling_time_window, w9_rolling_median, w10_ewma,
-# v2_profile_columns: all hash-green in CORRECTNESS_r05 and untouched
-# in round 6 (the local gate still value-checks them every run).
+# v2_profile_columns, t21_zipf_fit: all hash-green in CORRECTNESS_r05
+# and untouched in round 6 (the local gate still value-checks them
+# every run).
 
 # Round-5 rotation (verdict ask #3 + the never-ride-a-stale-row rule):
 # IN — a18_histogram and s4_pq_adc (both changed in round 4 on standing
@@ -133,7 +135,6 @@ WINDOW_ORDER = [
     "t18_bpe_train",
     "t19_hll_distinct",
     "t27_countmin",
-    "t21_zipf_fit",
     "t24_bigram_perplexity",
     "t25_keyword_extraction",
     "t26_token_entropy",
@@ -170,6 +171,7 @@ WINDOW_ORDER = [
     "k4_row_split",
     "j7_special_merge",
     "k5_unit_scale",
+    "k6_table_select",
 ]
 
 DRIVER_WINDOW = 50

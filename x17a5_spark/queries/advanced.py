@@ -307,8 +307,13 @@ def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = np.maximum(ids[iu][mask], ids[ju][mask])
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
+    from x17a5_spark.operators.kernel_part import kernel_partitions
+
+    # cells are CPU-bound groups (one BLAS matmul each) — spread them
+    # explicitly; AQE's byte-based coalescing serialized this stage on
+    # one task at sf0.1 (round-6 kernel sweep)
     dup_pairs = (
-        assigned.select("cell", "vec_id", "vec")
+        kernel_partitions(assigned.select("cell", "vec_id", "vec"), ["cell"])
         .groupBy("cell")
         .applyInPandas(_cell_dups, "id_a long, id_b long")
     )
