@@ -253,6 +253,15 @@ def main() -> None:
         # map entirely — the headline survives, BENCH_FULL.json has
         # the rest (ADVICE r5)
         line = line_for(0)
+    if len(line) > 1800:
+        # last-resort hard clamp: if the non-query maps themselves
+        # outgrow the budget one day, emit the minimal headline record
+        # rather than an oversize line the capture would truncate
+        line = json.dumps(
+            {k: full[k] for k in ("metric", "value", "unit", "sf", "n_queries")}
+            | {"queries_file": "BENCH_FULL.json"},
+            separators=(",", ":"),
+        )
     print(line)
 
 

@@ -13,6 +13,70 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# ---------------------------------------------------------------------------
+# F1 — ``num_strip`` as FOUR shared rewrite steps. Both public forms
+# (the Column expression and the staged-projection variant) compose
+# exactly this list, so a spec fix lands in one place and cannot
+# diverge them (round-6 self-review finding); the property test pins
+# the two forms equal on hypothesis dirt as a second guard.
+# ---------------------------------------------------------------------------
+
+
+def _f1_strip(s: Column) -> Column:
+    """Sign mark + OCR confusions + character-class strip."""
+    return F.regexp_replace(
+        F.translate(
+            F.when(s.startswith("("), F.concat(F.lit("-"), s)).otherwise(s),
+            "Il",
+            "11",
+        ),
+        r"[^0-9|.\-]",
+        "",
+    )
+
+
+def _f1_minus(s: Column) -> Column:
+    """'-' kept only in leading position: translate beats the regex
+    lookbehind ``(?<!^)-`` by ~3x (char map vs per-row backtracking)."""
+    return F.when(
+        s.startswith("-"),
+        F.concat(F.lit("-"), F.translate(s, "-", "")),
+    ).otherwise(F.translate(s, "-", ""))
+
+
+def _f1_dots(s: Column) -> Column:
+    """Keep only the *last* '.' (the lookahead ``\\.(?=[^.]*\\.)`` in
+    spec form): the tail after the last dot is invariant under removing
+    earlier dots, so split there and strip dots from the head. A
+    decimal tail longer than 2 digits is a misplaced OCR period —
+    remove every dot."""
+    tail = F.substring_index(s, ".", -1)
+    return (
+        F.when(~s.contains("."), s)
+        .when(F.length(tail) > 2, F.translate(s, ".", ""))
+        .otherwise(
+            F.concat(
+                F.translate(
+                    F.substr(s, F.lit(1), F.length(s) - F.length(tail) - 1),
+                    ".",
+                    "",
+                ),
+                F.lit("."),
+                tail,
+            )
+        )
+    )
+
+
+def _f1_cast(s: Column) -> Column:
+    """try_cast: malformed residue (e.g. a surviving '|') -> null
+    rather than an ANSI-mode cast error; bare '-'/'.' -> 0.0."""
+    return F.when(s.isin("-", "."), F.lit(0.0)).otherwise(s.try_cast("double"))
+
+
+_F1_STEPS = [_f1_strip, _f1_minus, _f1_dots, _f1_cast]
+
+
 def parse_accounting_number(col: Column | str) -> Column:
     """F1 — ``num_strip``: dirty OCR numeric string -> double (or null).
 
@@ -26,35 +90,16 @@ def parse_accounting_number(col: Column | str) -> Column:
       * a decimal tail longer than 2 digits is treated as a misplaced
         OCR period and removed entirely;
       * bare ``-`` / ``.`` -> 0.0; anything uncastable -> null.
+
+    NOTE this Column form inlines each step into every reference site,
+    so the expression tree multiplies; for wide hot paths (several
+    parses in one projection chain) use
+    ``stage_parse_accounting_number`` — same steps, linear tree.
     """
     s = F.col(col) if isinstance(col, str) else col
-    s = F.when(s.startswith("("), F.concat(F.lit("-"), s)).otherwise(s)
-    s = F.translate(s, "Il", "11")
-    s = F.regexp_replace(s, r"[^0-9|.\-]", "")
-    # '-' kept only in leading position: translate beats the regex
-    # lookbehind `(?<!^)-` by ~3x (char map vs per-row backtracking)
-    s = F.when(
-        s.startswith("-"),
-        F.concat(F.lit("-"), F.translate(s, "-", "")),
-    ).otherwise(F.translate(s, "-", ""))
-    # keep only the *last* '.' (the lookahead `\.(?=[^.]*\.)` in spec
-    # form): tail after the last dot is invariant under removing earlier
-    # dots, so split there and strip dots from the head
-    tail = F.substring_index(s, ".", -1)
-    s = (
-        F.when(~s.contains("."), s)
-        .when(F.length(tail) > 2, F.translate(s, ".", ""))
-        .otherwise(
-            F.concat(
-                F.translate(F.substr(s, F.lit(1), F.length(s) - F.length(tail) - 1), ".", ""),
-                F.lit("."),
-                tail,
-            )
-        )
-    )
-    # try_cast: malformed residue (e.g. a surviving '|') -> null rather
-    # than an ANSI-mode cast error
-    return F.when(s.isin("-", "."), F.lit(0.0)).otherwise(s.try_cast("double"))
+    for step in _F1_STEPS:
+        s = step(s)
+    return s
 
 
 # unique temp-column prefix per staging call, so the helper can be
@@ -81,59 +126,17 @@ def stage_parse_accounting_number(
     """
     s = F.col(src) if isinstance(src, str) else src
     p = f"__pan{next(_STAGE_SEQ)}"
-    a, b, t, c = f"{p}a", f"{p}b", f"{p}t", f"{p}c"
-    # sign mark + OCR confusions + character-class strip (one pass —
-    # the input is an attribute, so multiple references stay cheap)
-    df = df.withColumn(
-        a,
-        F.regexp_replace(
-            F.translate(
-                F.when(s.startswith("("), F.concat(F.lit("-"), s)).otherwise(s),
-                "Il",
-                "11",
-            ),
-            r"[^0-9|.\-]",
-            "",
-        ),
-    )
-    # '-' kept only in leading position
-    df = df.withColumn(
-        b,
-        F.when(
-            F.col(a).startswith("-"),
-            F.concat(F.lit("-"), F.translate(F.col(a), "-", "")),
-        ).otherwise(F.translate(F.col(a), "-", "")),
-    )
-    # keep only the last '.'; kill all dots when the decimal tail is
-    # longer than 2 digits (misplaced OCR period)
-    df = df.withColumn(t, F.substring_index(F.col(b), ".", -1))
-    df = df.withColumn(
-        c,
-        F.when(~F.col(b).contains("."), F.col(b))
-        .when(F.length(F.col(t)) > 2, F.translate(F.col(b), ".", ""))
-        .otherwise(
-            F.concat(
-                F.translate(
-                    F.substr(
-                        F.col(b),
-                        F.lit(1),
-                        F.length(F.col(b)) - F.length(F.col(t)) - 1,
-                    ),
-                    ".",
-                    "",
-                ),
-                F.lit("."),
-                F.col(t),
-            )
-        ),
-    )
-    df = df.withColumn(
-        out,
-        F.when(F.col(c).isin("-", "."), F.lit(0.0)).otherwise(
-            F.col(c).try_cast("double")
-        ),
-    )
-    return df.drop(a, b, t, c)
+    temps: list[str] = []
+    # every step but the last lands in its own temp column; each step's
+    # expression references only the PREVIOUS attribute, so the tree
+    # per projection is linear regardless of reference count
+    for i, step in enumerate(_F1_STEPS):
+        name = out if i == len(_F1_STEPS) - 1 else f"{p}s{i}"
+        df = df.withColumn(name, step(s))
+        s = F.col(name)
+        if name != out:
+            temps.append(name)
+    return df.drop(*temps)
 
 
 def is_power_of_ten_ratio(x1: Column, x2: Column) -> Column:

@@ -40,7 +40,12 @@ def kernel_width(df: DataFrame) -> int:
     the exchange in the plan with shuffleOrigin REPARTITION_BY_NUM,
     which AQE is contractually not allowed to coalesce."""
     spark = df.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        # platforms may set this to a non-numeric value (e.g. "auto");
+        # degrade to core-based sizing instead of failing plan build
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        shuffle = 0
     w = max(2 * spark.sparkContext.defaultParallelism, shuffle)
     return w + 1 if w == shuffle else w
 

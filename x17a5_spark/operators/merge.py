@@ -39,13 +39,19 @@ def merge_three_columns(
     generated stage past janino's 64 KB limit and the whole merge runs
     interpreted (round-5 e1 regression; VERDICT r5 what's-wrong #2).
     """
-    from x17a5_spark.functions.accounting import stage_parse_accounting_number
+    from x17a5_spark.functions.accounting import (
+        _STAGE_SEQ,
+        stage_parse_accounting_number,
+    )
 
-    df = stage_parse_accounting_number(df, col1, "_n1")
-    df = stage_parse_accounting_number(df, col2, "_n2")
+    # collision-proof parse-output names (the input is caller data — a
+    # fixed "_n1" could silently clobber an existing column)
+    mp = f"__m3c{next(_STAGE_SEQ)}"
+    df = stage_parse_accounting_number(df, col1, f"{mp}n1")
+    df = stage_parse_accounting_number(df, col2, f"{mp}n2")
     w = Window.partitionBy(*group_cols).orderBy(order_col)
-    n1 = F.col("_n1")
-    n2 = F.col("_n2")
+    n1 = F.col(f"{mp}n1")
+    n2 = F.col(f"{mp}n2")
     prev_c1 = F.lag(col1, 1).over(w)
     prev_c2 = F.lag(col2, 1).over(w)
     prev_pos = F.lag(order_col, 1).over(w)

@@ -65,16 +65,14 @@ def detect_unit_scale(
     """
     group_cols = list(group_cols)
     cik_col, date_col = group_cols[0], group_cols[1]
-    from x17a5_spark.operators.kernel_part import kernel_partitions
-
-    # the indel-ratio UDF is CPU-bound per LINE (difflib over tokens);
-    # spread the text table before the projection so a byte-small
-    # corpus doesn't evaluate it on one task (round-6 attribution:
-    # 1.5 s serial at sf0.1). Keyed on the filing key so the groupBy
-    # below reuses the exchange.
-    per_line = kernel_partitions(text, group_cols).withColumn(
-        "line_scale", _line_scale(F.col("line_text"))
-    )
+    # NO explicit repartition here, by policy (kernel_part.py boundary):
+    # the indel-ratio UDF is byte-proportional (cost ~ lines scanned),
+    # so scan-split sizing is already correct at scale, and the groupBy
+    # below partial-aggregates map-side — only ~1 row per filing ever
+    # crosses the exchange. An explicit spread would shuffle the FULL
+    # text corpus on the silver hot path at 100 TB to save ~1 s on a
+    # byte-small bench corpus (round-6 self-review finding #2).
+    per_line = text.withColumn("line_scale", _line_scale(F.col("line_text")))
     first_match = (
         per_line.withColumn(
             "match_line",

@@ -60,15 +60,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # query touching merge_three_columns / split_conjoined_rows /
 # split_balance_sheet / remove_subtotals / special_merge.
 # IN — e2_clean_pipeline, k1_totals_check, k2_balance_split,
-# k3_merge_columns, k4_row_split, j7_special_merge, k5_unit_scale,
-# k6_table_select (all changed this round — k5 via detect_unit_scale's
-# spread UDF, k6 via the stitch kernel's spread; e1, g1 and d8 also
-# changed and already hold slots).
+# k3_merge_columns, k4_row_split, j7_special_merge, k6_table_select
+# (all changed this round — k6 via the stitch kernel's spread; e1, g1
+# and d8 also changed and already hold slots; a scaler spread briefly
+# considered for k5 was REVERTED per the kernel_part policy boundary,
+# so k5 ends the round byte-identical to r05 and keeps its standing
+# row).
 # OUT — a18_histogram, a26_ks_test, a27_correlation_matrix,
-# w8_rolling_time_window, w9_rolling_median, w10_ewma,
-# v2_profile_columns, t21_zipf_fit: all hash-green in CORRECTNESS_r05
-# and untouched in round 6 (the local gate still value-checks them
-# every run).
+# w8_rolling_time_window, w9_rolling_median, w10_ewma, t21_zipf_fit:
+# all hash-green in CORRECTNESS_r05 and untouched in round 6 (the
+# local gate still value-checks them every run).
 
 # Round-5 rotation (verdict ask #3 + the never-ride-a-stale-row rule):
 # IN — a18_histogram and s4_pq_adc (both changed in round 4 on standing
@@ -161,6 +162,7 @@ WINDOW_ORDER = [
     "g1_pagerank",
     "g2_triangle_count",
     "v1_constraint_checks",
+    "v2_profile_columns",
     "v3_compaction_plan",
     "j16_fuzzy_name_join",
     # --- round-6 silver-chain rebuild: fresh rows for changed plans ---
@@ -170,7 +172,6 @@ WINDOW_ORDER = [
     "k3_merge_columns",
     "k4_row_split",
     "j7_special_merge",
-    "k5_unit_scale",
     "k6_table_select",
 ]
 

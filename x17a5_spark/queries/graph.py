@@ -69,11 +69,20 @@ def g1_pagerank(
     ``breaker`` controls the per-iteration lineage breaker (default on;
     off exposes the fully unrolled plan for plan-discipline tests).
     ``checkpoint_dir``: when set, iterations break lineage with a
-    *reliable* ``checkpoint()`` into that directory instead of
-    ``localCheckpoint()``. localCheckpoint stores blocks on executors
-    only — fine at local[32], but on a real cluster losing an executor
-    after lineage truncation kills the job; at 100 TB pass a DFS path
-    here (the durable trade is one extra write per iteration).
+    *reliable* EAGER ``checkpoint()`` into that directory instead of a
+    lazy ``localCheckpoint()``. localCheckpoint stores blocks on
+    executors only — fine at local[32], but on a real cluster losing an
+    executor after lineage truncation kills the job; at 100 TB pass a
+    DFS path here. Eager + persist per iteration is deliberate: a LAZY
+    reliable checkpoint would only materialize the final marked RDD
+    (``spark.checkpoint.checkpointAllMarkedAncestors`` defaults to
+    false) and recompute its whole lineage once more at write time —
+    i.e. no per-iteration durability and ~2× compute. The durable trade
+    is therefore one write + one cached pass per iteration, and the
+    iterations execute during plan construction on this path. Note
+    ``setCheckpointDir`` is session-global (Spark has no per-job knob),
+    and checkpoint files persist until the dir is deleted unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on.
     """
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -119,7 +128,9 @@ def g1_pagerank(
         # already exact (round-9 then DECIMAL-sum), so checkpointed ==
         # unrolled, and the oracle keeps its unrolled CTE chain.
         if checkpoint_dir is not None:
-            ranks = ranks.checkpoint(eager=False)
+            # persist first so the eager checkpoint's write pass reads
+            # the cached iteration instead of recomputing its lineage
+            ranks = ranks.persist().checkpoint(eager=True)
         elif breaker:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
