@@ -142,6 +142,8 @@ HEADLINE = [
     "t19_hll_distinct",
     "t27_countmin",
     "v3_compaction_plan",
+    # round 6: moments quantile sketch (exact-DECIMAL power sums)
+    "t28_moments_sketch",
 ]
 
 

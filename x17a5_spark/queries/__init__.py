@@ -66,10 +66,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # considered for k5 was REVERTED per the kernel_part policy boundary,
 # so k5 ends the round byte-identical to r05 and keeps its standing
 # row).
+# Also IN — t28_moments_sketch (NEW this round: mergeable power-sum
+# quantile sketch, first-ever row).
 # OUT — a18_histogram, a26_ks_test, a27_correlation_matrix,
-# w8_rolling_time_window, w9_rolling_median, w10_ewma, t21_zipf_fit:
-# all hash-green in CORRECTNESS_r05 and untouched in round 6 (the
-# local gate still value-checks them every run).
+# w8_rolling_time_window, w9_rolling_median, w10_ewma, t21_zipf_fit,
+# t24_bigram_perplexity: all hash-green in CORRECTNESS_r05 and
+# untouched in round 6 (the local gate still value-checks them every
+# run).
 
 # Round-5 rotation (verdict ask #3 + the never-ride-a-stale-row rule):
 # IN — a18_histogram and s4_pq_adc (both changed in round 4 on standing
@@ -136,7 +139,7 @@ WINDOW_ORDER = [
     "t18_bpe_train",
     "t19_hll_distinct",
     "t27_countmin",
-    "t24_bigram_perplexity",
+    "t28_moments_sketch",
     "t25_keyword_extraction",
     "t26_token_entropy",
     "f22_url_extract",

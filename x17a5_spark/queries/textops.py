@@ -929,6 +929,92 @@ FROM per_doc
 """
 
 
+
+# ---------------------------------------------------------------------------
+# T28 — moments quantile sketch of the per-document token-length
+# distribution (Gan, Ding, Tai, Sharan, Bailis — "Moment-Based Quantile
+# Sketches for Efficient High Cardinality Aggregation Queries",
+# VLDB 2018). The sketch per group is {n, min, max, Σx, Σx², Σx³, Σx⁴}:
+# constant state, one scan, mergeable by plain addition — the strongest
+# possible 100-TB shape (a t-digest/KLL needs custom merge logic and
+# randomized compaction; power sums are a built-in partial aggregate).
+# Every sum runs in exact DECIMAL over INTEGER token counts, so the
+# sketch is bit-identical under any partitioning and hash-checkable
+# against DuckDB. The estimation demo (method-of-moments mean/std +
+# the one-sided z=1.2815515655446004 normal p90) is closed-form double
+# arithmetic from the exact sums — the paper's maxent solve is a
+# driver-side refinement over the same six numbers.
+# Beyond-reference: length-distribution sketches drive packing bin
+# sizing (k7/k9) and curriculum cutoffs (k10) without a second scan.
+# ---------------------------------------------------------------------------
+
+T28_Z90 = 1.2815515655446004
+
+
+def t28_moments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    x = F.size(tokens(F.lower(F.col("text")))).cast("decimal(9,0)")
+    base = docs.select("source", x.alias("x"))
+    x2 = (F.col("x") * F.col("x")).cast("decimal(19,0)")
+    sk = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.col("x").cast("long")).alias("min_tok"),
+        F.max(F.col("x").cast("long")).alias("max_tok"),
+        F.sum(F.col("x")).cast("decimal(38,0)").alias("s1"),
+        F.sum(x2).cast("decimal(38,0)").alias("s2"),
+        F.sum((x2 * F.col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").alias("s3"),
+        F.sum((x2 * x2).cast("decimal(38,0)")).cast("decimal(38,0)").alias("s4"),
+    )
+    n = F.col("n_docs").cast("double")
+    m = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - m * m
+    std = F.sqrt(var)
+    return sk.select(
+        "source",
+        "n_docs",
+        "min_tok",
+        "max_tok",
+        F.col("s1").cast("double").alias("s1"),
+        F.col("s2").cast("double").alias("s2"),
+        F.col("s3").cast("double").alias("s3"),
+        F.col("s4").cast("double").alias("s4"),
+        F.round(m, 6).alias("est_mean"),
+        F.round(std, 6).alias("est_std"),
+        F.round(m + F.lit(T28_Z90) * std, 6).alias("est_p90"),
+    ).orderBy("source")
+
+
+T28_SQL = f"""
+WITH lens AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              t -> t <> '')) AS DECIMAL(9,0)) AS x
+  FROM documents
+),
+sk AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(min(x) AS BIGINT) AS min_tok,
+         CAST(max(x) AS BIGINT) AS max_tok,
+         CAST(sum(x) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(CAST(x * x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2,
+         CAST(sum(CAST(CAST(x * x AS DECIMAL(19,0)) * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s3,
+         CAST(sum(CAST(CAST(x * x AS DECIMAL(19,0)) * CAST(x * x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s4
+  FROM lens GROUP BY 1
+)
+SELECT source, n_docs, min_tok, max_tok,
+       CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+       CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4,
+       round(CAST(s1 AS DOUBLE) / n_docs, 6) AS est_mean,
+       round(sqrt(CAST(s2 AS DOUBLE) / n_docs
+                  - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs)), 6) AS est_std,
+       round(CAST(s1 AS DOUBLE) / n_docs
+             + {T28_Z90} * sqrt(CAST(s2 AS DOUBLE) / n_docs
+                  - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs)), 6) AS est_p90
+FROM sk ORDER BY source
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -940,6 +1026,7 @@ QUERIES = {
     "t18_bpe_train": t18_bpe_train,
     "t19_hll_distinct": t19_hll_distinct,
     "t27_countmin": t27_countmin,
+    "t28_moments_sketch": t28_moments_sketch,
     "t21_zipf_fit": t21_zipf_fit,
     "t25_keyword_extraction": t25_keyword_extraction,
     "t26_token_entropy": t26_token_entropy,
@@ -956,6 +1043,7 @@ ORACLES = {
     "t12_kmv_distinct": T12_SQL,
     "t19_hll_distinct": T19_SQL,
     "t27_countmin": T27_SQL,
+    "t28_moments_sketch": T28_SQL,
     "t21_zipf_fit": T21_SQL,
     "t25_keyword_extraction": T25_SQL,
     "t26_token_entropy": T26_SQL,
