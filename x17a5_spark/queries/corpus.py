@@ -689,6 +689,13 @@ E6_QUOTA = 40
 
 
 def e6_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fanout considered and REJECTED by A/B (round-6 sweep): the funnel
+    # head looks map-heavy (per-language token filters fused into a
+    # row-group-starved scan, ~1.9 s on one task), but base.persist()
+    # amortizes that single computation across all six stage branches,
+    # while fanout=True re-shuffles the full text column and doubled
+    # warm wall (3.6 -> 7.8 s). The cache, not the scan, is the hot
+    # path here.
     docs = load_table(spark, sf_dir, "documents")
     toks_l = tokens(F.lower(F.col("text")))
 
