@@ -76,6 +76,18 @@ PICKS = {
         "dedup, per-day counts — distinct-over-window without a self-"
         "join."
     ),
+    "e2_clean_pipeline": (
+        "The round-6 silver chain: staged-F1 projections (linear "
+        "expression trees — whole-stage codegen compiles, no 64 KB "
+        "fallback), TWO grouped kernels (conjoined split + FUSED "
+        "bisect/subtotals tail), each behind a REPARTITION_BY_NUM "
+        "exchange that AQE cannot coalesce to one task."
+    ),
+    "t28_moments_sketch": (
+        "Mergeable power-sum quantile sketch: one scan, exact-DECIMAL "
+        "partial aggregates combined map-side, single 20-row exchange "
+        "— the flattest possible 100 TB shape."
+    ),
 }
 
 
