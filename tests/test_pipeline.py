@@ -119,3 +119,21 @@ def test_clean_to_structured_gold(spark, fixture_tables):
     # 2341000 - 1000 + 512000 + 301000 == 3153000 reported -> PERFECT
     assert row["reconstructed_total_assets"] == pytest.approx(3153000.0)
     assert row["total_asset_check"] == "PERFECT MATCH"
+
+
+def test_clean_filings_partition_invariant(spark, fixture_tables):
+    """The silver chain's output must be identical under any input
+    partitioning — the determinism claim the DECIMAL sums, per-filing
+    kernels, and dense re-numbering exist to guarantee."""
+    raw, text = fixture_tables
+
+    def run(r, t):
+        out = clean_filings(r, t)
+        cols = ["cik", "filing_date", "side", "row_idx", "lineitem",
+                "value", "total_flag", "total_amt"]
+        return sorted(tuple(row[c] for c in cols) for row in out.collect())
+
+    base = run(raw, text)
+    assert base == run(raw.repartition(7), text.repartition(3))
+    assert base == run(raw.coalesce(1), text.coalesce(1))
+    assert len(base) > 0

@@ -258,3 +258,57 @@ def test_fused_tail_equals_composition(spark):
                     group_cols=["cik", "filing_date", "side"],
                 ).collect()}
     assert fused == composed and len(fused) > 0
+
+
+def test_fused_tail_equals_composition_randomized(spark):
+    """Hypothesis-driven differential test: on RANDOM per-filing tables
+    (subtotal-like rows, nulls, reversed side markers, missing sides),
+    the fused tail must equal the sequential composition exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from x17a5_spark.operators.splits import (
+        bisect_and_remove_subtotals,
+        split_balance_sheet,
+    )
+    from x17a5_spark.operators.totals_check import remove_subtotals
+
+    items = st.sampled_from([
+        "Cash", "Receivables", "Deposits", "Total assets", "Assets",
+        "Subtotal current", "Payables", "Liabilities", "Total liabilities",
+        "Total liabilities and equity", "Memo", "See notes",
+    ])
+    values = st.one_of(
+        st.none(),
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False).map(
+            lambda v: round(v, 2)
+        ),
+    )
+    filings: list[tuple] = []
+    fid = [0]
+
+    @settings(max_examples=40, deadline=None, derandomize=True)
+    @given(st.lists(st.tuples(items, values), min_size=1, max_size=12))
+    def grab(rows):
+        fid[0] += 1
+        for i, (item, val) in enumerate(rows):
+            filings.append((f"F{fid[0]}", "2021-06-30", i, item, val))
+
+    grab()
+    df = spark.createDataFrame(
+        filings, "cik string, filing_date string, row_idx int, "
+        "lineitem string, value double"
+    )
+    cols = ["cik", "filing_date", "side", "row_idx", "lineitem", "value",
+            "total_flag", "total_amt"]
+    fused = sorted(
+        tuple(r[c] for c in cols)
+        for r in bisect_and_remove_subtotals(df).collect()
+    )
+    composed = sorted(
+        tuple(r[c] for c in cols)
+        for r in remove_subtotals(
+            split_balance_sheet(df), group_cols=["cik", "filing_date", "side"]
+        ).collect()
+    )
+    assert fused == composed
