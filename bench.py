@@ -142,8 +142,10 @@ HEADLINE = [
     "t19_hll_distinct",
     "t27_countmin",
     "v3_compaction_plan",
-    # round 6: moments quantile sketch (exact-DECIMAL power sums)
+    # round 6: moments quantile sketch (exact-DECIMAL power sums),
+    # bucketed co-located join (zero-exchange fact-fact SMJ)
     "t28_moments_sketch",
+    "j17_bucketed_join",
 ]
 
 

@@ -265,3 +265,19 @@ def test_kernel_width_never_equals_session_shuffle_width(spark):
     w = kernel_width(df)
     assert w != int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert w >= spark.sparkContext.defaultParallelism
+
+
+def test_j17_bucketed_join_has_no_exchange_below_the_join(spark):
+    """The bucketed co-located join is THE 100-TB repeated-join shape:
+    both fact sides pre-shuffled at write time (bucketBy on the join
+    key), so the SortMergeJoin must run with ZERO exchanges beneath it
+    — the only shuffle in the query is the final priority aggregate."""
+    from x17a5_spark.queries.lakehouse import j17_bucketed_join
+
+    plan = _plan(j17_bucketed_join(spark, SF))
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan  # scans are bucket-aware
+    below_join = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in below_join, "bucketed join re-shuffled a fact side"
+    # exactly one hash exchange in the whole query: the final aggregate
+    assert plan.count("Exchange hashpartitioning") == 1

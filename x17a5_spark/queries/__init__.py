@@ -67,7 +67,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # so k5 ends the round byte-identical to r05 and keeps its standing
 # row).
 # Also IN — t28_moments_sketch (NEW this round: mergeable power-sum
-# quantile sketch, first-ever row).
+# quantile sketch, first-ever row) and j17_bucketed_join (NEW: the
+# zero-exchange bucketed fact-fact join, plan-asserted), taking
+# f22_url_extract's slot alongside t24's.
 # OUT — a18_histogram, a26_ks_test, a27_correlation_matrix,
 # w8_rolling_time_window, w9_rolling_median, w10_ewma, t21_zipf_fit,
 # t24_bigram_perplexity: all hash-green in CORRECTNESS_r05 and
@@ -142,7 +144,6 @@ WINDOW_ORDER = [
     "t28_moments_sketch",
     "t25_keyword_extraction",
     "t26_token_entropy",
-    "f22_url_extract",
     "t22_boilerplate_removal",
     "t23_quality_sampling",
     # --- corpus-prep + packing layer ---
@@ -168,6 +169,7 @@ WINDOW_ORDER = [
     "v2_profile_columns",
     "v3_compaction_plan",
     "j16_fuzzy_name_join",
+    "j17_bucketed_join",
     # --- round-6 silver-chain rebuild: fresh rows for changed plans ---
     "e2_clean_pipeline",
     "k1_totals_check",

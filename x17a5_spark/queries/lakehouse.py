@@ -933,6 +933,101 @@ FROM binned GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+
+# ---------------------------------------------------------------------------
+# J17 — bucketed co-located join: the exchange-free fact-fact join the
+# engine's 100-TB notes keep invoking (graph.py "bucketed by src on
+# disk", misc.py "bucketed by key in a real lakehouse"), DEMONSTRATED.
+# Both fact tables are written once per sf_dir as Spark bucketed stage
+# tables (bucketBy+sortBy on the join key, spark.sql.warehouse.dir);
+# reading them back, the join's children already satisfy the required
+# hash distribution, so the SortMergeJoin runs with ZERO exchanges on
+# either side — the only shuffle in the whole query is the final
+# priority aggregate (plan-asserted in tests/test_plans.py). At 100 TB
+# this is THE technique that turns every repeated key-join of a curated
+# lake into a scan-local merge: shuffle the table once at write time,
+# never again at read time.
+# The stage-table build is idempotent per (session, sf_dir): rebuilt
+# only when the catalog does not already know the table (the in-memory
+# catalog forgets across sessions; mode=overwrite makes the re-write
+# safe over leftover warehouse files).
+# ---------------------------------------------------------------------------
+
+J17_BUCKETS = 8
+
+
+def _j17_tag(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+def _j17_bucketed(spark: SparkSession, sf_dir: str, name: str, key: str, cols):
+    table = f"j17_{name}_{_j17_tag(sf_dir)}"
+    if not spark.catalog.tableExists(table):
+        # the in-memory catalog forgets tables across sessions but the
+        # warehouse files survive; a managed CREATE refuses over a
+        # leftover location, so clear it first (local-path warehouses
+        # only — on a cluster this is a real catalog and tableExists
+        # is authoritative)
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh.scheme in ("", "file") and wh.path:
+            import os
+
+            shutil.rmtree(os.path.join(wh.path, table), ignore_errors=True)
+        (
+            load_table(spark, sf_dir, name)
+            .select(*cols)
+            .write.mode("overwrite")
+            .bucketBy(J17_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+    return spark.table(table)
+
+
+def j17_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _j17_bucketed(
+        spark, sf_dir, "orders", "o_orderkey",
+        ["o_orderkey", "o_orderpriority"],
+    )
+    li = _j17_bucketed(
+        spark, sf_dir, "lineitem", "l_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    # hint("merge"): at bench SF the orders side fits a broadcast, which
+    # would bypass (not refute) the bucketing demo; at 100 TB neither
+    # fact side broadcasts and sort-merge IS the strategy — the hint
+    # pins that realistic plan so the zero-exchange property is the
+    # thing being exercised and plan-asserted
+    return (
+        orders.hint("merge").join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_items",
+            F.round("revenue", 2).alias("revenue"),
+        )
+    )
+
+
+J17_SQL = f"""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round({dec_sql('l_extendedprice * (1 - l_discount)')}, 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "v3_compaction_plan": v3_compaction_plan,
     "j11_bloom_semi_join": j11_bloom_semi_join,
@@ -945,6 +1040,7 @@ QUERIES = {
     "j14_pit_join": j14_pit_join,
     "v2_profile_columns": v2_profile_columns,
     "j16_fuzzy_name_join": j16_fuzzy_name_join,
+    "j17_bucketed_join": j17_bucketed_join,
 }
 
 ORACLES = {
@@ -959,4 +1055,5 @@ ORACLES = {
     "j14_pit_join": J14_SQL,
     "v2_profile_columns": V2_SQL,
     "j16_fuzzy_name_join": J16_SQL,
+    "j17_bucketed_join": J17_SQL,
 }
