@@ -70,6 +70,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # quantile sketch, first-ever row) and j17_bucketed_join (NEW: the
 # zero-exchange bucketed fact-fact join, plan-asserted), taking
 # f22_url_extract's slot alongside t24's.
+# Environment-only change riding standing rows (the r05 "timing marks"
+# precedent): load_table gained a once-per-context addPyFile package
+# ship so Python workers import the engine from ANY driver cwd — no
+# plan or value changes (full local gate re-run green after it).
 # OUT — a18_histogram, a26_ks_test, a27_correlation_matrix,
 # w8_rolling_time_window, w9_rolling_median, w10_ewma, t21_zipf_fit,
 # t24_bigram_perplexity: all hash-green in CORRECTNESS_r05 and

@@ -92,12 +92,59 @@ def _scan_fanout(spark: SparkSession, path: str) -> int | None:
     return None
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``x17a5_spark`` importable on the Python WORKERS regardless
+    of the driver's working directory.
+
+    The grouped kernels and mapInPandas stages pickle functions that
+    reference this package by name; workers resolve that import from
+    their own sys.path, which contains the driver's cwd only when the
+    driver happens to run from the repo root. A consumer importing the
+    engine from any other cwd (with the repo on the driver's sys.path
+    but not on PYTHONPATH) would lose every Python-kernel query with
+    'exception in Python worker' (caught by a round-6 vanilla sweep
+    from /tmp). Fix: zip the package source once per process and
+    ``addPyFile`` it once per SparkContext — workers unpack it onto
+    their sys.path.
+    """
+    sc = spark.sparkContext
+    if getattr(_ship_package, "_done_for", None) is sc:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"x17a5_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in dirpath:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        rel = os.path.join(
+                            "x17a5_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        z.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        # re-registration of the same path in a reused context — the
+        # cwd-on-sys.path fallback still applies, as it always did
+        pass
+    _ship_package._done_for = sc  # type: ignore[attr-defined]
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, fanout: bool = False
 ) -> DataFrame:
     """Load one lake table. ``fanout=True`` opts into the row-group
     fan-out repartition (see ``_scan_fanout``) — only for map-heavy
     pipelines with no downstream exchange of their own."""
+    _ship_package(spark)
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
