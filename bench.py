@@ -228,6 +228,21 @@ def main() -> None:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
+    print(compose_stdout_line(full, timings))
+
+
+# stdout capture budget: the driver's tail capture holds ~2 KB
+LINE_BUDGET = 1800
+
+
+def compose_stdout_line(
+    full: dict, timings: dict[str, float], budget: int = LINE_BUDGET
+) -> str:
+    """One compact JSON line that NEVER exceeds ``budget`` chars
+    (ADVICE r5+r6): per-query map keyed by short codes, truncated
+    slowest-first, then dropped entirely, then a minimal headline
+    record — the headline number always survives. Unit-tested against
+    synthetic long keys in tests/test_scale_patterns.py."""
     # short-code per-query map for the size-bounded stdout line;
     # prefix collisions (none today) keep the full name
     codes: dict[str, str] = {}
@@ -248,25 +263,29 @@ def main() -> None:
         return json.dumps(out, separators=(",", ":"))
 
     n_keep = len(timings)
-    while n_keep > 10 and len(line_for(n_keep)) > 1800:
+    while n_keep > 10 and len(line_for(n_keep)) > budget:
         n_keep -= 5
     line = line_for(n_keep)
-    if len(line) > 1800:
-        # even 10 entries can blow the ~2KB capture budget (long
-        # full-name fallbacks, future top-level keys): drop the queries
-        # map entirely — the headline survives, BENCH_FULL.json has
-        # the rest (ADVICE r5)
+    if len(line) > budget:
+        # even 10 entries can blow the capture budget (long full-name
+        # fallbacks, future top-level keys): drop the queries map
+        # entirely — the headline survives, BENCH_FULL.json has the
+        # rest (ADVICE r5)
         line = line_for(0)
-    if len(line) > 1800:
+    if len(line) > budget:
         # last-resort hard clamp: if the non-query maps themselves
         # outgrow the budget one day, emit the minimal headline record
         # rather than an oversize line the capture would truncate
         line = json.dumps(
-            {k: full[k] for k in ("metric", "value", "unit", "sf", "n_queries")}
+            {
+                k: full[k]
+                for k in ("metric", "value", "unit", "sf", "n_queries")
+                if k in full
+            }
             | {"queries_file": "BENCH_FULL.json"},
             separators=(",", ":"),
         )
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

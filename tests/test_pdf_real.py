@@ -1,0 +1,238 @@
+"""Round-7 contract for the dependency-free PDF slicer
+(sources/pdf_mini.py): real-shaped PDFs WITH content streams slice on
+the no-pypdf path (reference FocusReportSlicing.py:78-109's first-20-
+pages bound), covering direct and indirect /Length, payloads that
+alias structural keywords, nested page trees with attribute
+inheritance, FlateDecode object-stream page trees (xref-stream-era
+files, no classic trailer), reachability GC of dropped pages, and the
+lenient None contract for encrypted/broken files."""
+
+from __future__ import annotations
+
+import zlib
+
+from x17a5_spark.sources.pdf_mini import count_pages, slice_pdf_first_pages
+
+
+def _assemble(objects: dict[int, bytes], root: int, trailer_extra: bytes = b"") -> bytes:
+    """Classic-xref PDF from {num: body}: bodies may embed their own
+    stream..endstream; numbering must be contiguous from 1."""
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objects) + 1)
+    for num in sorted(objects):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R %s>>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, root, trailer_extra, xref_at)
+    )
+    return bytes(out)
+
+
+def _stream_obj(payload: bytes, extra: bytes = b"") -> bytes:
+    return (
+        b"<< /Length %d %s>>\nstream\n" % (len(payload), extra)
+        + payload
+        + b"\nendstream"
+    )
+
+
+def _flat_pdf_with_streams(n_pages: int) -> bytes:
+    """1=catalog 2=pages, then per page: page dict + content stream.
+    Page 1's stream length is INDIRECT (via the last object); payloads
+    embed keyword-aliasing bytes."""
+    objs: dict[int, bytes] = {}
+    kids = []
+    next_num = 3
+    len_obj = 3 + 2 * n_pages  # indirect /Length target for page 1
+    for p in range(1, n_pages + 1):
+        page_num, cont_num = next_num, next_num + 1
+        next_num += 2
+        kids.append(page_num)
+        objs[page_num] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R "
+            b"/MediaBox [0 0 612 792] >>" % cont_num
+        )
+        payload = (
+            b"BT /F1 12 Tf (PAYLOAD-PAGE-%d) Tj ET\n" % p
+            + b"%% binary run aliasing keywords: endobj 1 0 obj stream\n"
+            + bytes(range(256))
+        )
+        if p == 1:
+            objs[cont_num] = (
+                b"<< /Length %d 0 R >>\nstream\n" % len_obj
+                + payload
+                + b"\nendstream"
+            )
+            objs[len_obj] = b"%d" % len(payload)
+        else:
+            objs[cont_num] = _stream_obj(payload)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = b"<< /Type /Pages /Count %d /Kids [ %s ] >>" % (
+        n_pages,
+        b" ".join(b"%d 0 R" % k for k in kids),
+    )
+    return _assemble(objs, root=1)
+
+
+def test_flat_pdf_with_content_streams_slices():
+    pdf = _flat_pdf_with_streams(6)
+    assert count_pages(pdf) == 6
+    sliced = slice_pdf_first_pages(pdf, 2)
+    assert sliced is not None and sliced != pdf
+    assert count_pages(sliced) == 2
+    # kept payloads survive byte-identically (incl. the aliasing runs
+    # and the indirect-length page), dropped pages are GC'd out
+    assert b"PAYLOAD-PAGE-1" in sliced and b"PAYLOAD-PAGE-2" in sliced
+    for p in (3, 4, 5, 6):
+        assert b"PAYLOAD-PAGE-%d" % p not in sliced
+    assert bytes(range(256)) in sliced
+    # /Length is pinned to the emitted payload for every stream object
+    import re
+
+    for m in re.finditer(rb"/Length\s+(\d+)\s*>>\s*stream\n", sliced):
+        ln = int(m.group(1))
+        data_start = sliced.index(b"stream\n", m.start()) + len(b"stream\n")
+        assert sliced[data_start + ln : data_start + ln + 11] == b"\nendstream\n"
+    # xref offsets point at their objects
+    xref_block = sliced.split(b"xref\n")[1].split(b"trailer")[0]
+    offsets = [int(l[:10]) for l in xref_block.splitlines()[1:] if l[-1:] == b"n"]
+    for i, off in enumerate(offsets, start=1):
+        assert sliced[off:].startswith(b"%d 0 obj" % i)
+    # idempotent: slicing the sliced output is a byte-identical no-op
+    assert slice_pdf_first_pages(sliced, 2) == sliced
+    # short enough already: untouched original bytes
+    assert slice_pdf_first_pages(pdf, 6) == pdf
+
+
+def test_nested_page_tree_flattens_with_inheritance():
+    """Two intermediate /Pages nodes each supply MediaBox/Rotate; the
+    flattened kept pages must carry the inherited values down."""
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 4 /Kids [ 3 0 R 4 0 R ] >>",
+        3: (
+            b"<< /Type /Pages /Parent 2 0 R /Count 2 /Kids [ 5 0 R 6 0 R ] "
+            b"/MediaBox [0 0 100 200] /Rotate 90 >>"
+        ),
+        4: (
+            b"<< /Type /Pages /Parent 2 0 R /Count 2 /Kids [ 7 0 R 8 0 R ] "
+            b"/MediaBox [0 0 300 400] >>"
+        ),
+    }
+    for i, page in enumerate((5, 6, 7, 8)):
+        cont = 9 + i
+        objs[page] = (
+            b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R >>"
+            % (3 if page in (5, 6) else 4, cont)
+        )
+        objs[cont] = _stream_obj(b"NESTED-PAGE-%d" % page)
+    pdf = _assemble(objs, root=1)
+    assert count_pages(pdf) == 4
+    sliced = slice_pdf_first_pages(pdf, 3)
+    assert sliced is not None and count_pages(sliced) == 3
+    assert b"NESTED-PAGE-5" in sliced and b"NESTED-PAGE-7" in sliced
+    assert b"NESTED-PAGE-8" not in sliced
+    # inheritance: the kept page from node 4 (object 7) now carries the
+    # [0 0 300 400] box; pages from node 3 carry theirs plus /Rotate
+    assert sliced.count(b"[0 0 100 200]") >= 2
+    assert sliced.count(b"[0 0 300 400]") >= 1
+    assert b"/Rotate 90" in sliced
+    # flattened: every kept page's parent is the single root pages node
+    assert slice_pdf_first_pages(sliced, 3) == sliced
+
+
+def _objstm_pdf(n_pages: int) -> bytes:
+    """Page tree packed in a FlateDecode /ObjStm, content streams as
+    regular objects, NO classic trailer (xref-stream era): the root is
+    findable only by the /Type /Catalog scan."""
+    inner: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count %d /Kids [ %s ] >>"
+        % (n_pages, b" ".join(b"%d 0 R" % (10 + i) for i in range(n_pages))),
+    }
+    objs: dict[int, bytes] = {}
+    for i in range(n_pages):
+        inner[10 + i] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R "
+            b"/MediaBox [0 0 612 792] >>" % (30 + i)
+        )
+        objs[30 + i] = _stream_obj(b"OBJSTM-PAGE-%d" % i)
+    header = b" ".join(
+        b"%d %d" % (num, off)
+        for num, off in _objstm_offsets(inner)
+    )
+    bodies = b"".join(inner[num] + b"\n" for num in sorted(inner))
+    payload = header + b"\n" + bodies
+    first = len(header) + 1
+    comp = zlib.compress(payload)
+    objs[3] = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>"
+        b"\nstream\n" % (len(inner), first, len(comp))
+        + comp
+        + b"\nendstream"
+    )
+    # xref-stream-era shape: no classic xref/trailer at all, and the
+    # object numbering is non-contiguous — the parser must not care
+    raw = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    for num in sorted(objs):
+        raw += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    raw += b"startxref\n0\n%%EOF\n"
+    return bytes(raw)
+
+
+def _objstm_offsets(inner: dict[int, bytes]) -> list[tuple[int, int]]:
+    pairs, cur = [], 0
+    for num in sorted(inner):
+        pairs.append((num, cur))
+        cur += len(inner[num]) + 1
+    return pairs
+
+
+def test_objstm_packed_page_tree_slices():
+    pdf = _objstm_pdf(5)
+    assert count_pages(pdf) == 5
+    sliced = slice_pdf_first_pages(pdf, 2)
+    assert sliced is not None and count_pages(sliced) == 2
+    assert b"OBJSTM-PAGE-0" in sliced and b"OBJSTM-PAGE-1" in sliced
+    assert b"OBJSTM-PAGE-4" not in sliced
+    # output is classic-xref and stable under re-slicing
+    assert b"trailer" in sliced
+    assert slice_pdf_first_pages(sliced, 2) == sliced
+
+
+def test_out_of_subset_returns_none():
+    pdf = _flat_pdf_with_streams(3)
+    # encrypted: lenient pass-through
+    enc = _assemble(
+        {1: b"<< /Type /Catalog /Pages 2 0 R >>", 2: b"<< /Type /Pages /Count 0 /Kids [] >>"},
+        root=1,
+        trailer_extra=b"/Encrypt 9 0 R ",
+    )
+    assert slice_pdf_first_pages(enc, 2) is None
+    # unterminated stream: broken file
+    broken = pdf.replace(b"\nendstream", b"", 1)
+    assert slice_pdf_first_pages(broken, 2) is None
+    # garbage
+    assert slice_pdf_first_pages(b"not a pdf at all", 2) is None
+    assert count_pages(b"%PDF-1.5 nothing here") is None
+    assert slice_pdf_first_pages(pdf, 0) is None
+
+
+def test_slice_pages_spark_path_with_real_streams(spark, tmp_path):
+    """End-to-end through the mapInPandas operator: a stream-bearing
+    PDF in a binaryFile corpus comes out truncated on the no-pypdf
+    path (the container has no pypdf, so this IS the vendored engine)."""
+    from x17a5_spark.sources.binary_docs import read_document_corpus, slice_pages
+
+    (tmp_path / "885639-2020-02-28.pdf").write_bytes(_flat_pdf_with_streams(30))
+    df = read_document_corpus(spark, str(tmp_path))
+    out = slice_pages(df, max_pages=20).collect()
+    assert len(out) == 1
+    sliced = bytes(out[0]["content"])
+    assert count_pages(sliced) == 20
+    assert b"PAYLOAD-PAGE-20" in sliced and b"PAYLOAD-PAGE-21" not in sliced

@@ -129,3 +129,22 @@ def test_e1_keeps_exactly_one_live_sink_tree(spark):
     assert not os.path.exists(first_dir), "previous e1 sink tree must be gone"
     assert os.path.isdir(second_dir)
     assert df2.count() > 0
+
+
+def test_e1_stale_plan_fails_loud(spark):
+    """ADVICE r6 item 2: re-executing an e1 plan whose sink tree a newer
+    build reclaimed raises the named stale-plan error, not a raw
+    missing-parquet executor failure."""
+    import pytest
+
+    from x17a5_spark.queries import domain
+
+    sf = "/root/testdata/sf0.001"
+    df1 = domain.e1_full_pipeline(spark, sf)
+    assert df1.count() > 0  # live plan executes fine
+    df2 = domain.e1_full_pipeline(spark, sf)  # reclaims df1's tree
+    with pytest.raises(RuntimeError, match="stale e1 plan"):
+        df1.collect()
+    with pytest.raises(RuntimeError, match="stale e1 plan"):
+        df1.count()
+    assert df2.count() > 0  # the live plan is unaffected

@@ -104,3 +104,55 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert joined.first()["count"] == orders.filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).count()
+
+
+def test_bench_stdout_line_never_exceeds_budget():
+    """ADVICE r6 item 4: the bench stdout clamp must hold for ANY key
+    shape — synthetic long full-name keys (colliding prefixes disable
+    the short codes), many queries, and tiny budgets all stay within
+    the capture budget with the headline intact."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import LINE_BUDGET, compose_stdout_line
+
+    def full_for(timings):
+        return {
+            "metric": "headline_suite_wall_clock",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": 0.1,
+            "cold_total_sec": 1.0,
+            "e2e_pipeline_sec": {},
+            "e1_stages": {},
+            "n_queries": len(timings),
+        }
+
+    # shape 1: today's registry shape (short unique prefixes)
+    normal = {f"q{i}_some_query_name": 0.1 * i for i in range(1, 89)}
+    line = compose_stdout_line(full_for(normal), normal)
+    assert len(line) <= LINE_BUDGET
+    assert json.loads(line)["value"] == full_for(normal)["value"]
+
+    # shape 2: synthetic LONG keys sharing one prefix — every short code
+    # collides, so the map falls back to 80-char full names; the old
+    # n_keep>=10 floor alone would blow the budget here
+    long_keys = {
+        "x_" + "verylongquerynamesegment" * 3 + f"_{i}": float(i)
+        for i in range(120)
+    }
+    line = compose_stdout_line(full_for(long_keys), long_keys)
+    assert len(line) <= LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_suite_wall_clock"
+    assert parsed["queries_file"] == "BENCH_FULL.json"
+
+    # shape 3: a budget so small even the empty-queries record exceeds
+    # it once — the minimal headline record must be the final fallback
+    line = compose_stdout_line(full_for(long_keys), long_keys, budget=400)
+    assert len(line) <= 400
+    parsed = json.loads(line)
+    assert parsed["value"] == full_for(long_keys)["value"]
+    assert parsed.get("queries") in (None, {})  # map dropped, headline kept

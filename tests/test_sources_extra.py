@@ -129,9 +129,11 @@ def test_pdf_mini_slicer_unit():
     assert slice_pdf_first_pages(two, 2) == two  # idempotent
     assert slice_pdf_first_pages(b"%PDF-fake", 2) is None
     assert slice_pdf_first_pages(b"not a pdf", 2) is None
+    # round 7: stream OBJECTS are in-subset now (tests/test_pdf_real.py
+    # covers them); a stream the file never terminates is still out
     assert slice_pdf_first_pages(
-        five.replace(b"/Type /Page ", b"stream /Type /Page ", 1), 2
-    ) is None  # stream objects are out of subset
+        five.replace(b"/Type /Page ", b"stream\n/Type /Page ", 1), 2
+    ) is None  # unterminated stream: broken file
 
 
 # ------------------------------------------------------- S3/S4 scans

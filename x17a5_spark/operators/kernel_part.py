@@ -43,10 +43,18 @@ def kernel_width(df: DataFrame) -> int:
     try:
         # platforms may set this to a non-numeric value (e.g. "auto");
         # degrade to core-based sizing instead of failing plan build
-        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        shuffle: int | None = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     except (TypeError, ValueError):
-        shuffle = 0
-    w = max(2 * spark.sparkContext.defaultParallelism, shuffle)
+        shuffle = None
+    w = 2 * spark.sparkContext.defaultParallelism
+    if shuffle is None:
+        # session width unknowable — offset unconditionally so the
+        # explicit repartition can never silently pattern-match the
+        # effective shuffle width and lose its REPARTITION_BY_NUM origin
+        return w + 1
+    w = max(w, shuffle)
     return w + 1 if w == shuffle else w
 
 

@@ -80,6 +80,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # untouched in round 6 (the local gate still value-checks them every
 # run).
 
+# Round-7 rotation (never-ride-a-stale-row): IN — d2_ngram_jaccard
+# (the d3 shingle knob is now SCOPED: d2 pins its own k=3 on both
+# engine and oracle sides, a call-site change — value-identical at the
+# default but changed code never rides). Queries changed in round 7
+# already holding slots: e1_full_pipeline (stale-plan sentinel guard —
+# wrapper only, plan unchanged), g1_pagerank (durable-path unpersist +
+# breaker/checkpoint_dir validation — default path unchanged),
+# j17_bucketed_join (stage-table tag now folds a source-parquet
+# fingerprint + bucket knob — same plan, fresh stage build). The PDF
+# slicer rewrite (pdf_mini.py), bench clamp refactor and package-ship
+# content hash have no registry surface (test-pinned instead).
+# OUT — a23_cumulative_distinct: hash-green in CORRECTNESS_r06 and
+# untouched this round (the local gate still value-checks it every
+# run).
+
 # Round-5 rotation (verdict ask #3 + the never-ride-a-stale-row rule):
 # IN — a18_histogram and s4_pq_adc (both changed in round 4 on standing
 # r3 rows; the verdict's explicit ask), g1_pagerank (round-5 lazy
@@ -130,6 +145,7 @@ WINDOW_ORDER = [
     "e1_full_pipeline",
     "e3_structured_assets",
     # --- LLM-data-pipeline: dedup / similarity / text / multimodal ---
+    "d2_ngram_jaccard",
     "d3_minhash_lsh",
     "d8_semdedup",
     "d13_sparse_cosine_join",
@@ -165,7 +181,6 @@ WINDOW_ORDER = [
     "a20_event_funnel",
     "a21_cohort_retention",
     "a22_robust_outliers",
-    "a23_cumulative_distinct",
     "a24_rolling_active_users",
     "g1_pagerank",
     "g2_triangle_count",

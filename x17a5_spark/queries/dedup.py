@@ -35,10 +35,10 @@ N_BANDS = 4  # 4 rows per band
 # Env-tunable like d8's X17A5_D8_CELLS, with the ORACLE TRACKING the
 # same k (both the Spark plan and the SQL below derive from it);
 # default 3 keeps every registry hash byte-identical.
-# Blast radius: the shared _SHINGLES_SQL/_shingle_table means this knob
-# also changes d2_jaccard_dedup's shingle width (d2's oracle tracks it
-# too, so parity holds at any k) — it is the corpus-wide shingle width,
-# not a d3-only setting.
+# SCOPE (ADVICE r6): the knob applies to the d3/e7 MinHash chain ONLY.
+# d2_ngram_jaccard — the exact all-pairs validation baseline — pins its
+# own k=3 on both engine and oracle sides, so tuning d3's precision can
+# never silently move the baseline it is validated against.
 import os as _os
 
 D3_SHINGLE_K = int(_os.environ.get("X17A5_D3_SHINGLE", "3"))
@@ -87,14 +87,15 @@ shingles AS (
 """
 
 
-_SHINGLES_SQL = _shingles_sql()
+_SHINGLES_SQL = _shingles_sql()  # knob-tracking width: d3/e7 chain only
+_D2_SHINGLES_SQL = _shingles_sql(3)  # d2 baseline: pinned, knob-immune
 
 
-def _shingle_table(aug: DataFrame) -> DataFrame:
+def _shingle_table(aug: DataFrame, k: int = D3_SHINGLE_K) -> DataFrame:
     return aug.select(
         "doc_id",
         F.explode(
-            F.array_distinct(word_shingles(F.col("text"), D3_SHINGLE_K))
+            F.array_distinct(word_shingles(F.col("text"), k))
         ).alias("shingle"),
     )
 
@@ -136,7 +137,7 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         stacklevel=2,
     )
     aug = _augmented_docs(spark, sf_dir)
-    sh = _shingle_table(aug)
+    sh = _shingle_table(aug, k=3)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -159,7 +160,7 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D2_SQL = f"""
 WITH {_AUG_SQL.strip()},
-{_SHINGLES_SQL.strip()},
+{_D2_SHINGLES_SQL.strip()},
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common

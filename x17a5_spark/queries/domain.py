@@ -630,6 +630,59 @@ E1_DOC = (
 # most recent e1 sink tree; replaced (and deleted) by the next build
 _E1_PREV_DIR: str | None = None
 
+# sentinel marking a live e1 sink tree; vanishes with the rmtree when a
+# newer build reclaims it, so a stale plan can fail LOUD (ADVICE r6)
+_E1_SENTINEL = "_X17A5_E1_LIVE"
+
+
+_E1_ACTIONS = (
+    "collect",
+    "count",
+    "show",
+    "toPandas",
+    "toLocalIterator",
+    "take",
+    "head",
+    "first",
+    "tail",
+    "foreach",
+    "foreachPartition",
+)
+
+
+def _e1_arm_stale_guard(df: DataFrame, sink_dir: str) -> DataFrame:
+    """Enforce the one-live-plan contract LOUDLY: shadow the plan's
+    action methods with per-instance wrappers that check the sink
+    tree's sentinel first, so a plan whose tree a newer
+    ``e1_full_pipeline`` call reclaimed raises a named error instead of
+    a raw executor FileNotFoundException. Instance-level shadowing
+    (rather than a DataFrame subclass) sidesteps the classic/connect
+    constructor dispatch; transformations return plain unguarded
+    DataFrames — the guard covers actions invoked directly on the
+    returned plan, which is the bench/driver shape."""
+    import functools
+    import os
+
+    def _assert_live() -> None:
+        if not os.path.exists(os.path.join(sink_dir, _E1_SENTINEL)):
+            raise RuntimeError(
+                "stale e1 plan: a newer e1_full_pipeline call reclaimed "
+                "this plan's sink tree (one-live-plan contract, see the "
+                "e1_full_pipeline docstring) — rebuild by calling "
+                "e1_full_pipeline again"
+            )
+
+    for name in _E1_ACTIONS:
+        orig = getattr(df, name)
+
+        @functools.wraps(orig)
+        def guarded(*args, _orig=orig, **kwargs):
+            _assert_live()
+            return _orig(*args, **kwargs)
+
+        setattr(df, name, guarded)
+    return df
+
 
 def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 — bronze→silver→gold with persisted stage sinks.
@@ -638,9 +691,11 @@ def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes the previous call's tree (the returned plan lazily reads
     its gold parquet, so the tree must outlive the call — but only the
     MOST RECENT e1 plan is executable). A long-lived session holding
-    two e1 DataFrames will see the older one fail on re-execution with
-    a missing-parquet error; bench and the driver execute sequentially,
-    which is the supported shape (ADVICE r5).
+    two e1 DataFrames will see the older one fail LOUDLY on
+    re-execution — actions on the returned plan check the sink tree's
+    sentinel and raise ``RuntimeError("stale e1 plan: ...")`` instead
+    of a raw executor missing-parquet error (ADVICE r6). Bench and the
+    driver execute sequentially, which is the supported shape.
     """
     import tempfile
 
@@ -680,7 +735,11 @@ def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     _E1_PREV_DIR = out_dir
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     gold = run_pipeline(spark, docs, text, out_dir, label_map, labels)
-    return gold.select(
+    import os
+
+    with open(os.path.join(out_dir, _E1_SENTINEL), "w") as fh:
+        fh.write("live e1 sink tree — removed when a newer plan reclaims it\n")
+    result = gold.select(
         "cik",
         "name",
         "filing_date",
@@ -692,6 +751,7 @@ def e1_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("relative_error", 8).alias("rel_err"),
         "total_asset_check",
     )
+    return _e1_arm_stale_guard(result, out_dir)
 
 
 E1_SQL = """

@@ -85,6 +85,15 @@ def g1_pagerank(
     ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on.
     """
     if checkpoint_dir is not None:
+        if not breaker:
+            # the durable path IS a per-iteration lineage breaker;
+            # silently ignoring breaker=False here would hand back a
+            # checkpointed plan the caller asked to keep unrolled
+            raise ValueError(
+                "g1_pagerank: checkpoint_dir implies per-iteration "
+                "lineage breaking — pass breaker=True (default) or "
+                "drop checkpoint_dir"
+            )
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -129,8 +138,13 @@ def g1_pagerank(
         # unrolled, and the oracle keeps its unrolled CTE chain.
         if checkpoint_dir is not None:
             # persist first so the eager checkpoint's write pass reads
-            # the cached iteration instead of recomputing its lineage
-            ranks = ranks.persist().checkpoint(eager=True)
+            # the cached iteration instead of recomputing its lineage;
+            # once the checkpoint has materialized, the cache has served
+            # its one read — drop it so executor storage stays constant
+            # in the walk length instead of holding every iteration
+            cached = ranks.persist()
+            ranks = cached.checkpoint(eager=True)
+            cached.unpersist(blocking=False)
         elif breaker:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -953,13 +953,38 @@ FROM binned GROUP BY 1, 2 HAVING count(*) >= 2
 # safe over leftover warehouse files).
 # ---------------------------------------------------------------------------
 
-J17_BUCKETS = 8
+# Bucket count for the stage tables. 8 fits the demo lake (small files,
+# one file per bucket). On a real cluster pick buckets ≈ the target join
+# parallelism — cluster cores × a small factor, sized so each bucket's
+# file lands in the 128 MB–1 GB band: every read-side join runs at most
+# `buckets` tasks wide FOREVER (too few permanently caps join
+# parallelism), while too many produce tiny files per writing task.
+# Env-overridable like the d3/d8 knobs; the stage-table tag folds the
+# value in, so changing it rebuilds rather than reading mismatched
+# buckets.
+import os as _os
+
+J17_BUCKETS = int(_os.environ.get("X17A5_J17_BUCKETS", "8"))
 
 
 def _j17_tag(sf_dir: str) -> str:
     import hashlib
+    import os
 
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    h = hashlib.md5(sf_dir.encode())
+    # fold in a fingerprint of the source parquet (mtime+size) and the
+    # bucket count: a lake regenerated at the same path within one
+    # session — or a changed J17_BUCKETS — must invalidate the stage
+    # tables instead of serving stale bucketed data the oracle (which
+    # reads the fresh parquet directly) would diverge from
+    h.update(f"b{J17_BUCKETS}".encode())
+    for name in ("orders", "lineitem"):
+        try:
+            st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size}".encode())
+        except OSError:
+            pass
+    return h.hexdigest()[:8]
 
 
 def _j17_bucketed(spark: SparkSession, sf_dir: str, name: str, key: str, cols):

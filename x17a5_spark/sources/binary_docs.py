@@ -40,11 +40,13 @@ def slice_pages(df: DataFrame, max_pages: int = 20) -> DataFrame:
     """First-N-pages subset (reference FocusReportSlicing.py:78-109).
 
     Engine ladder inside each Arrow batch: pypdf when importable (full
-    PDF spec), else the vendored pure-Python slicer for the simple
-    uncompressed subset (sources/pdf_mini.py), else pass-through — so
-    the operator does real work with zero optional dependencies and
-    never fails a batch on an unparseable document (quarantine-style
-    leniency: a bad PDF flows on unsliced rather than killing the job).
+    PDF spec), else the vendored pure-Python slicer
+    (sources/pdf_mini.py — handles content streams opaquely, FlateDecode
+    object streams, nested page trees; declines encrypted or broken
+    files), else pass-through — so the operator does real work with
+    zero optional dependencies and never fails a batch on an
+    unparseable document (quarantine-style leniency: a bad PDF flows on
+    unsliced rather than killing the job).
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

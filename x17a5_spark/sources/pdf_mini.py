@@ -1,14 +1,39 @@
-"""Dependency-free first-N-pages PDF slicer for the simple subset
-(classic xref table, uncompressed object graph, single /Pages node —
-the shape the reference's filings mostly are, and exactly what
-tests/test_sources_extra.py::_minimal_pdf writes).
+"""Dependency-free first-N-pages PDF slicer (fallback engine for
+sources/binary_docs.slice_pages, reference FocusReportSlicing.py:78-109,
+when pypdf is absent from the container).
 
-This is the fallback engine for sources/binary_docs.slice_pages
-(reference FocusReportSlicing.py:78-109) when pypdf is absent from the
-container. Anything outside the supported subset (cross-reference
-streams, incremental updates, nested page trees, non-contiguous object
-numbering) returns ``None`` and the caller passes the document through
-untouched — the same contract as the old import-try.
+Round-7 rewrite: the round-6 version refused any object containing a
+``stream`` keyword, so virtually every production PDF passed through
+UNSLICED on the zero-dependency path. This version parses the object
+graph for real while copying stream payloads OPAQUELY — only the page
+tree needs understanding, the content/image/font streams are moved as
+bytes:
+
+- sequential object scanner that skips ``stream .. endstream`` payloads
+  by their declared ``/Length`` (delimiter scan when the length is an
+  indirect reference), so binary payloads can never alias the
+  structural keywords;
+- ``/Type /ObjStm`` object streams are expanded with stdlib ``zlib``
+  (FlateDecode), which covers xref-stream PDFs whose page tree lives in
+  compressed object streams — no classic ``trailer`` required (the
+  catalog is found by ``/Root`` refs, falling back to a
+  ``/Type /Catalog`` scan);
+- nested page trees are walked recursively in order; slicing flattens
+  the first ``max_pages`` leaves under the original root /Pages node,
+  re-pointing each kept page's ``/Parent`` and copying down the
+  inheritable attributes (/Resources /MediaBox /CropBox /Rotate) an
+  ancestor node supplied;
+- unreachable objects (dropped pages' content streams, old ObjStm
+  shells) are garbage-collected by reachability from the catalog, the
+  survivors renumbered contiguously, and the file re-serialized with a
+  classic single-section xref; stream dicts get a direct ``/Length``
+  rewritten to the payload actually emitted.
+
+Out of subset — returns ``None`` and the caller passes the document
+through untouched (the same lenient contract as before): encrypted
+PDFs (``/Encrypt``), ObjStm with non-Flate filters when the page tree
+is inside, and structurally broken files. Linearization hints and
+incremental-update ordering are handled by last-definition-wins.
 
 Pure bytes-in/bytes-out, so it runs unchanged inside the executors'
 ``mapInPandas`` batches.
@@ -17,103 +42,336 @@ Pure bytes-in/bytes-out, so it runs unchanged inside the executors'
 from __future__ import annotations
 
 import re
+import zlib
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_OBJ_HEAD = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_KW = re.compile(rb"stream(?:\r\n|\n|\r)")
+_LEN_DIRECT = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_LEN_ANY = re.compile(rb"/Length\s+(?:\d+\s+\d+\s+R|\d+)")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R(?![A-Za-z0-9])")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
-_PAGES_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
-_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
-_COUNT_RE = re.compile(rb"/Count\s+(\d+)")
-_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_PARENT_RE = re.compile(rb"/Parent\s+\d+\s+\d+\s+R")
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+
+# attributes a /Pages node passes down to leaves (PDF 32000-1 §7.7.3.4)
+_INHERITABLE = (b"Resources", b"MediaBox", b"CropBox", b"Rotate")
+
+# body bytes + opaque stream payload (None for non-stream objects)
+_Obj = tuple[bytes, "bytes | None"]
+
+
+def _strip_one_eol(data: bytes) -> bytes:
+    """Stream payloads end with one EOL before ``endstream`` per spec;
+    strip exactly one so delimiter-scanned payloads match the declared
+    semantics (never rstrip — trailing newlines can be real data)."""
+    if data.endswith(b"\r\n"):
+        return data[:-2]
+    if data.endswith((b"\n", b"\r")):
+        return data[:-1]
+    return data
+
+
+def _scan_objects(content: bytes) -> dict[int, _Obj] | None:
+    """Sequential top-level object scan. Stream payloads are skipped by
+    declared /Length (or by delimiter when indirect/wrong), so binary
+    runs inside them can never alias object headers or keywords. Later
+    definitions of the same object number win (incremental updates)."""
+    objs: dict[int, _Obj] = {}
+    pos = 0
+    while True:
+        m = _OBJ_HEAD.search(content, pos)
+        if m is None:
+            break
+        num = int(m.group(1))
+        body_start = m.end()
+        e_obj = content.find(b"endobj", body_start)
+        limit = e_obj if e_obj != -1 else len(content)
+        s_m = _STREAM_KW.search(content, body_start, limit)
+        if s_m is not None:
+            dict_part = content[body_start : s_m.start()].strip()
+            data_start = s_m.end()
+            lm = _LEN_DIRECT.search(dict_part)
+            data: bytes | None = None
+            es = -1
+            if lm is not None:
+                declared_end = data_start + int(lm.group(1))
+                es = content.find(b"endstream", declared_end)
+                # tolerate up to 2 EOL bytes between payload and keyword;
+                # anything else means the declared length is wrong
+                if es != -1 and es - declared_end <= 2:
+                    data = content[data_start:declared_end]
+            if data is None:
+                es = content.find(b"endstream", data_start)
+                if es == -1:
+                    return None  # unterminated stream: broken file
+                data = _strip_one_eol(content[data_start:es])
+            objs[num] = (dict_part, data)
+            e_obj2 = content.find(b"endobj", es)
+            pos = e_obj2 + 6 if e_obj2 != -1 else es + len(b"endstream")
+        else:
+            if e_obj == -1:
+                return None  # unterminated object: broken file
+            objs[num] = (content[body_start:e_obj].strip(), None)
+            pos = e_obj + 6
+    return objs or None
+
+
+def _dict_value(body: bytes, key: bytes) -> bytes | None:
+    """The raw token following ``/key`` in a dict body: balanced array
+    ``[..]`` or dict ``<<..>>``, indirect reference, or a single
+    number/name token. None when the key is absent or unparsable."""
+    m = re.search(rb"/" + key + rb"(?![A-Za-z0-9])", body)
+    if m is None:
+        return None
+    i, n = m.end(), len(body)
+    while i < n and body[i : i + 1] in (b" ", b"\t", b"\r", b"\n"):
+        i += 1
+    if i >= n:
+        return None
+    if body[i : i + 1] == b"[":
+        depth, j = 0, i
+        while j < n:
+            c = body[j : j + 1]
+            if c == b"[":
+                depth += 1
+            elif c == b"]":
+                depth -= 1
+                if depth == 0:
+                    return body[i : j + 1]
+            j += 1
+        return None
+    if body[i : i + 2] == b"<<":
+        depth, j = 0, i
+        while j < n - 1:
+            two = body[j : j + 2]
+            if two == b"<<":
+                depth += 1
+                j += 2
+            elif two == b">>":
+                depth -= 1
+                j += 2
+                if depth == 0:
+                    return body[i:j]
+            else:
+                j += 1
+        return None
+    m2 = re.match(rb"(\d+)\s+(\d+)\s+R(?![A-Za-z0-9])", body[i:])
+    if m2 is not None:
+        return body[i : i + m2.end()]
+    m3 = re.match(rb"/?[^\s/\[\]<>()]+", body[i:])
+    return body[i : i + m3.end()] if m3 is not None else None
+
+
+def _expand_objstm(objs: dict[int, _Obj]) -> None:
+    """Inflate /Type /ObjStm containers (FlateDecode or unfiltered) and
+    add their contained objects to the map; the shells are dropped
+    (nothing references an ObjStm by ``R``, only the xref we ignore).
+    Contained objects do NOT overwrite direct definitions — for the
+    filings this engine targets, direct definitions are the newer
+    incremental-update layer when both exist."""
+    for num in list(objs):
+        body, data = objs[num]
+        if data is None or re.search(rb"/Type\s*/ObjStm\b", body) is None:
+            continue
+        filt = _dict_value(body, b"Filter")
+        try:
+            if filt is None:
+                raw = data
+            elif b"FlateDecode" in filt:
+                raw = zlib.decompress(data)
+            else:
+                continue  # unsupported filter: shell stays opaque
+            n_m = re.search(rb"/N\s+(\d+)", body)
+            f_m = re.search(rb"/First\s+(\d+)", body)
+            if n_m is None or f_m is None:
+                continue
+            count, first = int(n_m.group(1)), int(f_m.group(1))
+            header = raw[:first].split()
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1]))
+                for i in range(count)
+            ]
+        except Exception:  # noqa: BLE001 — lenient: shell stays opaque
+            continue
+        for i, (onum, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < count else len(raw)
+            inner = raw[first + off : end].strip()
+            if inner and onum not in objs:
+                objs[onum] = (inner, None)
+        del objs[num]
+
+
+def _find_root(content: bytes, objs: dict[int, _Obj]) -> int | None:
+    """Catalog object number: the LAST /Root reference that resolves to
+    an object carrying /Pages (trailer or xref-stream dict — both are
+    plain text in ``content``), else a /Type /Catalog scan."""
+    root = None
+    for m in _ROOT_RE.finditer(content):
+        cand = int(m.group(1))
+        if cand in objs and _PAGES_REF_RE.search(objs[cand][0]) is not None:
+            root = cand
+    if root is not None:
+        return root
+    for num in sorted(objs):
+        body, _ = objs[num]
+        if (
+            re.search(rb"/Type\s*/Catalog\b", body) is not None
+            and _PAGES_REF_RE.search(body) is not None
+        ):
+            root = num  # last wins (incremental updates scan upward)
+    return root
+
+
+def _walk_pages(
+    objs: dict[int, _Obj],
+    num: int,
+    inherited: dict[bytes, bytes],
+    out: list[tuple[int, dict[bytes, bytes]]],
+    seen: set[int],
+    depth: int = 0,
+) -> bool:
+    """In-order leaf collection over a (possibly nested) page tree.
+    ``out`` receives (page object number, ancestor-inherited attrs)."""
+    if depth > 64 or num in seen or num not in objs:
+        return False
+    seen.add(num)
+    body, _ = objs[num]
+    kids_v = _dict_value(body, b"Kids")
+    is_leaf = re.search(rb"/Type\s*/Page(?![A-Za-z0-9])", body) is not None
+    if not is_leaf and kids_v is not None:
+        inh = dict(inherited)
+        for key in _INHERITABLE:
+            v = _dict_value(body, key)
+            if v is not None:
+                inh[key] = v
+        for km in _REF_RE.finditer(kids_v):
+            if not _walk_pages(objs, int(km.group(1)), inh, out, seen, depth + 1):
+                return False
+        return True
+    if is_leaf:
+        out.append((num, inherited))
+        return True
+    return False  # neither a page nor a pages node: broken tree
+
+
+def _parse(content: bytes):
+    """Shared front half: (objs, root_num, pages_num, leaves) or None."""
+    if not content.startswith(b"%PDF"):
+        return None
+    if _ENCRYPT_RE.search(content) is not None:
+        return None  # encrypted: strings/streams need the crypt filter
+    objs = _scan_objects(content)
+    if objs is None:
+        return None
+    _expand_objstm(objs)
+    root = _find_root(content, objs)
+    if root is None:
+        return None
+    pages_m = _PAGES_REF_RE.search(objs[root][0])
+    if pages_m is None or int(pages_m.group(1)) not in objs:
+        return None
+    pages_num = int(pages_m.group(1))
+    leaves: list[tuple[int, dict[bytes, bytes]]] = []
+    if not _walk_pages(objs, pages_num, {}, leaves, set()) or not leaves:
+        return None
+    return objs, root, pages_num, leaves
 
 
 def slice_pdf_first_pages(content: bytes, max_pages: int) -> bytes | None:
     """Return a valid PDF holding only the first ``max_pages`` pages,
-    the original bytes if it already has <= max_pages, or ``None`` when
-    the structure is outside the supported subset."""
-    if not content.startswith(b"%PDF"):
+    the original bytes when it already has <= max_pages, or ``None``
+    when the structure is outside the supported subset (see module
+    docstring) — the caller then passes the document through unsliced."""
+    if max_pages < 1:
         return None
-    objs = {int(m.group(1)): m.group(3).strip() for m in _OBJ_RE.finditer(content)}
-    if not objs:
+    parsed = _parse(content)
+    if parsed is None:
         return None
-    # stream objects can contain binary runs that alias the regexes
-    # above (and compressed page trees always do) — out of subset
-    if any(b"stream" in body for body in objs.values()):
-        return None
-    root_m = _ROOT_RE.search(content)
-    if root_m is None or int(root_m.group(1)) not in objs:
-        return None
-    catalog = objs[int(root_m.group(1))]
-    pages_m = _PAGES_RE.search(catalog)
-    if pages_m is None or int(pages_m.group(1)) not in objs:
-        return None
-    pages_num = int(pages_m.group(1))
-    pages_body = objs[pages_num]
-    kids_m = _KIDS_RE.search(pages_body)
-    count_m = _COUNT_RE.search(pages_body)
-    if kids_m is None or count_m is None:
-        return None
-    kids = _REF_RE.findall(kids_m.group(1))
-    # nested page trees (a kid that is itself a /Pages node) are out of
-    # subset — /Count would no longer equal len(kids)
-    if len(kids) != int(count_m.group(1)):
-        return None
-    if len(kids) <= max_pages:
+    objs, root, pages_num, leaves = parsed
+    if len(leaves) <= max_pages:
         return content
-    kept = kids[:max_pages]
-    new_kids = b"/Kids [" + b" ".join(k + b" 0 R" for k in kept) + b"]"
-    new_body = _KIDS_RE.sub(
-        lambda _: new_kids,
-        _COUNT_RE.sub(b"/Count " + str(len(kept)).encode(), pages_body),
-        count=1,
-    )
-    objs[pages_num] = new_body
-    # rebuild with a classic contiguous xref; dropped pages' objects are
-    # simply left out, other unreferenced objects harmlessly retained
-    dropped = {int(k) for k in kids[max_pages:]}
-    nums = sorted(n for n in objs if n not in dropped)
-    if nums != list(range(1, len(nums) + 1)):
-        # renumber to stay contiguous (classic single-section xref)
-        remap = {old: new for new, old in enumerate(nums, start=1)}
+    kept = leaves[:max_pages]
 
-        def _renum(m: re.Match) -> bytes:
+    # flatten: the original root /Pages object becomes the single node
+    # holding the kept leaves (the catalog's /Pages ref stays valid)
+    kids_refs = b" ".join(b"%d 0 R" % n for n, _ in kept)
+    objs[pages_num] = (
+        b"<< /Type /Pages /Count %d /Kids [ %s ] >>" % (len(kept), kids_refs),
+        None,
+    )
+    for num, inh in kept:
+        body, data = objs[num]
+        if not body.startswith(b"<<"):
+            return None  # page bodies must be dicts
+        if _PARENT_RE.search(body) is not None:
+            body = _PARENT_RE.sub(b"/Parent %d 0 R" % pages_num, body, count=1)
+        else:
+            body = b"<< /Parent %d 0 R " % pages_num + body[2:]
+        # copy down what the page inherited from now-removed ancestors
+        for key, val in inh.items():
+            if re.search(rb"/" + key + rb"(?![A-Za-z0-9])", body) is None:
+                body = b"<< /" + key + b" " + val + b" " + body[2:]
+        objs[num] = (body, data)
+
+    # reachability GC from the catalog: dropped pages' subtrees (content
+    # streams, per-page resources) fall away; refs only live in body
+    # parts, never in opaque stream payloads
+    reach: set[int] = set()
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if n in reach or n not in objs:
+            continue
+        reach.add(n)
+        for m in _REF_RE.finditer(objs[n][0]):
+            stack.append(int(m.group(1)))
+    nums = sorted(reach)
+    remap = {old: new for new, old in enumerate(nums, start=1)}
+
+    def _renum(body: bytes) -> bytes:
+        def sub(m: re.Match) -> bytes:
             old = int(m.group(1))
-            return (str(remap[old]).encode() + b" 0 R") if old in remap else m.group(0)
+            # a ref out of remap points at an object the file never
+            # defined — rewrite to null so it cannot alias a renumbered
+            # neighbor (any ref in a kept body to a DEFINED object is in
+            # remap by construction of the BFS above)
+            return b"%d 0 R" % remap[old] if old in remap else b"null"
 
-        objs = {
-            remap[n]: _REF_RE.sub(_renum, objs[n]) for n in nums
-        }
-        root_num = remap[int(root_m.group(1))]
-        nums = sorted(objs)
-    else:
-        objs = {n: objs[n] for n in nums}
-        root_num = int(root_m.group(1))
+        return _REF_RE.sub(sub, body)
 
-    out = b"%PDF-1.4\n"
-    offsets = []
-    for n in nums:
-        offsets.append(len(out))
-        out += str(n).encode() + b" 0 obj\n" + objs[n] + b"\nendobj\n"
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for old in nums:
+        new = remap[old]
+        body, data = objs[old]
+        body = _renum(body)
+        offsets[new] = len(out)
+        out += b"%d 0 obj\n" % new
+        if data is not None:
+            # the payload below is exactly what we emit — pin /Length to
+            # it (replaces indirect refs too, so no length object drift)
+            if _LEN_ANY.search(body) is not None:
+                body = _LEN_ANY.sub(b"/Length %d" % len(data), body, count=1)
+            elif body.startswith(b"<<"):
+                body = b"<< /Length %d " % len(data) + body[2:]
+            out += body + b"\nstream\n" + data + b"\nendstream\nendobj\n"
+        else:
+            out += body + b"\nendobj\n"
     xref_at = len(out)
-    out += b"xref\n0 " + str(len(nums) + 1).encode() + b"\n0000000000 65535 f \n"
-    for off in offsets:
-        out += f"{off:010d} 00000 n \n".encode()
+    n_objs = len(nums)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (n_objs + 1)
+    for new in range(1, n_objs + 1):
+        out += b"%010d 00000 n \n" % offsets[new]
     out += (
-        b"trailer\n<< /Size " + str(len(nums) + 1).encode()
-        + b" /Root " + str(root_num).encode() + b" 0 R >>\n"
-        + b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs + 1, remap[root], xref_at)
     )
-    return out
+    return bytes(out)
 
 
 def count_pages(content: bytes) -> int | None:
-    """Page count for the same simple subset (None when unsupported) —
+    """Leaf-page count via the same parser (None when unsupported) —
     an independent structural check for tests."""
-    objs = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(content)}
-    root_m = _ROOT_RE.search(content)
-    if root_m is None or int(root_m.group(1)) not in objs:
-        return None
-    pages_m = _PAGES_RE.search(objs[int(root_m.group(1))])
-    if pages_m is None or int(pages_m.group(1)) not in objs:
-        return None
-    count_m = _COUNT_RE.search(objs[int(pages_m.group(1))])
-    return int(count_m.group(1)) if count_m else None
+    parsed = _parse(content)
+    return None if parsed is None else len(parsed[3])

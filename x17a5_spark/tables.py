@@ -110,25 +110,42 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(_ship_package, "_done_for", None) is sc:
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    sources: list[tuple[str, str]] = []
+    for dirpath, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in dirpath:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(dirpath, f)
+                sources.append(
+                    (os.path.join("x17a5_spark", os.path.relpath(full, pkg_dir)), full)
+                )
+    sources.sort()
+    # key the zip on a content hash of the package sources, NOT the PID:
+    # a PID-keyed name can be reused by a later process (or survive a
+    # package edit) and ship stale code to the workers
+    h = hashlib.sha256()
+    for rel, full in sources:
+        h.update(rel.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"x17a5_spark_pkg_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"x17a5_spark_pkg_{h.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for dirpath, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in dirpath:
-                    continue
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        rel = os.path.join(
-                            "x17a5_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        z.write(full, rel)
+        # write-then-rename so a concurrent process never addPyFiles a
+        # half-written zip at the shared content-keyed path
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as z:
+            for rel, full in sources:
+                z.write(full, rel)
+        os.replace(tmp, zpath)
     try:
         sc.addPyFile(zpath)
     except Exception:
