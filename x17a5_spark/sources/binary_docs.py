@@ -36,7 +36,9 @@ def read_document_corpus(
     )
 
 
-def slice_pages(df: DataFrame, max_pages: int = 20) -> DataFrame:
+def slice_pages(
+    df: DataFrame, max_pages: int = 20, status_col: str | None = None
+) -> DataFrame:
     """First-N-pages subset (reference FocusReportSlicing.py:78-109).
 
     Engine ladder inside each Arrow batch: pypdf when importable (full
@@ -47,6 +49,13 @@ def slice_pages(df: DataFrame, max_pages: int = 20) -> DataFrame:
     zero optional dependencies and never fails a batch on an
     unparseable document (quarantine-style leniency: a bad PDF flows on
     unsliced rather than killing the job).
+
+    ``status_col``: when set, append a string column recording what
+    happened per document — ``sliced`` (truncated to ``max_pages``),
+    ``short`` (already within the bound, bytes untouched) or
+    ``passthrough`` (out of subset / unparseable, bytes untouched) — so
+    a pipeline can QUANTIFY how much of its corpus kept the page bound
+    instead of silently losing it (ADVICE r5/r6).
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -57,26 +66,45 @@ def slice_pages(df: DataFrame, max_pages: int = 20) -> DataFrame:
 
             from pypdf import PdfReader, PdfWriter  # type: ignore
 
-            def subset(content: bytes) -> bytes:
+            def subset(content: bytes) -> tuple[bytes, str]:
                 try:
                     reader = PdfReader(io.BytesIO(content))
+                    if len(reader.pages) <= max_pages:
+                        return content, "short"
                     writer = PdfWriter()
                     for page in reader.pages[:max_pages]:
                         writer.add_page(page)
                     buf = io.BytesIO()
                     writer.write(buf)
-                    return buf.getvalue()
+                    return buf.getvalue(), "sliced"
                 except Exception:  # noqa: BLE001 — lenient per-doc
-                    return content
+                    return content, "passthrough"
 
         except ImportError:
 
-            def subset(content: bytes) -> bytes:
-                sliced = slice_pdf_first_pages(bytes(content), max_pages)
-                return content if sliced is None else sliced
+            def subset(content: bytes) -> tuple[bytes, str]:
+                raw = bytes(content)
+                sliced = slice_pdf_first_pages(raw, max_pages)
+                if sliced is None:
+                    return content, "passthrough"
+                if sliced == raw:
+                    return content, "short"
+                return sliced, "sliced"
 
         for pdf in batches:
-            pdf["content"] = pdf["content"].map(subset)
+            pairs = pdf["content"].map(subset)
+            pdf["content"] = pairs.map(lambda p: p[0])
+            if status_col is not None:
+                pdf[status_col] = pairs.map(lambda p: p[1])
             yield pdf
 
-    return df.mapInPandas(op, schema=df.schema)
+    schema = df.schema
+    if status_col is not None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        # fresh StructType — StructType.add would MUTATE the DataFrame's
+        # cached schema object and desync it from the JVM plan
+        schema = StructType(
+            list(schema.fields) + [StructField(status_col, StringType())]
+        )
+    return df.mapInPandas(op, schema=schema)
