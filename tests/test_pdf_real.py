@@ -289,3 +289,110 @@ def test_slice_pages_status_column(spark, tmp_path):
     assert bytes(out["3"]["content"]) == b"%PDF-1.5 not really a pdf"
     # default call keeps the legacy schema untouched
     assert slice_pages(df).schema == df.schema
+
+
+def _random_pdf(rng, n_pages: int) -> tuple[bytes, list[bytes]]:
+    """Randomized generator over the supported subset: flat or nested
+    tree (random fanout), random binary payloads salted with structural
+    keywords, random ObjStm packing of the tree dicts. Returns (pdf,
+    per-page payload markers in page order)."""
+    markers = [b"MARK-%04d-%d" % (rng.randrange(10000), i) for i in range(n_pages)]
+    payloads = [
+        m + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        + rng.choice([b"", b"\nendobj\n", b"\nstream\n", b"\n7 0 obj\n", b"endstream"])
+        for m in markers
+    ]
+    page_nums = [100 + 2 * i for i in range(n_pages)]
+    cont_nums = [101 + 2 * i for i in range(n_pages)]
+    tree: dict[int, bytes] = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    if n_pages >= 3 and rng.random() < 0.5:
+        # nested: split pages across two intermediate nodes
+        cut = rng.randrange(1, n_pages)
+        groups = [(3, page_nums[:cut]), (4, page_nums[cut:])]
+        tree[2] = b"<< /Type /Pages /Count %d /Kids [ 3 0 R 4 0 R ] >>" % n_pages
+        for node, members in groups:
+            tree[node] = (
+                b"<< /Type /Pages /Parent 2 0 R /Count %d /Kids [ %s ] "
+                b"/MediaBox [0 0 %d %d] >>"
+                % (
+                    len(members),
+                    b" ".join(b"%d 0 R" % p for p in members),
+                    rng.randrange(100, 999),
+                    rng.randrange(100, 999),
+                )
+            )
+        parent_of = {p: node for node, members in groups for p in members}
+    else:
+        tree[2] = b"<< /Type /Pages /Count %d /Kids [ %s ] >>" % (
+            n_pages,
+            b" ".join(b"%d 0 R" % p for p in page_nums),
+        )
+        parent_of = {p: 2 for p in page_nums}
+    for i, p in enumerate(page_nums):
+        tree[p] = (
+            b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R >>"
+            % (parent_of[p], cont_nums[i])
+        )
+    streams = {
+        cont_nums[i]: _stream_obj(payloads[i]) for i in range(n_pages)
+    }
+    if rng.random() < 0.5:
+        # pack the tree dicts into a FlateDecode ObjStm, no trailer
+        header = b" ".join(
+            b"%d %d" % (num, off) for num, off in _objstm_offsets(tree)
+        )
+        bodies = b"".join(tree[num] + b"\n" for num in sorted(tree))
+        payload = header + b"\n" + bodies
+        comp = zlib.compress(payload)
+        objs = dict(streams)
+        objs[99] = (
+            b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>"
+            b"\nstream\n" % (len(tree), len(header) + 1, len(comp))
+            + comp
+            + b"\nendstream"
+        )
+        raw = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+        for num in sorted(objs):
+            raw += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+        raw += b"startxref\n0\n%%EOF\n"
+        return bytes(raw), payloads
+    objs = dict(tree) | streams
+    raw = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(raw)
+        raw += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    raw += b"trailer\n<< /Size 1 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    return bytes(raw), payloads
+
+
+def test_slicer_property_fuzz():
+    """Property fuzz over the supported subset: for every generated
+    shape, count_pages is exact, slicing keeps exactly the first
+    max_pages payloads byte-identically, drops the rest, and is
+    idempotent."""
+    import random
+
+    for seed in range(200):
+        rng = random.Random(seed)
+        n_pages = rng.randrange(1, 12)
+        max_pages = rng.randrange(1, 14)
+        pdf, payloads = _random_pdf(rng, n_pages)
+        assert count_pages(pdf) == n_pages, seed
+        sliced = slice_pdf_first_pages(pdf, max_pages)
+        assert sliced is not None, seed
+        if n_pages <= max_pages:
+            assert sliced == pdf, seed
+            continue
+        assert count_pages(sliced) == max_pages, seed
+        for i, pl in enumerate(payloads):
+            if i < max_pages:
+                assert pl in sliced, (seed, i)
+            else:
+                # markers are unique per page; dropped pages must be
+                # GC'd (their payloads can collide with kept bytes only
+                # via the marker, which is unique)
+                assert pl[:9] not in sliced or payloads[i][:9] in [
+                    p[:9] for p in payloads[:max_pages]
+                ], (seed, i)
+        assert slice_pdf_first_pages(sliced, max_pages) == sliced, seed

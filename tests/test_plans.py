@@ -250,9 +250,14 @@ def test_silver_kernels_keep_explicit_width(spark):
     plan = _plan(e2_clean_pipeline(spark, SF))
     # two kernels in the chain: conjoined split + the FUSED tail
     # (bisection + subtotal removal in one pass) — a third kernel here
-    # means the fusion regressed; fewer means a kernel silently died
+    # means the fusion regressed; fewer means a kernel silently died.
+    # Round 7: kernels run as MapInPandas over key-partitioned
+    # key-sorted streams (grouped_kernel — batched group dispatch,
+    # measured 2.2x over per-group FlatMapGroupsInPandas), still behind
+    # the coalesce-exempt explicit exchanges.
     assert plan.count("REPARTITION_BY_NUM") >= 2, plan.count("REPARTITION_BY_NUM")
-    assert plan.count("FlatMapGroupsInPandas") == 2
+    assert plan.count("MapInPandas") == 2, plan.count("MapInPandas")
+    assert "FlatMapGroupsInPandas" not in plan
 
 
 def test_kernel_width_never_equals_session_shuffle_width(spark):

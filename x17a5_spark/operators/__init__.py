@@ -4,9 +4,12 @@ re-expressed for Spark.
 
 Design rule (SURVEY §7): anything order-dependent carries an explicit
 ``row_idx``; per-filing groups are tiny (≤ ~100 rows), so the genuinely
-sequential algorithms run as ``applyInPandas`` grouped kernels — one
-shuffle on the filing key, then embarrassingly parallel — while
-everything declaratively expressible stays in Catalyst.
+sequential algorithms run as grouped pandas kernels — one shuffle on
+the filing key, then embarrassingly parallel — while everything
+declaratively expressible stays in Catalyst. Kernels dispatch through
+``kernel_part.grouped_kernel`` (mapInPandas over key-sorted partitions
++ in-batch groupby: batched group dispatch, AQE-coalesce-immune
+explicit width).
 """
 
 from x17a5_spark.operators.merge import merge_three_columns, special_merge

@@ -191,10 +191,6 @@ def special_merge(
         out["row_idx"] = range(len(out))
         return out[group_cols + ["row_idx", item_col, value_col]]
 
-    from x17a5_spark.operators.kernel_part import kernel_partitions
+    from x17a5_spark.operators.kernel_part import grouped_kernel
 
-    return (
-        kernel_partitions(tagged, group_cols)
-        .groupBy(*group_cols)
-        .applyInPandas(fn, schema=schema)
-    )
+    return grouped_kernel(tagged, group_cols, fn, schema, with_key=True)

@@ -102,11 +102,11 @@ def split_conjoined_rows(
             F.collect_list(F.struct(F.col("line_idx"), F.col("line_text")))
         ).alias("_text_lines")
     )
-    from x17a5_spark.operators.kernel_part import kernel_partitions
+    from x17a5_spark.operators.kernel_part import grouped_kernel
 
     # full-width kernel execution (AQE would serialize this CPU-bound
     # stage on a byte-small corpus; see kernel_part.py)
-    joined = kernel_partitions(df.join(text_arrays, group_cols, "left"), group_cols)
+    joined = df.join(text_arrays, group_cols, "left")
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
@@ -124,4 +124,4 @@ def split_conjoined_rows(
         out["split_flag"] = flag
         return out[group_cols + ["row_idx", item_col, raw_col, "split_flag"]]
 
-    return joined.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+    return grouped_kernel(joined, group_cols, fn, schema, with_key=True)

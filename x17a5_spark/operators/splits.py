@@ -78,13 +78,9 @@ def split_balance_sheet(
         out["side"] = ["asset"] * stop1 + ["liability"] * (stop2 - stop1)
         return out[in_cols + ["side"]]
 
-    from x17a5_spark.operators.kernel_part import kernel_partitions
+    from x17a5_spark.operators.kernel_part import grouped_kernel
 
-    return (
-        kernel_partitions(df, group_cols)
-        .groupBy(*group_cols)
-        .applyInPandas(fn, schema=schema)
-    )
+    return grouped_kernel(df, group_cols, fn, schema)
 
 
 def bisect_and_remove_subtotals(
@@ -107,7 +103,7 @@ def bisect_and_remove_subtotals(
     also the right shape at 100 TB, where the silver mass crosses the
     wire once instead of twice.
     """
-    from x17a5_spark.operators.kernel_part import kernel_partitions
+    from x17a5_spark.operators.kernel_part import grouped_kernel
     from x17a5_spark.operators.totals_check import totals_check_kernel
 
     group_cols = list(group_cols)
@@ -148,8 +144,4 @@ def bisect_and_remove_subtotals(
             out_cols[:-1] + ["side", "total_flag", "total_amt"]
         ]
 
-    return (
-        kernel_partitions(sel, group_cols)
-        .groupBy(*group_cols)
-        .applyInPandas(fn, schema=schema)
-    )
+    return grouped_kernel(sel, group_cols, fn, schema)

@@ -116,17 +116,16 @@ def select_balance_sheet(cells: DataFrame) -> DataFrame:
         out["bs_order"] = [o for _, o in verdict]
         return out
 
-    from x17a5_spark.operators.kernel_part import kernel_partitions
+    from x17a5_spark.operators.kernel_part import grouped_kernel
 
     # full-width kernel execution (the round-6 sweep caught this stage
     # at 35.8 s on ONE AQE-coalesced task at sf0.1; see kernel_part.py)
-    accepted = (
-        kernel_partitions(flags, ["cik", "filing_date"])
-        .groupBy("cik", "filing_date")
-        .applyInPandas(
-            fn,
-            schema="cik string, filing_date string, page int, table_idx int, bs_order int",
-        )
+    accepted = grouped_kernel(
+        flags,
+        ["cik", "filing_date"],
+        fn,
+        "cik string, filing_date string, page int, table_idx int, bs_order int",
+        with_key=True,
     )
     return cells.join(
         accepted, ["cik", "filing_date", "page", "table_idx"]

@@ -137,12 +137,11 @@ def remove_subtotals(
         out["total_amt"] = amt
         return out
 
-    from x17a5_spark.operators.kernel_part import kernel_partitions
+    from x17a5_spark.operators.kernel_part import grouped_kernel
 
-    return (
-        kernel_partitions(
-            df.select(*group_cols, order_col, item_col, value_col), group_cols
-        )
-        .groupBy(*group_cols)
-        .applyInPandas(fn, schema=schema)
+    return grouped_kernel(
+        df.select(*group_cols, order_col, item_col, value_col),
+        group_cols,
+        fn,
+        schema,
     )

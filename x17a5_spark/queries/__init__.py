@@ -88,9 +88,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # wrapper only, plan unchanged), g1_pagerank (durable-path unpersist +
 # breaker/checkpoint_dir validation — default path unchanged),
 # j17_bucketed_join (stage-table tag now folds a source-parquet
-# fingerprint + bucket knob — same plan, fresh stage build). The PDF
-# slicer rewrite (pdf_mini.py), bench clamp refactor and package-ship
-# content hash have no registry surface (test-pinned instead).
+# fingerprint + bucket knob — same plan, fresh stage build).
+# ALSO riding in-window slots: the round-7 grouped_kernel dispatch
+# rewrite (kernel_part.grouped_kernel — silver kernels moved from
+# per-group applyInPandas to mapInPandas + in-batch groupby, measured
+# 2.2x at the 20x lake) changes the PLANS of k1/k2/k3/k4/j7/k6 and
+# e1/e2 — every one of them holds a window slot from round 6, so all
+# get fresh r07 rows; full local gate re-run green after the rewrite.
+# The PDF slicer rewrite (pdf_mini.py), bench clamp refactor and
+# package-ship content hash have no registry surface (test-pinned
+# instead).
 # OUT — a23_cumulative_distinct: hash-green in CORRECTNESS_r06 and
 # untouched this round (the local gate still value-checks it every
 # run).
