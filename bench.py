@@ -146,6 +146,9 @@ HEADLINE = [
     # bucketed co-located join (zero-exchange fact-fact SMJ)
     "t28_moments_sketch",
     "j17_bucketed_join",
+    # round 7: asymmetric containment near-dup join (prefix-filter
+    # blocked on the contained side, df-capped postings)
+    "d14_containment_join",
 ]
 
 

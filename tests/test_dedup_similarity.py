@@ -140,3 +140,45 @@ def test_s4_pq_codes_are_compact_and_deterministic(spark):
     b = sorted(map(tuple, s4_pq_adc(spark, sf).collect()))
     assert a == b
     assert 0 < PQ_K <= 16 and PQ_M * 8 == 64
+
+
+def test_d14_containment_finds_asymmetric_inclusions(spark):
+    """D14 contract: planted 40%-token fragments are found contained in
+    their originals with containment >= 0.8 — pairs whose JACCARD is
+    far below every symmetric query's threshold (the asymmetric case
+    d2/d3/d13 structurally miss)."""
+    from x17a5_spark.functions.text import tokens as tok_col  # noqa: F401
+    from x17a5_spark.queries.dedup import D14_TAU, d14_containment_join
+    from x17a5_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = d14_containment_join(spark, sf).collect()
+    assert rows, "no containment pairs found at all"
+    for r in rows:
+        assert D14_TAU <= r["containment"] <= 1.0, r
+    planted = [
+        r for r in rows
+        if r["contained_id"] >= 200000
+        and r["container_id"] == r["contained_id"] - 200000
+    ]
+    assert len(planted) >= 10, f"only {len(planted)} planted fragments recovered"
+
+    # asymmetry: for a planted pair, true shingle Jaccard sits below
+    # 0.5 (a 40% prefix fragment) while containment is ~1.0
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") == planted[0]["container_id"])
+        .collect()
+    }
+    orig = docs[planted[0]["container_id"]].split()
+    frag = orig[: max(len(orig) * 2 // 5, 1)]
+
+    def shingles(t):
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    s_o, s_f = shingles(orig), shingles(frag)
+    jac = len(s_o & s_f) / len(s_o | s_f)
+    cont = len(s_o & s_f) / len(s_f)
+    assert jac < 0.5, jac
+    assert cont >= D14_TAU, cont

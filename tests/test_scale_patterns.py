@@ -156,3 +156,66 @@ def test_bench_stdout_line_never_exceeds_budget():
     parsed = json.loads(line)
     assert parsed["value"] == full_for(long_keys)["value"]
     assert parsed.get("queries") in (None, {})  # map dropped, headline kept
+
+
+def test_grouped_kernel_handles_groups_spanning_arrow_batches(spark):
+    """grouped_kernel's carry path: with maxRecordsPerBatch far smaller
+    than a group, every group spans several Arrow batches and must
+    still be dispatched exactly once — output equal to the
+    applyInPandas reference for both fn forms, including a NaN group
+    key."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from x17a5_spark.operators.kernel_part import grouped_kernel, kernel_partitions
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = (
+            spark.range(0, 600)
+            .select(
+                F.when(F.col("id") % 10 != 9, (F.col("id") % 12).cast("string"))
+                .alias("k"),  # ~50 rows per group incl. a NULL-key group
+                (F.col("id") % 7).alias("sub"),
+                F.col("id").cast("double").alias("v"),
+            )
+        )
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["sub", "v"]).reset_index(drop=True)
+            # order-sensitive per-group reduction: cumulative alternating
+            # sum — wrong if the group is dispatched in pieces
+            s = 0.0
+            for i, v in enumerate(pdf["v"]):
+                s += v if i % 2 == 0 else -v
+            return pd.DataFrame(
+                {"k": [pdf["k"].iloc[0]], "n": [len(pdf)], "alt": [round(s, 6)]}
+            )
+
+        schema = "k string, n long, alt double"
+        got = (
+            grouped_kernel(df, ["k"], fn, schema)
+            .toPandas()
+            .sort_values("k", na_position="first")
+            .reset_index(drop=True)
+        )
+        ref = (
+            kernel_partitions(df, ["k"])
+            .groupBy("k")
+            .applyInPandas(fn, schema=schema)
+            .toPandas()
+            .sort_values("k", na_position="first")
+            .reset_index(drop=True)
+        )
+        assert got.equals(ref), (got, ref)
+        assert got["n"].sum() == 600  # every row dispatched exactly once
+
+        # two-arg form: key tuple must match the group column value
+        def fn2(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"k": [key[0]], "n": [len(pdf)]})
+
+        got2 = grouped_kernel(df, ["k"], fn2, "k string, n long", with_key=True)
+        assert got2.toPandas()["n"].sum() == 600
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

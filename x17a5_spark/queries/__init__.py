@@ -98,9 +98,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # The PDF slicer rewrite (pdf_mini.py), bench clamp refactor and
 # package-ship content hash have no registry surface (test-pinned
 # instead).
-# OUT — a23_cumulative_distinct: hash-green in CORRECTNESS_r06 and
-# untouched this round (the local gate still value-checks it every
-# run).
+# IN — d14_containment_join (NEW this round: the asymmetric
+# containment near-dup join, prefix-filter-blocked, first-ever row).
+# OUT — a23_cumulative_distinct and a24_rolling_active_users: both
+# hash-green in CORRECTNESS_r06 and untouched this round (the local
+# gate still value-checks them every run).
 
 # Round-5 rotation (verdict ask #3 + the never-ride-a-stale-row rule):
 # IN — a18_histogram and s4_pq_adc (both changed in round 4 on standing
@@ -154,6 +156,7 @@ WINDOW_ORDER = [
     # --- LLM-data-pipeline: dedup / similarity / text / multimodal ---
     "d2_ngram_jaccard",
     "d3_minhash_lsh",
+    "d14_containment_join",
     "d8_semdedup",
     "d13_sparse_cosine_join",
     "s2_lsh_ann",
@@ -188,7 +191,6 @@ WINDOW_ORDER = [
     "a20_event_funnel",
     "a21_cohort_retention",
     "a22_robust_outliers",
-    "a24_rolling_active_users",
     "g1_pagerank",
     "g2_triangle_count",
     "v1_constraint_checks",

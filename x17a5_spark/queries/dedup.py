@@ -895,6 +895,167 @@ LEFT JOIN per_pair p USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# D14 — shingle-containment join: the ASYMMETRIC near-dup primitive.
+# Jaccard machinery (d2/d3/d13) structurally misses inclusion — a quote,
+# excerpt or boilerplate-wrapped copy of doc A inside a much larger doc
+# B has containment |A∩B|/|A| ≈ 1 while Jaccard |A∩B|/|A∪B| is tiny, so
+# no Jaccard threshold finds it without also flooding on unrelated
+# pairs. Containment is the standard primitive for "is this document
+# substantially included in another" (training-data decontamination,
+# quote/excerpt dedup).
+#
+# Scale shape (PPJoin-style, like d13 but direction-aware): candidates
+# come from the CONTAINED side's prefix — by the exact prefix-filter
+# theorem, containment >= t means the container shares at least one of
+# the contained doc's floor((1-t)·n)+1 rarest shingles — joined against
+# df-capped postings (df <= D14_DF_CAP), so per-doc candidate volume is
+# bounded by prefix_len × df_cap INDEPENDENT of corpus size. Like
+# d3/d13, the df cap is a recall heuristic for hot shingles; the oracle
+# implements the identical pipeline so the decision is hash-checked.
+# Fixture: 40%-token fragments planted at doc_id+200000 — high
+# containment in their originals, Jaccard ~0.4 (below every Jaccard
+# query's threshold), demonstrating exactly the asymmetric case.
+# ---------------------------------------------------------------------------
+
+D14_TAU = 0.8
+D14_DF_CAP = 64
+D14_MIN_SHINGLES = 3
+
+
+def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    keep = F.greatest(F.floor(F.size(toks) * 2 / 5).cast("int"), F.lit(1))
+    frags = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, keep)).alias("text"),
+    )
+    aug = docs.unionByName(frags)
+    # exact dedup first (the d13 production ordering): identical texts
+    # collapse so duplicate clusters can't inflate df / flood candidates
+    keep_w = Window.partitionBy(normalized_fingerprint(F.col("text"))).orderBy(
+        "doc_id"
+    )
+    canon = (
+        aug.withColumn("_rn", F.row_number().over(keep_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    sh = canon.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias(
+            "shingle"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    shdf = sh.join(dfc, "shingle").filter(
+        (F.col("df") >= 2) & (F.col("df") <= D14_DF_CAP)
+    )
+    # prefix length floor(n/5)+1 == floor((1-tau)·n)+1 at tau=0.8,
+    # spelled n/5 so BOTH engines compute the identical double
+    pw = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle"))
+    prefix = (
+        shdf.join(sizes, "doc_id")
+        .withColumn("_pk", F.row_number().over(pw))
+        .filter(F.col("_pk") <= F.floor(F.col("n") / 5).cast("int") + 1)
+        .select("doc_id", "shingle")
+    )
+    cands = (
+        prefix.select(F.col("doc_id").alias("contained_id"), "shingle")
+        .join(shdf.select(F.col("doc_id").alias("container_id"), "shingle"), "shingle")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+        .persist()
+    )
+    cand_docs = (
+        cands.select(F.col("contained_id").alias("doc_id"))
+        .union(cands.select(F.col("container_id").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sa = shc.select(F.col("doc_id").alias("contained_id"), "shingle")
+    sb = shc.select(F.col("doc_id").alias("container_id"), "shingle")
+    common = (
+        cands.join(sa, "contained_id")
+        .join(sb, ["container_id", "shingle"])
+        .groupBy("contained_id", "container_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("contained_id"), F.col("n").alias("n_a"))
+    return (
+        common.join(na, "contained_id")
+        .filter(F.col("n_a") >= D14_MIN_SHINGLES)
+        .withColumn("containment", F.round(F.col("n_common") / F.col("n_a"), 6))
+        .filter(F.col("containment") >= D14_TAU)
+        .select("contained_id", "container_id", "containment")
+    )
+
+
+D14_SQL = f"""
+WITH aug14 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(toks[1 : greatest(CAST(floor(len(toks) * 2 / 5) AS INT), 1)], ' ')
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+),
+canon AS (
+  SELECT doc_id, text FROM aug14
+  QUALIFY row_number() OVER (
+    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    ORDER BY doc_id) = 1
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         AS shingle
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+        FROM canon)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+shdf AS (SELECT s.doc_id, s.shingle, d.df
+         FROM sh s JOIN dfc d USING (shingle)
+         WHERE d.df >= 2 AND d.df <= {D14_DF_CAP}),
+prefix AS (
+  SELECT doc_id, shingle FROM (
+    SELECT s.doc_id, s.shingle, z.n,
+           row_number() OVER (PARTITION BY s.doc_id
+                              ORDER BY s.df ASC, s.shingle) AS pk
+    FROM shdf s JOIN sizes z USING (doc_id))
+  WHERE pk <= CAST(floor(n / 5) AS INT) + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS contained_id, b.doc_id AS container_id
+  FROM prefix a JOIN shdf b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+),
+common AS (
+  SELECT c.contained_id, c.container_id, count(*) AS n_common
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.contained_id
+  JOIN sh sb ON sb.doc_id = c.container_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT contained_id, container_id,
+       round(n_common / z.n, 6) AS containment
+FROM common JOIN sizes z ON z.doc_id = contained_id
+WHERE z.n >= {D14_MIN_SHINGLES}
+  AND round(n_common / z.n, 6) >= {D14_TAU}
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
@@ -904,6 +1065,7 @@ QUERIES = {
     "d9_substring_dedup": d9_substring_dedup,
     "d11_sorted_neighborhood": d11_sorted_neighborhood,
     "d13_sparse_cosine_join": d13_sparse_cosine_join,
+    "d14_containment_join": d14_containment_join,
     "e7_dedup_audit": e7_dedup_audit,
 }
 
@@ -916,5 +1078,6 @@ ORACLES = {
     "d9_substring_dedup": D9_SQL,
     "d11_sorted_neighborhood": D11_SQL,
     "d13_sparse_cosine_join": D13_SQL,
+    "d14_containment_join": D14_SQL,
     "e7_dedup_audit": E7_SQL,
 }
