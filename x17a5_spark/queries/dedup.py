@@ -956,42 +956,68 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("df") >= 2) & (F.col("df") <= D14_DF_CAP)
     )
     # prefix length floor(n/5)+1 == floor((1-tau)·n)+1 at tau=0.8,
-    # spelled n/5 so BOTH engines compute the identical double
+    # spelled n/5 so BOTH engines compute the identical double.
+    # One windowed pass serves BOTH the prefix (contained side) and the
+    # postings (container side) — shdf⋈sizes is built once, persisted,
+    # and filtered two ways, instead of two independent join subtrees.
     pw = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle"))
-    prefix = (
+    shsz = (
         shdf.join(sizes, "doc_id")
         .withColumn("_pk", F.row_number().over(pw))
-        .filter(F.col("_pk") <= F.floor(F.col("n") / 5).cast("int") + 1)
-        .select("doc_id", "shingle")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prefix = shsz.filter(
+        F.col("_pk") <= F.floor(F.col("n") / 5).cast("int") + 1
+    ).select("doc_id", "shingle", F.col("n").alias("n_a"))
+    # PPJoin size filter, pushed BEFORE the pair-distinct: containment
+    # >= tau forces n_common >= tau*n_a, and n_common <= n_b, so any
+    # pair with 5*n_b < 4*n_a (exact integer form of n_b < 0.8*n_a)
+    # cannot reach the final threshold. Result-preserving for any doc
+    # under 400k shingles (beyond that the round(.,6) in the output
+    # could admit a ratio the strict filter drops — not a real regime
+    # for word-shingled documents). Cuts both the distinct's input and
+    # the verification join's width.
+    postings = shsz.select(
+        F.col("doc_id").alias("container_id"),
+        "shingle",
+        F.col("n").alias("n_b"),
     )
     cands = (
-        prefix.select(F.col("doc_id").alias("contained_id"), "shingle")
-        .join(shdf.select(F.col("doc_id").alias("container_id"), "shingle"), "shingle")
-        .filter(F.col("contained_id") != F.col("container_id"))
+        prefix.select(F.col("doc_id").alias("contained_id"), "shingle", "n_a")
+        .join(postings, "shingle")
+        .filter(
+            (F.col("contained_id") != F.col("container_id"))
+            & (F.col("n_b") * 5 >= F.col("n_a") * 4)
+        )
         .select("contained_id", "container_id")
         .distinct()
-        .persist()
     )
-    cand_docs = (
-        cands.select(F.col("contained_id").alias("doc_id"))
-        .union(cands.select(F.col("container_id").alias("doc_id")))
-        .distinct()
+    # Verification via per-doc sorted shingle arrays + array_intersect:
+    # one row per candidate pair instead of exploding to |pair|x|doc|
+    # shingle rows and re-aggregating. Row width is bounded by the
+    # per-doc distinct-shingle count — the standard PPJoin verify shape
+    # (merge two sorted sets per pair), and at cluster scale the arrays
+    # table is one row per doc, joined by doc_id hash partitioning.
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("shingles"),
+        F.count("*").alias("n"),
     )
-    shc = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
+    aa = arrs.select(
+        F.col("doc_id").alias("contained_id"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("n_a"),
     )
-    sa = shc.select(F.col("doc_id").alias("contained_id"), "shingle")
-    sb = shc.select(F.col("doc_id").alias("container_id"), "shingle")
-    common = (
-        cands.join(sa, "contained_id")
-        .join(sb, ["container_id", "shingle"])
-        .groupBy("contained_id", "container_id")
-        .agg(F.count("*").alias("n_common"))
+    bb = arrs.select(
+        F.col("doc_id").alias("container_id"),
+        F.col("shingles").alias("sh_b"),
     )
-    na = sizes.select(F.col("doc_id").alias("contained_id"), F.col("n").alias("n_a"))
     return (
-        common.join(na, "contained_id")
+        cands.join(aa, "contained_id")
         .filter(F.col("n_a") >= D14_MIN_SHINGLES)
+        .join(bb, "container_id")
+        .withColumn(
+            "n_common", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        )
         .withColumn("containment", F.round(F.col("n_common") / F.col("n_a"), 6))
         .filter(F.col("containment") >= D14_TAU)
         .select("contained_id", "container_id", "containment")
