@@ -182,3 +182,81 @@ def test_d14_containment_finds_asymmetric_inclusions(spark):
     cont = len(s_o & s_f) / len(s_f)
     assert jac < 0.5, jac
     assert cont >= D14_TAU, cont
+
+
+def test_d15_paragraph_dedup_strips_boilerplate_keeps_originals(spark):
+    """D15 contract, checked against a pure-Python replay of the same
+    semantics: originals keep every paragraph (no false positives on
+    >=5-token windows of random text), the planted boilerplate survives
+    exactly once corpus-wide, and each copy is stripped down to at most
+    the boilerplate keeper plus an always-kept short ragged tail."""
+    from x17a5_spark.queries.dedup import (
+        D15_BOILERPLATE,
+        D15_MIN_TOKENS,
+        D15_PARA_TOKENS,
+        d15_paragraph_dedup,
+    )
+    from x17a5_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["doc_id"]: r for r in d15_paragraph_dedup(spark, sf).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf, "documents").collect()
+    }
+
+    # pure-Python replay
+    aug = dict(docs)
+    for did, text in docs.items():
+        if did % 10 == 0:
+            aug[did + 300000] = D15_BOILERPLATE + " " + text
+    paras = []  # (doc_id, pos, para, para_len)
+    for did in aug:
+        toks = aug[did].split()
+        for pos in range(0, (len(toks) + D15_PARA_TOKENS - 1) // D15_PARA_TOKENS):
+            seg = toks[pos * D15_PARA_TOKENS : (pos + 1) * D15_PARA_TOKENS]
+            paras.append((did, pos, " ".join(seg), len(seg)))
+    first = {}
+    for did, pos, para, plen in sorted(paras):
+        if plen >= D15_MIN_TOKENS and para not in first:
+            first[para] = (did, pos)
+    expected = {}
+    for did in aug:
+        kept = [
+            (pos, para)
+            for (d, pos, para, plen) in paras
+            if d == did
+            and (plen < D15_MIN_TOKENS or first.get(para) == (did, pos))
+        ]
+        kept.sort()
+        expected[did] = (len(kept), " ".join(p for _, p in kept))
+
+    assert set(out) == set(aug)
+    for did, (n_kept, text_dedup) in expected.items():
+        assert out[did]["n_kept"] == n_kept, (did, out[did], n_kept)
+        assert out[did]["text_dedup"] == text_dedup, did
+
+    # structural claims the replay should itself exhibit:
+    # 1. most originals are fully intact — the ONLY originals allowed
+    # to lose a paragraph are those whose text duplicates an earlier
+    # doc's (the corpus plants whole-doc duplicates by construction)
+    intact = [d for d in docs if out[d]["text_dedup"] == docs[d]]
+    assert len(intact) >= len(docs) // 2, (len(intact), len(docs))
+    for did in sorted(docs):
+        if out[did]["text_dedup"] != docs[did]:
+            dup_paras = {
+                para
+                for (d, _pos, para, plen) in paras
+                if d == did and plen >= D15_MIN_TOKENS and first[para][0] != did
+            }
+            assert dup_paras, f"original {did} shrank with no duplicated paragraph"
+    # 2. boilerplate survives exactly once corpus-wide
+    n_boiler = sum(
+        1 for did in aug if D15_BOILERPLATE in out[did]["text_dedup"]
+    )
+    assert n_boiler == 1, n_boiler
+    # 3. copies are stripped to at most keeper + short tail
+    copies = [did for did in aug if did >= 300000]
+    assert copies
+    for did in copies:
+        assert out[did]["n_kept"] <= 2, (did, out[did])

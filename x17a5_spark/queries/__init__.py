@@ -99,7 +99,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # package-ship content hash have no registry surface (test-pinned
 # instead).
 # IN — d14_containment_join (NEW this round: the asymmetric
-# containment near-dup join, prefix-filter-blocked, first-ever row).
+# containment near-dup join, prefix-filter-blocked, first-ever row;
+# then reworked in-round: PPJoin size filter + array_intersect verify,
+# 2.9x at sf0.1 — the window row covers the reworked plan).
+# IN — d15_paragraph_dedup (NEW this round: sub-document boilerplate
+# dedup with document reassembly, skew-safe min-struct keep-first,
+# first-ever row). OUT for d15 — s4_pq_adc: hash-green in
+# CORRECTNESS_r06 and untouched this round.
 # OUT — a23_cumulative_distinct and a24_rolling_active_users: both
 # hash-green in CORRECTNESS_r06 and untouched this round (the local
 # gate still value-checks them every run).
@@ -163,8 +169,8 @@ WINDOW_ORDER = [
     "s3_ivf_probe",
     "s7_trained_ivf",
     "s8_trained_pq",
-    "s4_pq_adc",
     "s6_int8_quantize",
+    "d15_paragraph_dedup",
     "m6_phash_dedup",
     "m7_audio_frames",
     "t17_bpe_pair_counts",

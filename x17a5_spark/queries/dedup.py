@@ -1082,6 +1082,152 @@ WHERE z.n >= {D14_MIN_SHINGLES}
 """
 
 
+# ---------------------------------------------------------------------------
+# D15 — paragraph-level (sub-document) dedup with document reassembly.
+#
+# The Dolma/RefinedWeb curation primitive the doc-level machinery
+# (d1-d14) cannot express: boilerplate, license blocks and quoted spans
+# repeat ACROSS documents that are not duplicates of each other, so the
+# fix is delete-the-span, not drop-the-document. Semantics: split each
+# doc into fixed 12-token paragraphs (this corpus has no newline
+# structure; real corpora would split on blank lines), keep the FIRST
+# occurrence (min (doc_id, pos)) of every paragraph corpus-wide, always
+# keep paragraphs shorter than D15_MIN_TOKENS (a ragged 1-4 token tail
+# is noise, not boilerplate), and reassemble each doc from its
+# surviving paragraphs in order. Docs deduplicated to nothing stay in
+# the output with n_kept=0 and empty text — the funnel must be audited,
+# not silently shrunk.
+#
+# Scale shape: keep-first is groupBy(paragraph-fingerprint).min(struct)
+# — NOT a row_number window — because a hot boilerplate paragraph at
+# 100 TB has billions of occurrences and a window partitioned on the
+# fingerprint would serialize them onto one task, while partial
+# aggregation (map-side combine) collapses the hot key inside each
+# input partition before the shuffle. The winner rows ARE the kept
+# eligible paragraphs, so no join back is needed. Three linear shuffles
+# total (winner agg, doc reassembly agg, totals join); candidate state
+# per key is O(1).
+#
+# Fixture: every 10th doc gets a copy (doc_id+300000) with a fixed
+# 12-token boilerplate paragraph PREPENDED — the copy's later
+# paragraphs then shift-align with the original's, so the op must strip
+# the copy down to (at most) the single corpus-wide boilerplate keeper
+# plus a short always-kept tail, while leaving every original intact.
+# ---------------------------------------------------------------------------
+
+D15_PARA_TOKENS = 12
+D15_MIN_TOKENS = 5
+D15_BOILERPLATE = (
+    "copyright notice all rights reserved terms of use subject to change herein"
+)
+
+
+def d15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", F.lit(D15_BOILERPLATE), F.col("text")).alias("text"),
+    )
+    aug = docs.unionByName(copies)
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    nseg = F.floor((n + D15_PARA_TOKENS - 1) / D15_PARA_TOKENS).cast("int")
+    para_arr = F.when(
+        nseg >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * D15_PARA_TOKENS + 1, D15_PARA_TOKENS)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = aug.select("doc_id", para_arr.alias("paras"), n.alias("n_tok"))
+    paras = base.select(
+        "doc_id",
+        "n_tok",
+        F.posexplode("paras").alias("pos", "para"),
+    ).withColumn(
+        "para_len",
+        F.least(F.lit(D15_PARA_TOKENS), F.col("n_tok") - F.col("pos") * D15_PARA_TOKENS),
+    )
+    eligible = paras.filter(F.col("para_len") >= D15_MIN_TOKENS)
+    short = paras.filter(F.col("para_len") < D15_MIN_TOKENS).select(
+        "doc_id", "pos", "para"
+    )
+    winners = (
+        eligible.groupBy("para")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.pos").alias("pos"), "para")
+    )
+    kept = winners.unionByName(short)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = base.select("doc_id", F.size("paras").alias("n_para"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_para",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+D15_SQL = f"""
+WITH aug15 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, '{D15_BOILERPLATE}' || ' ' || text
+  FROM documents WHERE doc_id % 10 = 0
+),
+tok15 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+  FROM aug15
+),
+paras15 AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(toks[u.i * {D15_PARA_TOKENS} + 1 : (u.i + 1) * {D15_PARA_TOKENS}], ' ') AS para,
+         least({D15_PARA_TOKENS}, len(toks) - u.i * {D15_PARA_TOKENS}) AS para_len
+  FROM tok15,
+       unnest(range(0, CAST(floor((len(toks) + {D15_PARA_TOKENS - 1}) / {D15_PARA_TOKENS}) AS INT))) AS u(i)
+),
+winners15 AS (
+  SELECT doc_id, pos, para FROM paras15
+  WHERE para_len >= {D15_MIN_TOKENS}
+  QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+),
+kept15 AS (
+  SELECT doc_id, pos, para FROM winners15
+  UNION ALL
+  SELECT doc_id, pos, para FROM paras15 WHERE para_len < {D15_MIN_TOKENS}
+),
+rebuilt15 AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, ' ' ORDER BY pos) AS text_dedup
+  FROM kept15 GROUP BY 1
+),
+totals15 AS (
+  SELECT doc_id,
+         CAST(floor((len(toks) + {D15_PARA_TOKENS - 1}) / {D15_PARA_TOKENS}) AS INT) AS n_para
+  FROM tok15
+)
+SELECT t.doc_id, t.n_para,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.text_dedup, '') AS text_dedup
+FROM totals15 t LEFT JOIN rebuilt15 r USING (doc_id)
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
@@ -1092,6 +1238,7 @@ QUERIES = {
     "d11_sorted_neighborhood": d11_sorted_neighborhood,
     "d13_sparse_cosine_join": d13_sparse_cosine_join,
     "d14_containment_join": d14_containment_join,
+    "d15_paragraph_dedup": d15_paragraph_dedup,
     "e7_dedup_audit": e7_dedup_audit,
 }
 
@@ -1105,5 +1252,6 @@ ORACLES = {
     "d11_sorted_neighborhood": D11_SQL,
     "d13_sparse_cosine_join": D13_SQL,
     "d14_containment_join": D14_SQL,
+    "d15_paragraph_dedup": D15_SQL,
     "e7_dedup_audit": E7_SQL,
 }
