@@ -147,8 +147,10 @@ HEADLINE = [
     "t28_moments_sketch",
     "j17_bucketed_join",
     # round 7: asymmetric containment near-dup join (prefix-filter
-    # blocked on the contained side, df-capped postings)
+    # blocked on the contained side, df-capped postings) + paragraph
+    # (sub-document) dedup with reassembly
     "d14_containment_join",
+    "d15_paragraph_dedup",
 ]
 
 

@@ -1129,19 +1129,28 @@ def d15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.lit(D15_BOILERPLATE), F.col("text")).alias("text"),
     )
     aug = docs.unionByName(copies)
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
-    nseg = F.floor((n + D15_PARA_TOKENS - 1) / D15_PARA_TOKENS).cast("int")
+    # stage the token split into a real column (same CollapseProject
+    # protection as the F1 parser, SPARK-36718): inlined, the regex
+    # split re-executes at every reference site — including PER ELEMENT
+    # inside the transform lambda's slice()
+    staged = aug.withColumn("_toks", tokens(F.col("text"))).withColumn(
+        "_n", F.size("_toks")
+    )
+    nseg = F.floor(
+        (F.col("_n") + D15_PARA_TOKENS - 1) / D15_PARA_TOKENS
+    ).cast("int")
     para_arr = F.when(
         nseg >= 1,
         F.transform(
             F.sequence(F.lit(0), nseg - 1),
             lambda i: F.concat_ws(
-                " ", F.slice(toks, i * D15_PARA_TOKENS + 1, D15_PARA_TOKENS)
+                " ", F.slice(F.col("_toks"), i * D15_PARA_TOKENS + 1, D15_PARA_TOKENS)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = aug.select("doc_id", para_arr.alias("paras"), n.alias("n_tok"))
+    base = staged.select(
+        "doc_id", para_arr.alias("paras"), F.col("_n").alias("n_tok")
+    )
     paras = base.select(
         "doc_id",
         "n_tok",
@@ -1150,16 +1159,21 @@ def d15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "para_len",
         F.least(F.lit(D15_PARA_TOKENS), F.col("n_tok") - F.col("pos") * D15_PARA_TOKENS),
     )
-    eligible = paras.filter(F.col("para_len") >= D15_MIN_TOKENS)
-    short = paras.filter(F.col("para_len") < D15_MIN_TOKENS).select(
-        "doc_id", "pos", "para"
+    # ONE aggregation serves both policies: eligible paragraphs group
+    # corpus-wide on the text alone (salt null), short ragged tails get
+    # a per-occurrence salt so each is its own group and always wins —
+    # no eligible/short branch split, no union, no second pass over the
+    # explode subtree. min(struct) keeps partial aggregation, so a hot
+    # boilerplate key collapses map-side.
+    salt = F.when(
+        F.col("para_len") < D15_MIN_TOKENS, F.struct("doc_id", "pos")
     )
-    winners = (
-        eligible.groupBy("para")
+    kept = (
+        paras.withColumn("_salt", salt)
+        .groupBy("para", "_salt")
         .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
         .select(F.col("w.doc_id").alias("doc_id"), F.col("w.pos").alias("pos"), "para")
     )
-    kept = winners.unionByName(short)
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.array_join(
