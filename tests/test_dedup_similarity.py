@@ -260,3 +260,53 @@ def test_d15_paragraph_dedup_strips_boilerplate_keeps_originals(spark):
     assert copies
     for did in copies:
         assert out[did]["n_kept"] <= 2, (did, out[did])
+
+
+def test_e10_split_is_leakage_free_and_proportioned(spark):
+    """E10 contract: no confirmed near-dup pair straddles the
+    train/val/test cut (structural decontamination), every cluster is
+    split-homogeneous, and the per-lang cluster proportions honor the
+    80/10/10 discipline at cluster grain."""
+    from collections import Counter
+
+    from x17a5_spark.queries.dedup import (
+        d3_minhash_lsh,
+        e10_leakage_safe_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = e10_leakage_safe_split(spark, sf).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in out}
+
+    # 1. no near-dup pair straddles the cut
+    pairs = d3_minhash_lsh(spark, sf).collect()
+    assert pairs, "fixture produced no near-dup pairs"
+    for p in pairs:
+        assert split_of[p["id_a"]] == split_of[p["id_b"]], p
+        assert cluster_of[p["id_a"]] == cluster_of[p["id_b"]], p
+
+    # 2. clusters are split-homogeneous (function of cluster_id)
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+    # 3. cluster-grain proportions: exactly floor-80/10/10 per rep lang
+    rep_lang = {
+        r["cluster_id"]: r["lang"] for r in out if r["doc_id"] == r["cluster_id"]
+    }
+    per_lang = Counter()
+    split_counts = Counter()
+    for cid, splits in by_cluster.items():
+        per_lang[rep_lang[cid]] += 1
+        split_counts[(rep_lang[cid], next(iter(splits)))] += 1
+    for lang, n_cl in per_lang.items():
+        n_train = split_counts[(lang, "train")]
+        n_val = split_counts[(lang, "val")]
+        assert n_train == int(0.8 * n_cl) or n_train == n_cl * 8 // 10, (
+            lang, n_cl, n_train,
+        )
+        assert n_train + n_val == n_cl * 9 // 10 or n_train + n_val == int(
+            0.9 * n_cl
+        ), (lang, n_cl, n_val)

@@ -106,6 +106,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # dedup with document reassembly, skew-safe min-struct keep-first,
 # first-ever row). OUT for d15 — s4_pq_adc: hash-green in
 # CORRECTNESS_r06 and untouched this round.
+# IN — e10_leakage_safe_split (NEW this round: dup-cluster-grain
+# train/val/test assignment — d3 pairs -> connected components -> one
+# split decision per cluster, so no near-dup pair straddles the eval
+# cut; first-ever row). OUT for e10 — s6_int8_quantize: hash-green in
+# CORRECTNESS_r06 and untouched this round.
 # OUT — a23_cumulative_distinct and a24_rolling_active_users: both
 # hash-green in CORRECTNESS_r06 and untouched this round (the local
 # gate still value-checks them every run).
@@ -169,8 +174,8 @@ WINDOW_ORDER = [
     "s3_ivf_probe",
     "s7_trained_ivf",
     "s8_trained_pq",
-    "s6_int8_quantize",
     "d15_paragraph_dedup",
+    "e10_leakage_safe_split",
     "m6_phash_dedup",
     "m7_audio_frames",
     "t17_bpe_pair_counts",

@@ -896,6 +896,118 @@ LEFT JOIN per_pair p USING (source)
 
 
 # ---------------------------------------------------------------------------
+# E10 — leakage-safe train/val/test split: the decontamination rule the
+# plain stratified split (t7) cannot enforce. If two near-duplicate
+# documents land on opposite sides of the train/eval cut, the eval set
+# is contaminated — the model has effectively seen the answer. The fix
+# is to assign splits at the DUP-CLUSTER grain: d3's confirmed near-dup
+# pairs resolve to connected components (operators/components.py), each
+# cluster gets ONE split decision (t7's md5-order 80/10/10 discipline,
+# stratified by the cluster representative's lang), and every member
+# inherits it. Leakage-freedom is structural: split is a function of
+# cluster_id, so no d3 pair can straddle the cut.
+#
+# Scale shape: pairs are duplicate-rate-sized (d3's bounded LSH), the
+# component resolution is the shallow-cluster min-label propagation,
+# and the split assignment is a window over CLUSTERS (one row per
+# cluster, not per doc) — the per-doc work is two hash joins.
+# ---------------------------------------------------------------------------
+
+
+def e10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.operators.components import connected_components
+
+    pairs = d3_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs, "id_a", "id_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    aug = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "lang")
+    )
+    labeled = (
+        aug.join(comp, aug["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    # the cluster id IS the minimum member's doc_id, so the
+    # representative's row is doc_id == cluster_id
+    rep = labeled.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "cluster_id", F.col("lang").alias("rep_lang")
+    )
+    h = F.md5(F.col("cluster_id").cast("string"))
+    w = Window.partitionBy("rep_lang").orderBy(h, "cluster_id")
+    nw = Window.partitionBy("rep_lang")
+    ranked = rep.select(
+        "cluster_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(nw).alias("n_cl"),
+    )
+    split = (
+        F.when(F.col("rn") <= F.floor(0.8 * F.col("n_cl")), F.lit("train"))
+        .when(F.col("rn") <= F.floor(0.9 * F.col("n_cl")), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    cl_split = ranked.select("cluster_id", split.alias("split"))
+    return labeled.join(cl_split, "cluster_id").select(
+        "doc_id", "cluster_id", "lang", "split"
+    )
+
+
+E10_SQL = "WITH RECURSIVE " + _D3_CHAIN + """
+, pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes za ON za.doc_id = id_a
+  JOIN sizes zb ON zb.doc_id = id_b
+  WHERE round(n_common / (za.n_shingles + zb.n_shingles - n_common), 6) >= 0.5
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+),
+comp AS (
+  SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u
+),
+aug_docs AS (
+  SELECT doc_id, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, lang FROM documents
+),
+labeled AS (
+  SELECT d.doc_id, d.lang, coalesce(c.comp, d.doc_id) AS cluster_id
+  FROM aug_docs d LEFT JOIN comp c ON d.doc_id = c.id
+),
+rep AS (
+  SELECT cluster_id, lang AS rep_lang FROM labeled WHERE doc_id = cluster_id
+),
+ranked AS (
+  SELECT cluster_id,
+         row_number() OVER (PARTITION BY rep_lang
+                            ORDER BY md5(CAST(cluster_id AS VARCHAR)), cluster_id) AS rn,
+         count(*) OVER (PARTITION BY rep_lang) AS n_cl
+  FROM rep
+),
+cl_split AS (
+  SELECT cluster_id,
+         CASE WHEN rn <= floor(0.8 * n_cl) THEN 'train'
+              WHEN rn <= floor(0.9 * n_cl) THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT l.doc_id, l.cluster_id, l.lang, s.split
+FROM labeled l JOIN cl_split s USING (cluster_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # D14 — shingle-containment join: the ASYMMETRIC near-dup primitive.
 # Jaccard machinery (d2/d3/d13) structurally misses inclusion — a quote,
 # excerpt or boilerplate-wrapped copy of doc A inside a much larger doc
@@ -1254,6 +1366,7 @@ QUERIES = {
     "d14_containment_join": d14_containment_join,
     "d15_paragraph_dedup": d15_paragraph_dedup,
     "e7_dedup_audit": e7_dedup_audit,
+    "e10_leakage_safe_split": e10_leakage_safe_split,
 }
 
 ORACLES = {
@@ -1268,4 +1381,5 @@ ORACLES = {
     "d14_containment_join": D14_SQL,
     "d15_paragraph_dedup": D15_SQL,
     "e7_dedup_audit": E7_SQL,
+    "e10_leakage_safe_split": E10_SQL,
 }
