@@ -286,3 +286,19 @@ def test_j17_bucketed_join_has_no_exchange_below_the_join(spark):
     assert "Exchange" not in below_join, "bucketed join re-shuffled a fact side"
     # exactly one hash exchange in the whole query: the final aggregate
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_d15_keep_first_is_hash_aggregate_not_sort(spark):
+    """The d15 keep-first must compile to HashAggregate (partial +
+    final over the packed-long winner) — min over a STRUCT falls back
+    to SortAggregate and drags a per-partition sort of every paragraph
+    row into the plan, which is exactly what the packed encoding is
+    there to avoid."""
+    from x17a5_spark.queries.dedup import d15_paragraph_dedup
+
+    plan = _plan(d15_paragraph_dedup(spark, SF))
+    assert "SortAggregate" not in plan, "keep-first fell back to SortAggregate"
+    # partial + final hash aggregation around one exchange, plus the
+    # ObjectHashAggregate pair for the collect_list reassembly
+    assert plan.count("HashAggregate") >= 2
+    assert "ObjectHashAggregate" in plan

@@ -88,6 +88,21 @@ PICKS = {
         "partial aggregates combined map-side, single 20-row exchange "
         "— the flattest possible 100 TB shape."
     ),
+    "d14_containment_join": (
+        "Prefix-filter candidates with the PPJoin size filter pushed "
+        "before the pair-distinct; verification joins per-doc sorted "
+        "shingle ARRAYS (one row per candidate pair, array_intersect) "
+        "— no pair-times-shingle explode, no re-aggregation."
+    ),
+    "d15_paragraph_dedup": (
+        "Sub-document dedup: staged token split (no per-element regex "
+        "re-execution), ONE salted partial aggregation serving both "
+        "the corpus-wide keep-first and the always-keep-short-tails "
+        "policy — the packed-long winner keeps it a codegen "
+        "HashAggregate (struct min would fall back to SortAggregate), "
+        "so a hot boilerplate key collapses map-side instead of "
+        "serializing onto one window task."
+    ),
 }
 
 

@@ -1229,6 +1229,7 @@ WHERE z.n >= {D14_MIN_SHINGLES}
 
 D15_PARA_TOKENS = 12
 D15_MIN_TOKENS = 5
+D15_PACK = 1 << 20  # (doc_id, pos) packed order-preserving into one long
 D15_BOILERPLATE = (
     "copyright notice all rights reserved terms of use subject to change herein"
 )
@@ -1275,22 +1276,25 @@ def d15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide on the text alone (salt null), short ragged tails get
     # a per-occurrence salt so each is its own group and always wins —
     # no eligible/short branch split, no union, no second pass over the
-    # explode subtree. min(struct) keeps partial aggregation, so a hot
-    # boilerplate key collapses map-side.
-    salt = F.when(
-        F.col("para_len") < D15_MIN_TOKENS, F.struct("doc_id", "pos")
-    )
+    # explode subtree. The (doc_id, pos) winner is packed into a single
+    # long (doc_id << 20 | pos — order-identical to the lexicographic
+    # struct for pos < 2^20 and doc_id < 2^43) because min over a LONG
+    # compiles to HashAggregate with map-side combine, while min over a
+    # STRUCT falls back to SortAggregate and drags a per-partition sort
+    # of every paragraph row into the plan.
+    packed = F.col("doc_id") * D15_PACK + F.col("pos")
+    salt = F.when(F.col("para_len") < D15_MIN_TOKENS, packed)
     kept = (
         paras.withColumn("_salt", salt)
         .groupBy("para", "_salt")
-        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
-        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.pos").alias("pos"), "para")
+        .agg(F.min(packed).alias("w"))
+        .select(F.shiftright("w", 20).alias("doc_id"), "w", "para")
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                F.array_sort(F.collect_list(F.struct("w", "para"))),
                 lambda x: x["para"],
             ),
             " ",
@@ -1327,19 +1331,17 @@ paras15 AS (
   FROM tok15,
        unnest(range(0, CAST(floor((len(toks) + {D15_PARA_TOKENS - 1}) / {D15_PARA_TOKENS}) AS INT))) AS u(i)
 ),
-winners15 AS (
-  SELECT doc_id, pos, para FROM paras15
-  WHERE para_len >= {D15_MIN_TOKENS}
-  QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
-),
 kept15 AS (
-  SELECT doc_id, pos, para FROM winners15
-  UNION ALL
-  SELECT doc_id, pos, para FROM paras15 WHERE para_len < {D15_MIN_TOKENS}
+  SELECT w >> 20 AS doc_id, w, para FROM (
+    SELECT para,
+           CASE WHEN para_len < {D15_MIN_TOKENS}
+                THEN doc_id * {D15_PACK} + pos END AS salt,
+           min(doc_id * {D15_PACK} + pos) AS w
+    FROM paras15 GROUP BY 1, 2)
 ),
 rebuilt15 AS (
   SELECT doc_id, count(*) AS n_kept,
-         string_agg(para, ' ' ORDER BY pos) AS text_dedup
+         string_agg(para, ' ' ORDER BY w) AS text_dedup
   FROM kept15 GROUP BY 1
 ),
 totals15 AS (
