@@ -151,6 +151,7 @@ HEADLINE = [
     # (sub-document) dedup with reassembly
     "d14_containment_join",
     "d15_paragraph_dedup",
+    "e10_leakage_safe_split",
 ]
 
 
