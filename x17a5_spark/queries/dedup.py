@@ -911,6 +911,12 @@ LEFT JOIN per_pair p USING (source)
 # component resolution is the shallow-cluster min-label propagation,
 # and the split assignment is a window over CLUSTERS (one row per
 # cluster, not per doc) — the per-doc work is two hash joins.
+#
+# Fixture bound: the demo corpus is d3's augmentation (+100000 copy
+# ids, the corpus-wide convention), which assumes max(doc_id) < 100000
+# — true for every shipped lake (20x tops out at 99,999). A production
+# caller supplies real pair tables and real doc ids; the cluster-grain
+# guarantee itself has no id-arithmetic in it.
 # ---------------------------------------------------------------------------
 
 
@@ -1103,6 +1109,7 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("contained_id", "container_id")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Verification via per-doc sorted shingle arrays + array_intersect:
     # one row per candidate pair instead of exploding to |pair|x|doc|
@@ -1110,7 +1117,16 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc distinct-shingle count — the standard PPJoin verify shape
     # (merge two sorted sets per pair), and at cluster scale the arrays
     # table is one row per doc, joined by doc_id hash partitioning.
-    arrs = sh.groupBy("doc_id").agg(
+    # The semi-join keeps the collect_list bounded by the DUPLICATE
+    # RATE, not the corpus: at a low-dup corpus, candidate docs are a
+    # tiny fraction of all docs, and building arrays for the rest would
+    # re-shuffle the full shingle mass for rows no join ever reads.
+    cand_docs = (
+        cands.select(F.col("contained_id").alias("doc_id"))
+        .union(cands.select(F.col("container_id").alias("doc_id")))
+        .distinct()
+    )
+    arrs = sh.join(cand_docs, "doc_id", "left_semi").groupBy("doc_id").agg(
         F.sort_array(F.collect_list("shingle")).alias("shingles"),
         F.count("*").alias("n"),
     )
@@ -1236,7 +1252,13 @@ D15_BOILERPLATE = (
 
 
 def d15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fixture bound (the corpus-wide +offset convention, same as
+    # d2/d3/e7's +100000): copy ids assume max(doc_id) < 300000 — valid
+    # for every shipped lake (20x tops out at 99,999); a production
+    # caller feeds real documents and no augmentation runs at all
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.concat_ws(" ", F.lit(D15_BOILERPLATE), F.col("text")).alias("text"),
@@ -1261,9 +1283,13 @@ def d15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # the paragraph arrays feed BOTH the explode/keep-first path and
+    # the totals (n_para per doc) branch — persist the stage table so
+    # the corpus is tokenized once, not once per subtree (the d3
+    # shingle-table discipline; a production pipeline would write it)
     base = staged.select(
         "doc_id", para_arr.alias("paras"), F.col("_n").alias("n_tok")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     paras = base.select(
         "doc_id",
         "n_tok",
@@ -1281,8 +1307,20 @@ def d15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # struct for pos < 2^20 and doc_id < 2^43) because min over a LONG
     # compiles to HashAggregate with map-side combine, while min over a
     # STRUCT falls back to SortAggregate and drags a per-partition sort
-    # of every paragraph row into the plan.
-    packed = F.col("doc_id") * D15_PACK + F.col("pos")
+    # of every paragraph row into the plan. The pos < 2^20 packing bound
+    # (a ~12.6M-token document) fails LOUD on both engines rather than
+    # silently attributing tail paragraphs to the next doc_id.
+    packed = F.when(
+        F.col("pos") < D15_PACK, F.col("doc_id") * D15_PACK + F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("d15: paragraph position exceeds the 2^20 packing "
+                      "bound in doc "),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
     salt = F.when(F.col("para_len") < D15_MIN_TOKENS, packed)
     kept = (
         paras.withColumn("_salt", salt)
@@ -1331,13 +1369,19 @@ paras15 AS (
   FROM tok15,
        unnest(range(0, CAST(floor((len(toks) + {D15_PARA_TOKENS - 1}) / {D15_PARA_TOKENS}) AS INT))) AS u(i)
 ),
+packed15 AS (
+  SELECT para, para_len,
+         CASE WHEN pos < {D15_PACK} THEN doc_id * {D15_PACK} + pos
+              ELSE error('d15: paragraph position exceeds the 2^20 packing bound')
+         END AS packed
+  FROM paras15
+),
 kept15 AS (
   SELECT w >> 20 AS doc_id, w, para FROM (
     SELECT para,
-           CASE WHEN para_len < {D15_MIN_TOKENS}
-                THEN doc_id * {D15_PACK} + pos END AS salt,
-           min(doc_id * {D15_PACK} + pos) AS w
-    FROM paras15 GROUP BY 1, 2)
+           CASE WHEN para_len < {D15_MIN_TOKENS} THEN packed END AS salt,
+           min(packed) AS w
+    FROM packed15 GROUP BY 1, 2)
 ),
 rebuilt15 AS (
   SELECT doc_id, count(*) AS n_kept,
