@@ -310,3 +310,47 @@ def test_e10_split_is_leakage_free_and_proportioned(spark):
         assert n_train + n_val == n_cl * 9 // 10 or n_train + n_val == int(
             0.9 * n_cl
         ), (lang, n_cl, n_val)
+
+
+def test_paragraph_dedup_operator_edge_shapes(spark):
+    """dedup_paragraphs on adversarial in-memory docs: empty text,
+    whitespace-only, single token, exact 12-token multiple, intra-doc
+    duplicate paragraphs (keep-first within one doc), and short-tail
+    immunity."""
+    from x17a5_spark.operators.paragraphs import dedup_paragraphs
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    assert len(para.split()) == 12
+    short = "one two three"
+    rows = [
+        (0, ""),  # empty
+        (1, "   "),  # whitespace-only
+        (2, "solo"),  # single token (short tail, always kept)
+        (3, para),  # exactly one full paragraph
+        (4, para + " " + para),  # intra-doc duplicate paragraph
+        (5, para + " " + short),  # dup of doc 3's paragraph + short tail
+        (6, short),  # identical short text to doc 5's tail — still kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+
+    assert set(out) == set(range(7))
+    # empty / whitespace-only: zero paragraphs, empty rebuild
+    for did in (0, 1):
+        assert out[did]["n_para"] == 0 and out[did]["n_kept"] == 0
+        assert out[did]["text_dedup"] == ""
+    # single-token doc: one short paragraph, always kept
+    assert out[2]["n_para"] == 1 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "solo"
+    # doc 3 owns the paragraph (first occurrence corpus-wide)
+    assert out[3]["n_kept"] == 1 and out[3]["text_dedup"] == para
+    # doc 4: second intra-doc occurrence dropped (keep-first applies
+    # WITHIN a document too)
+    assert out[4]["n_para"] == 2 and out[4]["n_kept"] == 0
+    assert out[4]["text_dedup"] == ""
+    # doc 5: full paragraph deduped away, short ragged tail survives
+    assert out[5]["n_para"] == 2 and out[5]["n_kept"] == 1
+    assert out[5]["text_dedup"] == short
+    # doc 6: whole doc is a short paragraph — never a dedup target even
+    # though its text equals doc 5's surviving tail
+    assert out[6]["n_kept"] == 1 and out[6]["text_dedup"] == short

@@ -1,0 +1,124 @@
+"""Paragraph-level (sub-document) dedup with document reassembly.
+
+The Dolma/RefinedWeb curation primitive doc-level dedup cannot express:
+boilerplate, license blocks and quoted spans repeat ACROSS documents
+that are not duplicates of each other, so the fix is delete-the-span,
+not drop-the-document. This module holds the reusable core; the
+registry query (queries/dedup.py::d15_paragraph_dedup) wraps it with
+the demo fixture and the DuckDB oracle twin.
+
+Semantics (engine-identical to the oracle):
+- split each doc into fixed ``para_tokens``-token paragraphs (corpora
+  with real structure would split on blank lines first);
+- keep the FIRST occurrence (min (doc_id, pos)) of every paragraph
+  corpus-wide;
+- always keep paragraphs shorter than ``min_tokens`` (a ragged 1-4
+  token tail is noise, not boilerplate);
+- reassemble each doc from its surviving paragraphs in order; docs
+  deduplicated to nothing stay in the output with n_kept=0 and empty
+  text so the curation funnel can be audited.
+
+Scale decisions (each measured / plan-pinned, see SCALE.md round 7):
+- keep-first is ``groupBy(fingerprint).min(packed-long)`` — NOT a
+  row_number window: a hot boilerplate paragraph at 100 TB has
+  billions of occurrences and a window partitioned on the fingerprint
+  serializes them onto one task, while partial aggregation collapses
+  the hot key map-side. The winner rows ARE the kept set (no join
+  back).
+- the (doc_id, pos) winner packs into ONE long (doc_id·2^20 + pos,
+  order-identical to the lexicographic struct for pos < 2^20 and
+  doc_id < 2^43) because min over a LONG compiles to HashAggregate,
+  while min over a STRUCT falls back to SortAggregate and drags a
+  per-partition sort of every paragraph row into the plan. The packing
+  bound fails LOUD (raise_error), never silently misattributes.
+- the token split is STAGED into a real column (CollapseProject
+  protection, SPARK-36718) — inlined, the regex split re-executes at
+  every reference site including per-element inside the transform
+  lambda's slice().
+- the paragraph-array stage table persists once and serves both the
+  explode/keep-first path and the totals branch (the d3 shingle-table
+  discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from x17a5_spark.functions.text import tokens
+
+PARA_TOKENS = 12
+MIN_TOKENS = 5
+PACK = 1 << 20  # (doc_id, pos) packed order-preserving into one long
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    para_tokens: int = PARA_TOKENS,
+    min_tokens: int = MIN_TOKENS,
+) -> DataFrame:
+    """``(doc_id, text)`` → ``(doc_id, n_para, n_kept, text_dedup)``.
+
+    ``docs`` must have unique ``doc_id`` (long) and string ``text``.
+    """
+    staged = docs.select("doc_id", "text").withColumn(
+        "_toks", tokens(F.col("text"))
+    ).withColumn("_n", F.size("_toks"))
+    nseg = F.floor((F.col("_n") + para_tokens - 1) / para_tokens).cast("int")
+    para_arr = F.when(
+        nseg >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("_toks"), i * para_tokens + 1, para_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = staged.select(
+        "doc_id", para_arr.alias("paras"), F.col("_n").alias("n_tok")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    paras = base.select(
+        "doc_id",
+        "n_tok",
+        F.posexplode("paras").alias("pos", "para"),
+    ).withColumn(
+        "para_len",
+        F.least(F.lit(para_tokens), F.col("n_tok") - F.col("pos") * para_tokens),
+    )
+    packed = F.when(
+        F.col("pos") < PACK, F.col("doc_id") * PACK + F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "paragraph position exceeds the 2^20 packing bound in doc "
+                ),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    salt = F.when(F.col("para_len") < min_tokens, packed)
+    kept = (
+        paras.withColumn("_salt", salt)
+        .groupBy("para", "_salt")
+        .agg(F.min(packed).alias("w"))
+        .select(F.shiftright("w", 20).alias("doc_id"), "w", "para")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "para"))),
+                lambda x: x["para"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = base.select("doc_id", F.size("paras").alias("n_para"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_para",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )

@@ -1243,111 +1243,34 @@ WHERE z.n >= {D14_MIN_SHINGLES}
 # plus a short always-kept tail, while leaving every original intact.
 # ---------------------------------------------------------------------------
 
-D15_PARA_TOKENS = 12
-D15_MIN_TOKENS = 5
-D15_PACK = 1 << 20  # (doc_id, pos) packed order-preserving into one long
+from x17a5_spark.operators.paragraphs import (  # noqa: E402
+    MIN_TOKENS as D15_MIN_TOKENS,
+    PACK as D15_PACK,
+    PARA_TOKENS as D15_PARA_TOKENS,
+)
+
 D15_BOILERPLATE = (
     "copyright notice all rights reserved terms of use subject to change herein"
 )
 
 
 def d15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
+    """Fixture wrapper over operators/paragraphs.py::dedup_paragraphs
+    (the reusable core — see its docstring for the scale decisions).
+
+    Fixture bound (the corpus-wide +offset convention, same as
+    d2/d3/e7's +100000): copy ids assume max(doc_id) < 300000 — valid
+    for every shipped lake (20x tops out at 99,999); a production
+    caller feeds real documents and no augmentation runs at all.
+    """
+    from x17a5_spark.operators.paragraphs import dedup_paragraphs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # fixture bound (the corpus-wide +offset convention, same as
-    # d2/d3/e7's +100000): copy ids assume max(doc_id) < 300000 — valid
-    # for every shipped lake (20x tops out at 99,999); a production
-    # caller feeds real documents and no augmentation runs at all
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.concat_ws(" ", F.lit(D15_BOILERPLATE), F.col("text")).alias("text"),
     )
-    aug = docs.unionByName(copies)
-    # stage the token split into a real column (same CollapseProject
-    # protection as the F1 parser, SPARK-36718): inlined, the regex
-    # split re-executes at every reference site — including PER ELEMENT
-    # inside the transform lambda's slice()
-    staged = aug.withColumn("_toks", tokens(F.col("text"))).withColumn(
-        "_n", F.size("_toks")
-    )
-    nseg = F.floor(
-        (F.col("_n") + D15_PARA_TOKENS - 1) / D15_PARA_TOKENS
-    ).cast("int")
-    para_arr = F.when(
-        nseg >= 1,
-        F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(F.col("_toks"), i * D15_PARA_TOKENS + 1, D15_PARA_TOKENS)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # the paragraph arrays feed BOTH the explode/keep-first path and
-    # the totals (n_para per doc) branch — persist the stage table so
-    # the corpus is tokenized once, not once per subtree (the d3
-    # shingle-table discipline; a production pipeline would write it)
-    base = staged.select(
-        "doc_id", para_arr.alias("paras"), F.col("_n").alias("n_tok")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    paras = base.select(
-        "doc_id",
-        "n_tok",
-        F.posexplode("paras").alias("pos", "para"),
-    ).withColumn(
-        "para_len",
-        F.least(F.lit(D15_PARA_TOKENS), F.col("n_tok") - F.col("pos") * D15_PARA_TOKENS),
-    )
-    # ONE aggregation serves both policies: eligible paragraphs group
-    # corpus-wide on the text alone (salt null), short ragged tails get
-    # a per-occurrence salt so each is its own group and always wins —
-    # no eligible/short branch split, no union, no second pass over the
-    # explode subtree. The (doc_id, pos) winner is packed into a single
-    # long (doc_id << 20 | pos — order-identical to the lexicographic
-    # struct for pos < 2^20 and doc_id < 2^43) because min over a LONG
-    # compiles to HashAggregate with map-side combine, while min over a
-    # STRUCT falls back to SortAggregate and drags a per-partition sort
-    # of every paragraph row into the plan. The pos < 2^20 packing bound
-    # (a ~12.6M-token document) fails LOUD on both engines rather than
-    # silently attributing tail paragraphs to the next doc_id.
-    packed = F.when(
-        F.col("pos") < D15_PACK, F.col("doc_id") * D15_PACK + F.col("pos")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("d15: paragraph position exceeds the 2^20 packing "
-                      "bound in doc "),
-                F.col("doc_id").cast("string"),
-            )
-        )
-    )
-    salt = F.when(F.col("para_len") < D15_MIN_TOKENS, packed)
-    kept = (
-        paras.withColumn("_salt", salt)
-        .groupBy("para", "_salt")
-        .agg(F.min(packed).alias("w"))
-        .select(F.shiftright("w", 20).alias("doc_id"), "w", "para")
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("w", "para"))),
-                lambda x: x["para"],
-            ),
-            " ",
-        ).alias("text_dedup"),
-    )
-    totals = base.select("doc_id", F.size("paras").alias("n_para"))
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_para",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
-        )
-    )
+    return dedup_paragraphs(docs.unionByName(copies))
 
 
 D15_SQL = f"""
