@@ -152,6 +152,7 @@ HEADLINE = [
     "d14_containment_join",
     "d15_paragraph_dedup",
     "e10_leakage_safe_split",
+    "t29_ngram_novelty",
 ]
 
 

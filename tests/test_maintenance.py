@@ -594,3 +594,50 @@ def test_compaction_plan_bins_are_tight(spark):
             assert r["bin_bytes"] < V3_TARGET_BYTES + max_size, r
             if i:
                 assert r["first_file"] > bins[i - 1]["last_file"], (part, r)
+
+
+def test_t29_novelty_matches_python_replay(spark):
+    """t29 n-gram novelty vs a pure-Python first-occurrence replay:
+    per-doc totals and novel counts exact, later exact-duplicate texts
+    score novelty 0, and corpus-wide sum(n_novel) equals the number of
+    distinct grams."""
+    from x17a5_spark.queries.textops import T29_GRAM_K, t29_ngram_novelty
+    from x17a5_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf, "documents").collect()
+    }
+    first = {}
+    per_doc = {}
+    for did in sorted(docs):
+        toks = docs[did].split()
+        grams = {
+            " ".join(toks[i : i + T29_GRAM_K])
+            for i in range(max(len(toks) - T29_GRAM_K + 1, 0))
+        }
+        novel = 0
+        for g in sorted(grams):
+            if g not in first:
+                first[g] = did
+                novel += 1
+        per_doc[did] = (len(grams), novel)
+
+    out = {r["doc_id"]: r for r in t29_ngram_novelty(spark, sf).collect()}
+    assert set(out) == set(docs)
+    for did, (n_grams, n_novel) in per_doc.items():
+        assert out[did]["n_grams"] == n_grams, did
+        assert out[did]["n_novel"] == n_novel, did
+        if n_grams:
+            assert abs(out[did]["novelty"] - n_novel / n_grams) < 1e-6, did
+        else:
+            assert out[did]["novelty"] is None, did
+    # gram sharing must actually occur in the fixture (docs repeating
+    # earlier content score below 1.0), and first-occurrence attribution
+    # must conserve mass: sum of per-doc novel counts == distinct grams
+    shared = [d for d, (n, v) in per_doc.items() if n and v < n]
+    assert shared, "fixture has no cross-doc gram sharing to exercise"
+    for did in shared:
+        assert out[did]["novelty"] < 1.0, did
+    assert sum(v["n_novel"] for v in out.values()) == len(first)

@@ -111,6 +111,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # split decision per cluster, so no near-dup pair straddles the eval
 # cut; first-ever row). OUT for e10 — s6_int8_quantize: hash-green in
 # CORRECTNESS_r06 and untouched this round.
+# IN — t29_ngram_novelty (NEW this round: per-doc first-occurrence
+# novelty profile, the Dolma-style memorization stat; first-ever row).
+# OUT for t29 — m6_phash_dedup: hash-green in CORRECTNESS_r06 and
+# untouched this round.
 # OUT — a23_cumulative_distinct and a24_rolling_active_users: both
 # hash-green in CORRECTNESS_r06 and untouched this round (the local
 # gate still value-checks them every run).
@@ -176,13 +180,13 @@ WINDOW_ORDER = [
     "s8_trained_pq",
     "d15_paragraph_dedup",
     "e10_leakage_safe_split",
-    "m6_phash_dedup",
     "m7_audio_frames",
     "t17_bpe_pair_counts",
     "t18_bpe_train",
     "t19_hll_distinct",
     "t27_countmin",
     "t28_moments_sketch",
+    "t29_ngram_novelty",
     "t25_keyword_extraction",
     "t26_token_entropy",
     "t22_boilerplate_removal",

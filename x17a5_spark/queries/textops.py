@@ -1015,6 +1015,84 @@ FROM sk ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# T29 — n-gram novelty scoring (memorization/duplication profile).
+#
+# The per-doc curation stat Dolma-style corpus reports publish: what
+# fraction of a document's distinct 5-grams appear HERE FIRST (ingest
+# order = doc_id), versus being repeats of earlier documents. Distinct
+# from d9 (which emits duplicate PAIRS) and t11 (overlap vs an eval
+# set): t29 is a per-document score against the whole corpus, the
+# signal used to downweight boilerplate-heavy or templated sources.
+#
+# Scale shape: first-occurrence attribution is groupBy(gram).min(doc_id)
+# — partial aggregation collapses hot grams map-side (same skew
+# argument as d15's keep-first) — and the winner table aggregates
+# DIRECTLY to per-doc novel counts: no corpus-wide join at all, just
+# three linear aggregations over a persisted gram stage table.
+# ---------------------------------------------------------------------------
+
+T29_GRAM_K = 5
+
+
+def t29_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from x17a5_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), T29_GRAM_K))
+        ).alias("gram"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy("first_doc").agg(F.count("*").alias("n_novel"))
+    totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(novel.withColumnRenamed("first_doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce("n_novel", F.lit(0)) / F.col("n_grams"), 6
+                ),
+            ).alias("novelty"),
+        )
+    )
+
+
+T29_SQL = """
+WITH grams29 AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])))
+         AS gram
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+),
+firsts29 AS (SELECT gram, min(doc_id) AS first_doc FROM grams29 GROUP BY 1),
+novel29 AS (SELECT first_doc AS doc_id, count(*) AS n_novel FROM firsts29 GROUP BY 1),
+totals29 AS (SELECT doc_id, count(*) AS n_grams FROM grams29 GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(t.n_grams, 0) AS n_grams,
+       COALESCE(v.n_novel, 0) AS n_novel,
+       CASE WHEN t.n_grams > 0
+            THEN round(COALESCE(v.n_novel, 0) / CAST(t.n_grams AS DOUBLE), 6)
+       END AS novelty
+FROM documents d
+LEFT JOIN totals29 t USING (doc_id)
+LEFT JOIN novel29 v USING (doc_id)
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -1031,6 +1109,7 @@ QUERIES = {
     "t25_keyword_extraction": t25_keyword_extraction,
     "t26_token_entropy": t26_token_entropy,
     "e8_bpe_tokenize": e8_bpe_tokenize,
+    "t29_ngram_novelty": t29_ngram_novelty,
 }
 
 ORACLES = {
@@ -1048,4 +1127,5 @@ ORACLES = {
     "t25_keyword_extraction": T25_SQL,
     "t26_token_entropy": T26_SQL,
     "e8_bpe_tokenize": E8_SQL,
+    "t29_ngram_novelty": T29_SQL,
 }
