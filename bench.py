@@ -153,6 +153,7 @@ HEADLINE = [
     "d15_paragraph_dedup",
     "e10_leakage_safe_split",
     "t29_ngram_novelty",
+    "k11_length_batching",
 ]
 
 

@@ -641,3 +641,28 @@ def test_t29_novelty_matches_python_replay(spark):
     for did in shared:
         assert out[did]["novelty"] < 1.0, did
     assert sum(v["n_novel"] for v in out.values()) == len(first)
+
+
+def test_k11_length_banding_cuts_padding_waste(spark):
+    """k11 contract: both strategies cover every document exactly once,
+    no batch exceeds the doc budget, and length-banded batching wastes
+    strictly fewer padded tokens than arrival-order batching."""
+    from x17a5_spark.queries.corpus import (
+        K11_BATCH_DOCS,
+        k11_length_batching,
+    )
+    from x17a5_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = k11_length_batching(spark, sf).collect()
+    n_docs_total = load_table(spark, sf, "documents").count()
+    waste = {}
+    for strat in ("arrival", "length_banded"):
+        batches = [r for r in rows if r["strategy"] == strat]
+        assert sum(r["n_docs"] for r in batches) == n_docs_total, strat
+        assert all(r["n_docs"] <= K11_BATCH_DOCS for r in batches), strat
+        assert all(0.0 <= r["waste_ratio"] < 1.0 for r in batches), strat
+        waste[strat] = sum(
+            r["n_docs"] * r["max_tokens"] - r["sum_tokens"] for r in batches
+        )
+    assert waste["length_banded"] < waste["arrival"], waste

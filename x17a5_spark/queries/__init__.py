@@ -115,6 +115,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # novelty profile, the Dolma-style memorization stat; first-ever row).
 # OUT for t29 — m6_phash_dedup: hash-green in CORRECTNESS_r06 and
 # untouched this round.
+# IN — k11_length_batching (NEW this round: length-banded inference
+# batching with queryable padding-waste vs the arrival baseline;
+# first-ever row). OUT for k11 — a20_event_funnel: hash-green in
+# CORRECTNESS_r06 and untouched this round.
 # OUT — a23_cumulative_distinct and a24_rolling_active_users: both
 # hash-green in CORRECTNESS_r06 and untouched this round (the local
 # gate still value-checks them every run).
@@ -194,6 +198,7 @@ WINDOW_ORDER = [
     # --- corpus-prep + packing layer ---
     "k9_concat_chunking",
     "k10_curriculum_order",
+    "k11_length_batching",
     "e5_incremental_ingest",
     "e7_dedup_audit",
     "e8_bpe_tokenize",
@@ -203,7 +208,6 @@ WINDOW_ORDER = [
     "st8_ttl_dedup",
     "st10_trending",
     # --- analytics / joins / graph / maintenance ---
-    "a20_event_funnel",
     "a21_cohort_retention",
     "a22_robust_outliers",
     "g1_pagerank",

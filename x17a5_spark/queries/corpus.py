@@ -1101,6 +1101,118 @@ GROUP BY 1, 2
 E9_SQL = _e9_sql()
 
 
+
+# ---------------------------------------------------------------------------
+# K11 — length-banded inference batching (padding-waste minimization).
+#
+# The SERVING-side twin of k7's training-side packing: batched
+# inference pads every sequence in a batch to the batch max, so
+# arrival-order batches pay (n_docs·max − sum) wasted tokens whenever
+# short and long docs mix. The standard fix (vLLM/TGI-style length
+# bucketing, eval-harness sort-by-length) groups similar lengths
+# before batching. Both strategies are computed side by side so the
+# saving is a queryable fact, not a claim.
+#
+# Scale shape: NO global sort/rank — the naive "row_number over the
+# whole corpus ordered by length" puts 100 TB through ONE window
+# partition. Instead docs hash into length BANDS (n_tokens div 16) and
+# the batch window partitions by band (arrival baseline partitions by
+# source) — every window is bounded and distributed, the same per-
+# stratum discipline as t7. Padding within a band is bounded by the
+# band width by construction.
+# ---------------------------------------------------------------------------
+
+K11_BATCH_DOCS = 32
+K11_BAND_TOKENS = 16
+
+
+def k11_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    arrival_w = Window.partitionBy("source").orderBy("doc_id")
+    band = F.floor(F.col("n_tokens") / K11_BAND_TOKENS).cast("int")
+    banded_w = Window.partitionBy("band").orderBy("n_tokens", "doc_id")
+    arrival = docs.select(
+        F.lit("arrival").alias("strategy"),
+        F.concat_ws(
+            "#",
+            F.col("source"),
+            F.floor((F.row_number().over(arrival_w) - 1) / K11_BATCH_DOCS).cast(
+                "string"
+            ),
+        ).alias("batch_key"),
+        "n_tokens",
+    )
+    banded = docs.withColumn("band", band).select(
+        F.lit("length_banded").alias("strategy"),
+        F.concat_ws(
+            "#",
+            F.col("band").cast("string"),
+            F.floor((F.row_number().over(banded_w) - 1) / K11_BATCH_DOCS).cast(
+                "string"
+            ),
+        ).alias("batch_key"),
+        "n_tokens",
+    )
+    return (
+        arrival.unionByName(banded)
+        .groupBy("strategy", "batch_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .withColumn(
+            "waste_ratio",
+            F.round(
+                (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"))
+                / (F.col("n_docs") * F.col("max_tokens")),
+                6,
+            ),
+        )
+    )
+
+
+K11_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
+             AS n_tokens
+  FROM documents
+),
+arrival AS (
+  SELECT 'arrival' AS strategy,
+         source || '#' || CAST(CAST(floor((row_number() OVER (
+             PARTITION BY source ORDER BY doc_id) - 1) / {K11_BATCH_DOCS})
+             AS INT) AS VARCHAR) AS batch_key,
+         n_tokens
+  FROM d
+),
+banded AS (
+  SELECT 'length_banded' AS strategy,
+         CAST(CAST(floor(n_tokens / {K11_BAND_TOKENS}) AS INT) AS VARCHAR)
+           || '#' ||
+         CAST(CAST(floor((row_number() OVER (
+             PARTITION BY CAST(floor(n_tokens / {K11_BAND_TOKENS}) AS INT)
+             ORDER BY n_tokens, doc_id) - 1) / {K11_BATCH_DOCS})
+             AS INT) AS VARCHAR) AS batch_key,
+         n_tokens
+  FROM d
+),
+u AS (
+  SELECT * FROM arrival UNION ALL SELECT * FROM banded
+)
+SELECT strategy, batch_key,
+       count(*) AS n_docs,
+       max(n_tokens) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round((count(*) * max(n_tokens) - sum(n_tokens))
+             / CAST(count(*) * max(n_tokens) AS DOUBLE), 6) AS waste_ratio
+FROM u GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "t6_chunk_documents": t6_chunk_documents,
     "t7_stratified_split": t7_stratified_split,
@@ -1113,6 +1225,7 @@ QUERIES = {
     "e5_incremental_ingest": e5_incremental_ingest,
     "k9_concat_chunking": k9_concat_chunking,
     "e6_curation_funnel": e6_curation_funnel,
+    "k11_length_batching": k11_length_batching,
 }
 
 ORACLES = {
@@ -1127,4 +1240,5 @@ ORACLES = {
     "e5_incremental_ingest": E5_SQL,
     "k9_concat_chunking": K9_SQL,
     "e6_curation_funnel": E6_SQL,
+    "k11_length_batching": K11_SQL,
 }
