@@ -330,11 +330,15 @@ def test_paragraph_dedup_operator_edge_shapes(spark):
         (4, para + " " + para),  # intra-doc duplicate paragraph
         (5, para + " " + short),  # dup of doc 3's paragraph + short tail
         (6, short),  # identical short text to doc 5's tail — still kept
+        # a paragraph UNIQUE to doc 7 repeated twice — isolates the
+        # intra-doc keep-first claim from cross-doc dedup (doc 4's
+        # paragraphs also duplicate doc 3's, so doc 4 alone can't)
+        (7, para.replace("alpha", "omega") + " " + para.replace("alpha", "omega")),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
 
-    assert set(out) == set(range(7))
+    assert set(out) == set(range(8))
     # empty / whitespace-only: zero paragraphs, empty rebuild
     for did in (0, 1):
         assert out[did]["n_para"] == 0 and out[did]["n_kept"] == 0
@@ -354,3 +358,7 @@ def test_paragraph_dedup_operator_edge_shapes(spark):
     # doc 6: whole doc is a short paragraph — never a dedup target even
     # though its text equals doc 5's surviving tail
     assert out[6]["n_kept"] == 1 and out[6]["text_dedup"] == short
+    # doc 7: its paragraph exists NOWHERE else — intra-doc keep-first in
+    # isolation keeps exactly the first of the two occurrences
+    assert out[7]["n_para"] == 2 and out[7]["n_kept"] == 1
+    assert out[7]["text_dedup"] == para.replace("alpha", "omega")

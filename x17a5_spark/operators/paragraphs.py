@@ -51,6 +51,7 @@ from x17a5_spark.functions.text import tokens
 PARA_TOKENS = 12
 MIN_TOKENS = 5
 PACK = 1 << 20  # (doc_id, pos) packed order-preserving into one long
+_PACK_SHIFT = PACK.bit_length() - 1  # unpack shift derived, never drifts
 
 
 def dedup_paragraphs(
@@ -103,7 +104,7 @@ def dedup_paragraphs(
         paras.withColumn("_salt", salt)
         .groupBy("para", "_salt")
         .agg(F.min(packed).alias("w"))
-        .select(F.shiftright("w", 20).alias("doc_id"), "w", "para")
+        .select(F.shiftright("w", _PACK_SHIFT).alias("doc_id"), "w", "para")
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),

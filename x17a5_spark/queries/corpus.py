@@ -1115,49 +1115,58 @@ E9_SQL = _e9_sql()
 #
 # Scale shape: NO global sort/rank — the naive "row_number over the
 # whole corpus ordered by length" puts 100 TB through ONE window
-# partition. Instead docs hash into length BANDS (n_tokens div 16) and
-# the batch window partitions by band (arrival baseline partitions by
-# source) — every window is bounded and distributed, the same per-
-# stratum discipline as t7. Padding within a band is bounded by the
-# band width by construction.
+# partition. Batch windows partition by (length band, doc_id shard)
+# for the banded strategy and (source, shard) for the arrival
+# baseline — the k8 sharding discipline: a heavy length mode (or a hot
+# source) splits across K11_SHARDS partitions instead of serializing
+# one, and K11_SHARDS is the knob that scales with the cluster. Both
+# batch keys come out of ONE pass over the corpus (two chained window
+# exchanges, a single scan + tokenization), stacked long-form for the
+# final aggregation. Zero-token batches (possible on corpora with
+# empty docs) define waste 0, not NULL.
 # ---------------------------------------------------------------------------
 
 K11_BATCH_DOCS = 32
 K11_BAND_TOKENS = 16
+K11_SHARDS = 4
 
 
 def k11_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", token_count("text").alias("n_tokens")
     )
-    arrival_w = Window.partitionBy("source").orderBy("doc_id")
-    band = F.floor(F.col("n_tokens") / K11_BAND_TOKENS).cast("int")
-    banded_w = Window.partitionBy("band").orderBy("n_tokens", "doc_id")
-    arrival = docs.select(
-        F.lit("arrival").alias("strategy"),
-        F.concat_ws(
-            "#",
-            F.col("source"),
-            F.floor((F.row_number().over(arrival_w) - 1) / K11_BATCH_DOCS).cast(
-                "string"
-            ),
-        ).alias("batch_key"),
-        "n_tokens",
+    keyed = (
+        docs.withColumn("shard", (F.col("doc_id") % K11_SHARDS).cast("int"))
+        .withColumn(
+            "band", F.floor(F.col("n_tokens") / K11_BAND_TOKENS).cast("int")
+        )
     )
-    banded = docs.withColumn("band", band).select(
-        F.lit("length_banded").alias("strategy"),
+    arrival_w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    banded_w = Window.partitionBy("band", "shard").orderBy("n_tokens", "doc_id")
+    batch_no = lambda w: F.floor(  # noqa: E731
+        (F.row_number().over(w) - 1) / K11_BATCH_DOCS
+    ).cast("string")
+    keyed = keyed.select(
+        "n_tokens",
+        F.concat_ws(
+            "#", F.col("source"), F.col("shard").cast("string"), batch_no(arrival_w)
+        ).alias("_ak"),
         F.concat_ws(
             "#",
             F.col("band").cast("string"),
-            F.floor((F.row_number().over(banded_w) - 1) / K11_BATCH_DOCS).cast(
-                "string"
-            ),
-        ).alias("batch_key"),
-        "n_tokens",
+            F.col("shard").cast("string"),
+            batch_no(banded_w),
+        ).alias("_bk"),
     )
+    stacked = keyed.select(
+        "n_tokens",
+        F.expr(
+            "stack(2, 'arrival', _ak, 'length_banded', _bk) AS (strategy, batch_key)"
+        ),
+    )
+    padded = F.col("n_docs") * F.col("max_tokens")
     return (
-        arrival.unionByName(banded)
-        .groupBy("strategy", "batch_key")
+        stacked.groupBy("strategy", "batch_key")
         .agg(
             F.count("*").alias("n_docs"),
             F.max("n_tokens").alias("max_tokens"),
@@ -1165,11 +1174,10 @@ def k11_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "waste_ratio",
-            F.round(
-                (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"))
-                / (F.col("n_docs") * F.col("max_tokens")),
-                6,
-            ),
+            F.when(
+                padded > 0,
+                F.round((padded - F.col("sum_tokens")) / padded, 6),
+            ).otherwise(F.lit(0.0)),
         )
     )
 
@@ -1178,37 +1186,37 @@ K11_SQL = f"""
 WITH d AS (
   SELECT doc_id, source,
          len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
-             AS n_tokens
+             AS n_tokens,
+         CAST(doc_id % {K11_SHARDS} AS INT) AS shard
   FROM documents
 ),
-arrival AS (
-  SELECT 'arrival' AS strategy,
-         source || '#' || CAST(CAST(floor((row_number() OVER (
-             PARTITION BY source ORDER BY doc_id) - 1) / {K11_BATCH_DOCS})
-             AS INT) AS VARCHAR) AS batch_key,
-         n_tokens
-  FROM d
-),
-banded AS (
-  SELECT 'length_banded' AS strategy,
-         CAST(CAST(floor(n_tokens / {K11_BAND_TOKENS}) AS INT) AS VARCHAR)
-           || '#' ||
+k AS (
+  SELECT n_tokens,
+         source || '#' || CAST(shard AS VARCHAR) || '#' ||
          CAST(CAST(floor((row_number() OVER (
-             PARTITION BY CAST(floor(n_tokens / {K11_BAND_TOKENS}) AS INT)
-             ORDER BY n_tokens, doc_id) - 1) / {K11_BATCH_DOCS})
-             AS INT) AS VARCHAR) AS batch_key,
-         n_tokens
+             PARTITION BY source, shard ORDER BY doc_id) - 1)
+             / {K11_BATCH_DOCS}) AS BIGINT) AS VARCHAR) AS ak,
+         CAST(CAST(floor(n_tokens / {K11_BAND_TOKENS}) AS INT) AS VARCHAR)
+           || '#' || CAST(shard AS VARCHAR) || '#' ||
+         CAST(CAST(floor((row_number() OVER (
+             PARTITION BY CAST(floor(n_tokens / {K11_BAND_TOKENS}) AS INT), shard
+             ORDER BY n_tokens, doc_id) - 1)
+             / {K11_BATCH_DOCS}) AS BIGINT) AS VARCHAR) AS bk
   FROM d
 ),
 u AS (
-  SELECT * FROM arrival UNION ALL SELECT * FROM banded
+  SELECT 'arrival' AS strategy, ak AS batch_key, n_tokens FROM k
+  UNION ALL
+  SELECT 'length_banded', bk, n_tokens FROM k
 )
 SELECT strategy, batch_key,
        count(*) AS n_docs,
        max(n_tokens) AS max_tokens,
        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-       round((count(*) * max(n_tokens) - sum(n_tokens))
-             / CAST(count(*) * max(n_tokens) AS DOUBLE), 6) AS waste_ratio
+       CASE WHEN count(*) * max(n_tokens) > 0
+            THEN round((count(*) * max(n_tokens) - sum(n_tokens))
+                       / CAST(count(*) * max(n_tokens) AS DOUBLE), 6)
+            ELSE 0.0 END AS waste_ratio
 FROM u GROUP BY 1, 2
 """
 
