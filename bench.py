@@ -154,6 +154,7 @@ HEADLINE = [
     "e10_leakage_safe_split",
     "t29_ngram_novelty",
     "k11_length_batching",
+    "e11_cluster_canonical",
 ]
 
 

@@ -362,3 +362,38 @@ def test_paragraph_dedup_operator_edge_shapes(spark):
     # isolation keeps exactly the first of the two occurrences
     assert out[7]["n_para"] == 2 and out[7]["n_kept"] == 1
     assert out[7]["text_dedup"] == para.replace("alpha", "omega")
+
+
+def test_e11_keeps_best_quality_per_cluster(spark):
+    """e11 contract: exactly one keeper per cluster, the keeper is the
+    quality-argmax (ties -> lowest doc_id) recomputed from the output
+    itself, and planted truncated copies lose to their longer originals
+    whenever they share a cluster."""
+    from x17a5_spark.queries.dedup import e11_cluster_canonical
+
+    sf = "/root/testdata/sf0.001"
+    rows = e11_cluster_canonical(spark, sf).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m["is_kept"]]
+        assert len(keepers) == 1, (cid, keepers)
+        best = max(members, key=lambda m: (m["quality"], -m["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"], (cid, best)
+        assert all(m["keeper_id"] == best["doc_id"] for m in members)
+
+    # planted copies (doc_id + 100000) are 90%-token truncations: in
+    # every cluster containing an original and its copy, the original
+    # must win unless the copy genuinely scores higher (it can't on the
+    # length term; allow equality-free strict check on a sample)
+    mixed = [
+        ms for ms in by_cluster.values()
+        if {m["doc_id"] < 100000 for m in ms} == {True, False}
+    ]
+    assert mixed, "no cluster mixes originals and planted copies"
+    orig_wins = sum(
+        1 for ms in mixed if next(m for m in ms if m["is_kept"])["doc_id"] < 100000
+    )
+    assert orig_wins / len(mixed) > 0.9, (orig_wins, len(mixed))

@@ -119,6 +119,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # batching with queryable padding-waste vs the arrival baseline;
 # first-ever row). OUT for k11 — a20_event_funnel: hash-green in
 # CORRECTNESS_r06 and untouched this round.
+# IN — e11_cluster_canonical (NEW this round: keep-BEST-per-cluster
+# canonicalization, quality argmax via packed-long HashAggregate;
+# first-ever row). OUT for e11 — st8_ttl_dedup: hash-green in
+# CORRECTNESS_r06 and untouched this round.
 # OUT — a23_cumulative_distinct and a24_rolling_active_users: both
 # hash-green in CORRECTNESS_r06 and untouched this round (the local
 # gate still value-checks them every run).
@@ -201,11 +205,11 @@ WINDOW_ORDER = [
     "k11_length_batching",
     "e5_incremental_ingest",
     "e7_dedup_audit",
+    "e11_cluster_canonical",
     "e8_bpe_tokenize",
     "e9_training_manifest",
     # --- streaming ---
     "st7_rate_anomaly",
-    "st8_ttl_dedup",
     "st10_trending",
     # --- analytics / joins / graph / maintenance ---
     "a21_cohort_retention",

@@ -1013,6 +1013,143 @@ FROM labeled l JOIN cl_split s USING (cluster_id)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# E11 — cluster-canonical selection by QUALITY (keep-best, not
+# keep-first). d1/d15 keep the FIRST copy; production curation
+# (RefinedWeb/FineWeb) keeps the BEST member of each near-dup cluster —
+# the longest / cleanest extraction survives, truncated or mangled
+# copies drop. Composes d3's pairs → connected components → per-cluster
+# argmax of the t2 quality score (tie-break: lowest doc_id).
+#
+# Scale shape: the argmax is groupBy(cluster).max(packed-long) — the
+# d15 lesson applied again: max over a LONG stays HashAggregate with
+# map-side combine (a hot all-identical cluster collapses inside each
+# partition), where max(struct(quality, doc_id)) would fall back to
+# SortAggregate, and a row_number window over clusters would serialize
+# a pathological giant cluster onto one task. The (quality, -doc_id)
+# argmax packs exactly into one BIGINT: q_micro = round(q·1e6) ≤ 1e6
+# and doc_id < 2^43, so key = q_micro·2^43 + (2^43-1-doc_id) fits
+# (max ≈ 8.8e18 < 2^63) and orders by quality first, then by SMALLEST
+# doc_id. Engine-identical integer arithmetic; unpack is one AND.
+# ---------------------------------------------------------------------------
+
+E11_IDSPACE = 1 << 43
+
+
+def _t2_quality(text_col):
+    """t2's quality formula as a Column (shared with the e11 oracle)."""
+    from x17a5_spark.functions.text import punct_ratio
+    from x17a5_spark.queries.textops import STOPWORDS
+
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"]))
+    )
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(stop_hits / n_tok)
+    length_score = F.least(F.length(text_col) / 1000.0, F.lit(1.0))
+    return F.round(
+        0.5 * length_score + 0.3 * (1.0 - punct_ratio(text_col)) + 0.2 * stop_ratio,
+        6,
+    )
+
+
+def e11_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.operators.components import connected_components
+
+    pairs = d3_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs, "id_a", "id_b")
+    aug = _augmented_docs(spark, sf_dir)
+    scored = aug.select(
+        "doc_id", _t2_quality(F.col("text")).alias("quality")
+    )
+    labeled = (
+        scored.join(comp, scored["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    q_micro = F.round(F.col("quality") * 1e6).cast("long")
+    key = q_micro * E11_IDSPACE + (F.lit(E11_IDSPACE - 1) - F.col("doc_id"))
+    best = (
+        labeled.withColumn("_key", key)
+        .groupBy("cluster_id")
+        .agg(F.max("_key").alias("bk"))
+        .select(
+            "cluster_id",
+            (
+                F.lit(E11_IDSPACE - 1)
+                - F.col("bk").bitwiseAND(F.lit(E11_IDSPACE - 1))
+            ).alias("keeper_id"),
+        )
+    )
+    return labeled.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_kept"),
+    )
+
+
+_E11_STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that']"
+
+E11_SQL = "WITH RECURSIVE " + _D3_CHAIN + f"""
+, pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes za ON za.doc_id = id_a
+  JOIN sizes zb ON zb.doc_id = id_b
+  WHERE round(n_common / (za.n_shingles + zb.n_shingles - n_common), 6) >= 0.5
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+),
+comp AS (
+  SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u
+),
+scored AS (
+  SELECT doc_id,
+         round(0.5 * least(length(text) / 1000.0, 1.0)
+               + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                          / length(text) END)
+               + 0.2 * (CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE len(list_filter(toks,
+                          x -> list_contains({_E11_STOP_SQL}, lower(x))))
+                          / len(toks) END), 6) AS quality
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM aug)
+),
+labeled AS (
+  SELECT s.doc_id, s.quality, coalesce(c.comp, s.doc_id) AS cluster_id
+  FROM scored s LEFT JOIN comp c ON s.doc_id = c.id
+),
+best AS (
+  SELECT cluster_id,
+         ({E11_IDSPACE - 1}) - (max(CAST(round(quality * 1e6) AS BIGINT)
+             * {E11_IDSPACE}
+             + ({E11_IDSPACE - 1} - doc_id)) & {E11_IDSPACE - 1}) AS keeper_id
+  FROM labeled GROUP BY 1
+)
+SELECT l.doc_id, l.cluster_id, l.quality, b.keeper_id,
+       l.doc_id = b.keeper_id AS is_kept
+FROM labeled l JOIN best b USING (cluster_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # D14 — shingle-containment join: the ASYMMETRIC near-dup primitive.
 # Jaccard machinery (d2/d3/d13) structurally misses inclusion — a quote,
@@ -1336,6 +1473,7 @@ QUERIES = {
     "d15_paragraph_dedup": d15_paragraph_dedup,
     "e7_dedup_audit": e7_dedup_audit,
     "e10_leakage_safe_split": e10_leakage_safe_split,
+    "e11_cluster_canonical": e11_cluster_canonical,
 }
 
 ORACLES = {
@@ -1351,4 +1489,5 @@ ORACLES = {
     "d15_paragraph_dedup": D15_SQL,
     "e7_dedup_audit": E7_SQL,
     "e10_leakage_safe_split": E10_SQL,
+    "e11_cluster_canonical": E11_SQL,
 }
