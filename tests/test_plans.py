@@ -302,3 +302,13 @@ def test_d15_keep_first_is_hash_aggregate_not_sort(spark):
     # ObjectHashAggregate pair for the collect_list reassembly
     assert plan.count("HashAggregate") >= 2
     assert "ObjectHashAggregate" in plan
+
+
+def test_e11_argmax_is_hash_aggregate_not_sort(spark):
+    """e11's per-cluster quality argmax must stay HashAggregate (packed
+    BIGINT max), never SortAggregate — the same struct-min lesson d15
+    pinned, applied to the keep-best rule."""
+    from x17a5_spark.queries.dedup import e11_cluster_canonical
+
+    plan = _plan(e11_cluster_canonical(spark, SF))
+    assert "SortAggregate" not in plan, "argmax fell back to SortAggregate"
