@@ -103,6 +103,12 @@ PICKS = {
         "so a hot boilerplate key collapses map-side instead of "
         "serializing onto one window task."
     ),
+    "k11_length_batching": (
+        "Serving-side batching: both batch keys from ONE corpus pass "
+        "(two chained window exchanges, sharded k8-style so a heavy "
+        "length mode or hot source splits across partitions), stacked "
+        "long-form into a single aggregation."
+    ),
 }
 
 
