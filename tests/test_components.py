@@ -5,8 +5,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from x17a5_spark.operators.components import (
     canonicalize_duplicates,
+    cc_star,
     connected_components,
 )
 
@@ -71,8 +74,6 @@ def test_round_cap_raises_instead_of_silent_partial_result(spark):
 
 
 def test_diameter_beyond_default_budget_raises(spark):
-    import pytest
-
     # chain of 60 nodes: diameter 59 > 2 * max_rounds(25) = 50 hops
     df = spark.createDataFrame([(i, i + 1) for i in range(59)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="alternating-star"):
@@ -80,3 +81,68 @@ def test_diameter_beyond_default_budget_raises(spark):
     # and a budget sized to the diameter resolves it fully
     full = {r.id: r.comp for r in connected_components(df, max_rounds=30).collect()}
     assert full == {i: 0 for i in range(60)}
+
+
+# --- cc_star: the alternating large-star/small-star contraction ---
+
+
+def _star_map(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r.id: r.comp for r in cc_star(df, "src", "dst", **kw).collect()}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(i, i + 1) for i in range(9)],                          # chain
+        [(1, 0), (2, 0), (3, 0), (11, 10), (12, 10), (13, 10), (3, 11)],
+        [(5, 6), (6, 7), (100, 101)],                            # disjoint
+        [(1, 2), (2, 1), (1, 2), (2, 3)],                        # dup/reversed
+        [(0, 9), (9, 3), (3, 7), (50, 40), (40, 45), (2, 2), (2, 8)],
+    ],
+)
+def test_cc_star_value_equal_to_propagation_loop(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    loop = {r.id: r.comp for r in connected_components(df, "src", "dst", max_rounds=30).collect()}
+    star = _star_map(spark, edges)
+    assert star == loop
+
+
+def test_cc_star_resolves_diameter_120_path_the_loop_refuses(spark):
+    # planted path graph of diameter 120: the propagation loop's DEFAULT
+    # budget (25 rounds = 50 hops) refuses; cc_star contracts it in
+    # O(log^2 n) alternating rounds (round cap 12 << 60 proves the
+    # contraction, not hop-by-hop travel, is doing the work)
+    edges = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df)
+    star = _star_map(spark, edges, max_rounds=12)
+    assert star == {i: 0 for i in range(121)}
+
+
+def test_connected_components_star_escape_hatch(spark):
+    # on_exhausted="star": the same refused path graph degrades to the
+    # contraction instead of stopping the pipeline
+    df = spark.createDataFrame([(i, i + 1) for i in range(120)], ["src", "dst"])
+    full = {
+        r.id: r.comp
+        for r in connected_components(df, on_exhausted="star").collect()
+    }
+    assert full == {i: 0 for i in range(121)}
+    with pytest.raises(ValueError, match="on_exhausted"):
+        connected_components(df, on_exhausted="nope")
+
+
+def test_cc_star_matches_loop_on_d6_fixture(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    # the d6 star+chain fixture over the real documents table: cc_star
+    # must be value-equal to the propagation loop (the d6 oracle's
+    # recursive-CTE closure pins the loop itself at gate time)
+    from x17a5_spark.queries.dedup import _d6_edges
+    from x17a5_spark.tables import load_table
+
+    edges = _d6_edges(load_table(spark, sf_dir, "documents"))
+    loop = {r.id: r.comp for r in connected_components(edges, "src", "dst").collect()}
+    star = {r.id: r.comp for r in cc_star(edges, "src", "dst").collect()}
+    assert star == loop and len(star) > 0

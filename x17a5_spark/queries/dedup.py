@@ -467,7 +467,9 @@ def d6_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    comp = connected_components(_d6_edges(docs), "src", "dst")
+    comp = connected_components(
+        _d6_edges(docs), "src", "dst", on_exhausted="star"
+    )
     return canonicalize_duplicates(docs.select("doc_id"), comp).select(
         "doc_id", "cluster_id", "is_canonical"
     )
@@ -924,7 +926,7 @@ def e10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from x17a5_spark.operators.components import connected_components
 
     pairs = d3_minhash_lsh(spark, sf_dir)
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b", on_exhausted="star")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     aug = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "lang")
@@ -1059,7 +1061,7 @@ def e11_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from x17a5_spark.operators.components import connected_components
 
     pairs = d3_minhash_lsh(spark, sf_dir)
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b", on_exhausted="star")
     aug = _augmented_docs(spark, sf_dir)
     scored = aug.select(
         "doc_id", _t2_quality(F.col("text")).alias("quality")
