@@ -110,11 +110,28 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(_ship_package, "_done_for", None) is sc:
         return
+    zpath = _content_keyed_zip(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        # re-registration of the same path in a reused context — the
+        # cwd-on-sys.path fallback still applies, as it always did
+        pass
+    _ship_package._done_for = sc  # type: ignore[attr-defined]
+
+
+def _content_keyed_zip(pkg_dir: str, pkg_name: str = "x17a5_spark") -> str:
+    """Zip ``pkg_dir``'s .py sources into a CONTENT-HASH-keyed path in
+    the temp dir (written once per distinct content, write-then-rename
+    so a concurrent process never addPyFiles a half-written zip) and
+    return that path. Keyed on content, NOT the PID: a PID-keyed name
+    can be reused by a later process (or survive a package edit) and
+    ship stale code to the workers — tests/test_advice_pins.py pins
+    that an edited source byte yields a new zip path."""
     import hashlib
     import tempfile
     import zipfile
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
     sources: list[tuple[str, str]] = []
     for dirpath, _dirs, files in os.walk(pkg_dir):
         if "__pycache__" in dirpath:
@@ -123,36 +140,25 @@ def _ship_package(spark: SparkSession) -> None:
             if f.endswith(".py"):
                 full = os.path.join(dirpath, f)
                 sources.append(
-                    (os.path.join("x17a5_spark", os.path.relpath(full, pkg_dir)), full)
+                    (os.path.join(pkg_name, os.path.relpath(full, pkg_dir)), full)
                 )
     sources.sort()
-    # key the zip on a content hash of the package sources, NOT the PID:
-    # a PID-keyed name can be reused by a later process (or survive a
-    # package edit) and ship stale code to the workers
     h = hashlib.sha256()
     for rel, full in sources:
         h.update(rel.encode())
         with open(full, "rb") as fh:
             h.update(fh.read())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"x17a5_spark_pkg_{h.hexdigest()[:16]}.zip"
+        tempfile.gettempdir(), f"{pkg_name}_pkg_{h.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zpath):
-        # write-then-rename so a concurrent process never addPyFiles a
-        # half-written zip at the shared content-keyed path
         fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
         os.close(fd)
         with zipfile.ZipFile(tmp, "w") as z:
             for rel, full in sources:
                 z.write(full, rel)
         os.replace(tmp, zpath)
-    try:
-        sc.addPyFile(zpath)
-    except Exception:
-        # re-registration of the same path in a reused context — the
-        # cwd-on-sys.path fallback still applies, as it always did
-        pass
-    _ship_package._done_for = sc  # type: ignore[attr-defined]
+    return zpath
 
 
 def load_table(
