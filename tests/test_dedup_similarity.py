@@ -364,6 +364,22 @@ def test_paragraph_dedup_operator_edge_shapes(spark):
     assert out[7]["text_dedup"] == para.replace("alpha", "omega")
 
 
+def test_paragraph_dedup_doc_id_packing_bound_fails_loud(spark):
+    """ADVICE r7: a doc_id past the 2^43 packing id-space must raise
+    (the packed long would silently corrupt ordering otherwise)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from x17a5_spark.operators.paragraphs import IDSPACE, dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(IDSPACE, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu")],
+        "doc_id long, text string",
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="packing bounds"):
+        dedup_paragraphs(docs).collect()
+
+
 def test_e11_keeps_best_quality_per_cluster(spark):
     """e11 contract: exactly one keeper per cluster, the keeper is the
     quality-argmax (ties -> lowest doc_id) recomputed from the output

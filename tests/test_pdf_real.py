@@ -285,10 +285,149 @@ def test_slice_pages_status_column(spark, tmp_path):
     assert count_pages(bytes(out["1"]["content"])) == 20
     assert out["2"]["slice_status"] == "short"
     assert count_pages(bytes(out["2"]["content"])) == 3
-    assert out["3"]["slice_status"] == "passthrough"
+    assert out["3"]["slice_status"] == "passthrough:broken"
     assert bytes(out["3"]["content"]) == b"%PDF-1.5 not really a pdf"
     # default call keeps the legacy schema untouched
     assert slice_pages(df).schema == df.schema
+
+
+def test_slice_pages_status_taxonomy(spark, tmp_path):
+    """Round-7 VERDICT #8: the passthrough status distinguishes WHY —
+    encrypted vs codec-unsupported ObjStm vs not-a-pdf — so a corpus
+    audit can tell crypt problems from codec problems."""
+    from x17a5_spark.sources.binary_docs import read_document_corpus, slice_pages
+
+    enc = _assemble(
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Count 0 /Kids [] >>",
+        },
+        root=1,
+        trailer_extra=b"/Encrypt 9 0 R ",
+    )
+    (tmp_path / "1-2020-01-01.pdf").write_bytes(enc)
+    (tmp_path / "2-2020-01-02.pdf").write_bytes(_lzw_objstm_pdf())
+    (tmp_path / "3-2020-01-03.pdf").write_bytes(b"plain text, no header")
+    df = read_document_corpus(spark, str(tmp_path))
+    out = {
+        r["cik"]: r["slice_status"]
+        for r in slice_pages(df, max_pages=2, status_col="slice_status").collect()
+    }
+    assert out == {
+        "1": "passthrough:encrypted",
+        "2": "passthrough:objstm-filter",
+        "3": "passthrough:not-pdf",
+    }
+
+
+def _lzw_objstm_pdf() -> bytes:
+    """A PDF whose page tree hides in an ObjStm with an UNSUPPORTED
+    filter (LZWDecode): structurally valid, codec-unsupported."""
+    fake_payload = b"\x80\x0b\x60\x50\x22\x0c\x0c\x85\x01"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        3: (
+            b"<< /Type /ObjStm /N 1 /First 4 /Filter /LZWDecode /Length %d >>"
+            b"\nstream\n" % len(fake_payload)
+            + fake_payload
+            + b"\nendstream"
+        ),
+    }
+    return _assemble(objs, root=1)
+
+
+def test_slice_pdf_explicit_status_contract():
+    """Round-7 VERDICT #5: sliced/short come from the parser's page
+    count, never byte equality; out-of-subset reasons are named."""
+    from x17a5_spark.sources.pdf_mini import slice_pdf
+
+    pdf = _flat_pdf_with_streams(4)
+    out, status = slice_pdf(pdf, 2)
+    assert status == "sliced" and count_pages(out) == 2
+    out, status = slice_pdf(pdf, 4)
+    assert status == "short" and out == pdf  # verbatim by contract
+    assert slice_pdf(pdf, 0) == (None, "max-pages")
+    assert slice_pdf(b"junk", 3) == (None, "not-pdf")
+    assert slice_pdf(_lzw_objstm_pdf(), 3) == (None, "objstm-filter")
+    broken = pdf.replace(b"\nendstream", b"", 1)
+    assert slice_pdf(broken, 2) == (None, "broken")
+
+
+def test_indirect_length_with_multidigit_object_number():
+    """ADVICE r7 item 1: /Length 15 0 R must be treated as INDIRECT —
+    regex backtracking must not misread it as direct length 1. The
+    fixture's payload genuinely ends within 2 bytes of the bogus
+    declared end, which the old regex silently truncated."""
+    payload = b"ab"  # real payload; the bogus direct read was len 1
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] >>"
+        ),
+        4: b"<< /Length 15 0 R >>\nstream\n" + payload + b"\nendstream",
+        15: b"%d" % len(payload),
+    }
+    pdf = _assemble(objs, root=1)
+    sliced = slice_pdf_first_pages(pdf, 1)
+    # page count is 1 <= max_pages, so bytes pass through verbatim; the
+    # regression would corrupt the scan and may still parse — assert
+    # the payload survives a real re-serialization instead
+    assert sliced == pdf
+    pdf2 = _assemble(
+        {**objs, 2: b"<< /Type /Pages /Count 2 /Kids [ 3 0 R 5 0 R ] >>",
+         5: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>"},
+        root=1,
+    )
+    sliced2 = slice_pdf_first_pages(pdf2, 1)
+    assert sliced2 is not None
+    assert b"stream\nab\nendstream" in sliced2
+    assert b"/Length 2" in sliced2  # pinned to the REAL payload length
+
+
+def test_delimiter_scan_declines_corrupt_flate_payload():
+    """ADVICE r7 item 2: an indirect-/Length FlateDecode stream whose
+    payload cannot inflate after the delimiter scan means the scan was
+    fooled (e.g. b'endstream' inside the binary) — decline with None,
+    never emit a corrupt PDF."""
+    good = zlib.compress(b"real content " * 20)
+    evil = good[: len(good) // 2] + b"\nendstream\n" + good[len(good) // 2 :]
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/MediaBox [0 0 612 792] >>"
+        ),
+        4: b"<< /Length 15 0 R /Filter /FlateDecode >>\nstream\n"
+        + evil
+        + b"\nendstream",
+        15: b"%d" % len(evil),
+    }
+    pdf = _assemble(objs, root=1)
+    from x17a5_spark.sources.pdf_mini import slice_pdf
+
+    assert slice_pdf(pdf, 1) == (None, "broken")
+    # variant where the aliasing run mimics a WELL-FORMED object end
+    # ("endstream endobj ..."): the next-token check passes, so only
+    # the Flate inflate check catches the truncation
+    evil2 = good[: len(good) // 2] + b"\nendstream\nendobj " + good[len(good) // 2 :]
+    objs[4] = (
+        b"<< /Length 15 0 R /Filter /FlateDecode >>\nstream\n"
+        + evil2
+        + b"\nendstream"
+    )
+    objs[15] = b"%d" % len(evil2)
+    assert slice_pdf(_assemble(objs, root=1), 1) == (None, "broken")
+    # the same stream with an intact payload parses fine
+    objs[4] = (
+        b"<< /Length 15 0 R /Filter /FlateDecode >>\nstream\n"
+        + good
+        + b"\nendstream"
+    )
+    objs[15] = b"%d" % len(good)
+    assert count_pages(_assemble(objs, root=1)) == 1
 
 
 def _random_pdf(rng, n_pages: int) -> tuple[bytes, list[bytes]]:

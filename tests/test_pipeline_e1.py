@@ -147,4 +147,12 @@ def test_e1_stale_plan_fails_loud(spark):
         df1.collect()
     with pytest.raises(RuntimeError, match="stale e1 plan"):
         df1.count()
+    # the WRITER path is how bench/driver materialize (noop save) —
+    # it must hit the same sentinel at .write ACCESS time (ADVICE r7)
+    with pytest.raises(RuntimeError, match="stale e1 plan"):
+        df1.write
+    with pytest.raises(RuntimeError, match="stale e1 plan"):
+        df1.toJSON()
     assert df2.count() > 0  # the live plan is unaffected
+    # and the LIVE plan's write path still works end-to-end
+    df2.write.mode("overwrite").format("noop").save()

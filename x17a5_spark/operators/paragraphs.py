@@ -52,6 +52,7 @@ PARA_TOKENS = 12
 MIN_TOKENS = 5
 PACK = 1 << 20  # (doc_id, pos) packed order-preserving into one long
 _PACK_SHIFT = PACK.bit_length() - 1  # unpack shift derived, never drifts
+IDSPACE = (1 << 63) // PACK  # doc_id bound so doc_id*PACK+pos fits a long
 
 
 def dedup_paragraphs(
@@ -88,12 +89,17 @@ def dedup_paragraphs(
         F.least(F.lit(para_tokens), F.col("n_tok") - F.col("pos") * para_tokens),
     )
     packed = F.when(
-        F.col("pos") < PACK, F.col("doc_id") * PACK + F.col("pos")
+        (F.col("pos") < PACK) & (F.col("doc_id") < IDSPACE),
+        F.col("doc_id") * PACK + F.col("pos"),
     ).otherwise(
+        # BOTH packing bounds fail LOUD (ADVICE r7 closed the doc_id
+        # side): a doc_id past 2^43 would silently corrupt the packed
+        # ordering, exactly like an overflowing pos
         F.raise_error(
             F.concat(
                 F.lit(
-                    "paragraph position exceeds the 2^20 packing bound in doc "
+                    "paragraph (doc_id, pos) exceeds the 2^43/2^20 "
+                    "packing bounds in doc "
                 ),
                 F.col("doc_id").cast("string"),
             )

@@ -1075,7 +1075,18 @@ def e11_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q_micro = F.round(F.col("quality") * 1e6).cast("long")
-    key = q_micro * E11_IDSPACE + (F.lit(E11_IDSPACE - 1) - F.col("doc_id"))
+    # the packing discipline fails LOUD on BOTH operands (ADVICE r7):
+    # a doc_id past 2^43 would silently corrupt the argmax ordering AND
+    # the unpacked keeper_id, the same failure d15 already guards
+    did = F.when(F.col("doc_id") < E11_IDSPACE, F.col("doc_id")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("e11: doc_id exceeds the 2^43 packing id-space: "),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    key = q_micro * E11_IDSPACE + (F.lit(E11_IDSPACE - 1) - did)
     best = (
         labeled.withColumn("_key", key)
         .groupBy("cluster_id")
@@ -1143,7 +1154,9 @@ best AS (
   SELECT cluster_id,
          ({E11_IDSPACE - 1}) - (max(CAST(round(quality * 1e6) AS BIGINT)
              * {E11_IDSPACE}
-             + ({E11_IDSPACE - 1} - doc_id)) & {E11_IDSPACE - 1}) AS keeper_id
+             + ({E11_IDSPACE - 1} - CASE WHEN doc_id < {E11_IDSPACE} THEN doc_id
+                 ELSE error('e11: doc_id exceeds the 2^43 packing id-space')
+                 END)) & {E11_IDSPACE - 1}) AS keeper_id
   FROM labeled GROUP BY 1
 )
 SELECT l.doc_id, l.cluster_id, l.quality, b.keeper_id,
@@ -1383,9 +1396,11 @@ WHERE z.n >= {D14_MIN_SHINGLES}
 # ---------------------------------------------------------------------------
 
 from x17a5_spark.operators.paragraphs import (  # noqa: E402
+    IDSPACE as D15_IDSPACE,
     MIN_TOKENS as D15_MIN_TOKENS,
     PACK as D15_PACK,
     PARA_TOKENS as D15_PARA_TOKENS,
+    _PACK_SHIFT as D15_SHIFT,
 )
 
 D15_BOILERPLATE = (
@@ -1433,13 +1448,14 @@ paras15 AS (
 ),
 packed15 AS (
   SELECT para, para_len,
-         CASE WHEN pos < {D15_PACK} THEN doc_id * {D15_PACK} + pos
-              ELSE error('d15: paragraph position exceeds the 2^20 packing bound')
+         CASE WHEN pos < {D15_PACK} AND doc_id < {D15_IDSPACE}
+              THEN doc_id * {D15_PACK} + pos
+              ELSE error('d15: (doc_id, pos) exceeds the 2^43/2^20 packing bounds')
          END AS packed
   FROM paras15
 ),
 kept15 AS (
-  SELECT w >> 20 AS doc_id, w, para FROM (
+  SELECT w >> {D15_SHIFT} AS doc_id, w, para FROM (
     SELECT para,
            CASE WHEN para_len < {D15_MIN_TOKENS} THEN packed END AS salt,
            min(packed) AS w

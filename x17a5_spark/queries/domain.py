@@ -681,6 +681,31 @@ def _e1_arm_stale_guard(df: DataFrame, sink_dir: str) -> DataFrame:
             return _orig(*args, **kwargs)
 
         setattr(df, name, guarded)
+
+    # the WRITER path (df.write / writeTo / toJSON) executes the plan
+    # too — and it is exactly how bench.py and the driver materialize
+    # queries (noop sink), so it must hit the same sentinel (ADVICE r7).
+    # ``write`` is a getter-only property (a data descriptor), which
+    # instance attributes cannot shadow; a dynamic subclass swap guards
+    # it at ACCESS time without re-running any constructor.
+    cls = type(df)
+    base_write = cls.write
+
+    class _E1Guarded(cls):  # type: ignore[misc, valid-type]
+        @property
+        def write(self):
+            _assert_live()
+            return base_write.fget(self)
+
+        def writeTo(self, *args, **kwargs):  # noqa: N802 (Spark API name)
+            _assert_live()
+            return super().writeTo(*args, **kwargs)
+
+        def toJSON(self, *args, **kwargs):  # noqa: N802 (Spark API name)
+            _assert_live()
+            return super().toJSON(*args, **kwargs)
+
+    df.__class__ = _E1Guarded
     return df
 
 

