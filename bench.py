@@ -155,6 +155,9 @@ HEADLINE = [
     "t29_ngram_novelty",
     "k11_length_batching",
     "e11_cluster_canonical",
+    # round 8: delimiter-mode paragraph dedup (structural split +
+    # fixed-width chunking of oversized spans only)
+    "d16_paragraph_dedup_delim",
 ]
 
 

@@ -364,6 +364,52 @@ def test_paragraph_dedup_operator_edge_shapes(spark):
     assert out[7]["text_dedup"] == para.replace("alpha", "omega")
 
 
+def test_paragraph_dedup_delimiter_mode_on_newline_fixtures(spark):
+    """Delimiter mode (VERDICT r7 #6): paragraphs follow blank-line
+    structure; only oversized spans get fixed-width chunked; empty
+    spans vanish before positions are assigned; prepending a span does
+    NOT shift-misalign the others (the fixed-width mode's weakness)."""
+    from x17a5_spark.operators.paragraphs import dedup_paragraphs
+
+    boiler = "copyright notice all rights reserved license"  # 7 tokens
+    body_a = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    body_b = "one two three four five six seven"  # 7 tokens
+    # 26 tokens: an OVERSIZED span -> chunks of 12/12/2 with pt=12
+    run_on = " ".join(f"w{i}" for i in range(26))
+    rows = [
+        (0, f"{body_a}\n\n{body_b}"),  # the originals
+        (1, f"{boiler}\n\n{body_a}\n\n{body_b}"),  # copy + boilerplate span
+        (2, f"\n\n\n{body_a}\n\n\n\n{boiler}\n\n"),  # empty spans + reuse
+        (3, run_on),
+        (4, run_on + "\n\n" + body_a),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(docs, delimiter=r"\n\s*\n").collect()
+    }
+    # doc 0 owns both body spans
+    assert out[0]["n_para"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["text_dedup"] == f"{body_a} {body_b}"
+    # doc 1: the copy's body spans align with doc 0's EXACTLY (no
+    # phase shift) and dedup away; its boilerplate span survives as
+    # the corpus-wide first occurrence
+    assert out[1]["n_para"] == 3 and out[1]["n_kept"] == 1
+    assert out[1]["text_dedup"] == boiler
+    # doc 2: empty spans dropped (2 real paragraphs), both duplicate
+    # earlier docs' spans -> nothing kept
+    assert out[2]["n_para"] == 2 and out[2]["n_kept"] == 0
+    # doc 3: one oversized span chunked 12/12/2; the 2-token tail is
+    # short (< min_tokens) and always kept
+    assert out[3]["n_para"] == 3 and out[3]["n_kept"] == 3
+    assert out[3]["text_dedup"] == run_on
+    # doc 4: run-on chunks dedup against doc 3's (same chunk phase
+    # within the span), except the short tail which is never a target;
+    # its body_a span also dedups
+    assert out[4]["n_para"] == 4 and out[4]["n_kept"] == 1
+    assert out[4]["text_dedup"] == "w24 w25"
+
+
 def test_paragraph_dedup_doc_id_packing_bound_fails_loud(spark):
     """ADVICE r7: a doc_id past the 2^43 packing id-space must raise
     (the packed long would silently corrupt ordering otherwise)."""

@@ -8,8 +8,10 @@ registry query (queries/dedup.py::d15_paragraph_dedup) wraps it with
 the demo fixture and the DuckDB oracle twin.
 
 Semantics (engine-identical to the oracle):
-- split each doc into fixed ``para_tokens``-token paragraphs (corpora
-  with real structure would split on blank lines first);
+- split each doc into paragraphs: fixed ``para_tokens``-token chunks by
+  default, or — ``delimiter`` mode (round 8) — on a structural regex
+  (blank lines, newlines) first, fixed-width chunking only the
+  oversized spans;
 - keep the FIRST occurrence (min (doc_id, pos)) of every paragraph
   corpus-wide;
 - always keep paragraphs shorter than ``min_tokens`` (a ragged 1-4
@@ -55,39 +57,73 @@ _PACK_SHIFT = PACK.bit_length() - 1  # unpack shift derived, never drifts
 IDSPACE = (1 << 63) // PACK  # doc_id bound so doc_id*PACK+pos fits a long
 
 
+_PARA_STRUCT = "array<struct<para:string,para_len:int>>"
+
+
+def _chunk_structs(toks, para_tokens: int):
+    """Token array → array of (para text, token count) fixed-width
+    chunks. The lambda variable binds the token array ONCE per element,
+    so nested references never re-execute an upstream split."""
+    n = F.size(toks)
+    nseg = F.floor((n + para_tokens - 1) / para_tokens).cast("int")
+    return F.when(
+        nseg >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.struct(
+                F.concat_ws(
+                    " ", F.slice(toks, i * para_tokens + 1, para_tokens)
+                ).alias("para"),
+                F.least(F.lit(para_tokens), n - i * para_tokens)
+                .cast("int")
+                .alias("para_len"),
+            ),
+        ),
+    ).otherwise(F.array().cast(_PARA_STRUCT))
+
+
 def dedup_paragraphs(
     docs: DataFrame,
     para_tokens: int = PARA_TOKENS,
     min_tokens: int = MIN_TOKENS,
+    delimiter: str | None = None,
 ) -> DataFrame:
     """``(doc_id, text)`` → ``(doc_id, n_para, n_kept, text_dedup)``.
 
     ``docs`` must have unique ``doc_id`` (long) and string ``text``.
+
+    ``delimiter`` (round-8, VERDICT #6): a regex — when set, paragraphs
+    follow the document's REAL structure: split the text on the regex
+    (e.g. ``\\n\\s*\\n`` for blank-line paragraphs), drop empty spans,
+    then fixed-width chunk only the OVERSIZED spans (> ``para_tokens``
+    tokens) so a single run-on span cannot become an unboundedly long
+    dedup key. ``None`` keeps the fixed-width split over the whole
+    token stream (the d15 oracle twin's mode). Positions stay one
+    global in-order sequence either way, so the keep-first packing and
+    reassembly logic downstream is mode-independent.
     """
-    staged = docs.select("doc_id", "text").withColumn(
-        "_toks", tokens(F.col("text"))
-    ).withColumn("_n", F.size("_toks"))
-    nseg = F.floor((F.col("_n") + para_tokens - 1) / para_tokens).cast("int")
-    para_arr = F.when(
-        nseg >= 1,
-        F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(F.col("_toks"), i * para_tokens + 1, para_tokens)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = staged.select(
-        "doc_id", para_arr.alias("paras"), F.col("_n").alias("n_tok")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    staged = docs.select("doc_id", "text")
+    if delimiter is None:
+        para_arr = _chunk_structs(F.col("_toks"), para_tokens)
+        staged = staged.withColumn("_toks", tokens(F.col("text")))
+    else:
+        spans = F.filter(
+            F.transform(F.split(F.col("text"), delimiter), tokens),
+            lambda t: F.size(t) > 0,
+        )
+        para_arr = F.flatten(
+            F.transform(
+                F.col("_spans"), lambda t: _chunk_structs(t, para_tokens)
+            )
+        )
+        staged = staged.withColumn("_spans", spans)
+    base = staged.select("doc_id", para_arr.alias("paras")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     paras = base.select(
         "doc_id",
-        "n_tok",
-        F.posexplode("paras").alias("pos", "para"),
-    ).withColumn(
-        "para_len",
-        F.least(F.lit(para_tokens), F.col("n_tok") - F.col("pos") * para_tokens),
-    )
+        F.posexplode("paras").alias("pos", "p"),
+    ).select("doc_id", "pos", F.col("p.para").alias("para"), F.col("p.para_len").alias("para_len"))
     packed = F.when(
         (F.col("pos") < PACK) & (F.col("doc_id") < IDSPACE),
         F.col("doc_id") * PACK + F.col("pos"),

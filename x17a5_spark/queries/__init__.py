@@ -127,6 +127,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # hash-green in CORRECTNESS_r06 and untouched this round (the local
 # gate still value-checks them every run).
 
+# Round-8 rotation (never-ride-a-stale-row): IN — d16_paragraph_dedup_delim
+# (NEW this round: delimiter-mode paragraph dedup — split on a
+# structural regex, fixed-width chunk only oversized spans; first-ever
+# row) and d6_dedup_components (changed this round: passes
+# on_exhausted="star" so a budget-blown component resolution degrades
+# to the cc_star contraction instead of raising; value-identical at
+# every shipped SF, but changed code never rides — its standing row is
+# r2-era). Queries changed in round 8 already holding slots:
+# e10_leakage_safe_split / e11_cluster_canonical (same on_exhausted
+# escape + e11's loud doc_id packing guard), d15_paragraph_dedup
+# (struct-array paragraphization refactor shared with d16 + doc_id
+# guard + derived oracle shift), e1_full_pipeline (stale-plan guard now
+# covers the writer path — wrapper only, plan unchanged).
+# OUT — m7_audio_frames and t25_keyword_extraction: both hash-green in
+# CORRECTNESS_r07 and untouched this round (the local gate still
+# value-checks them every run; m7 additionally carries codec
+# round-trip pytests).
+
 # Round-5 rotation (verdict ask #3 + the never-ride-a-stale-row rule):
 # IN — a18_histogram and s4_pq_adc (both changed in round 4 on standing
 # r3 rows; the verdict's explicit ask), g1_pagerank (round-5 lazy
@@ -187,15 +205,15 @@ WINDOW_ORDER = [
     "s7_trained_ivf",
     "s8_trained_pq",
     "d15_paragraph_dedup",
+    "d16_paragraph_dedup_delim",
+    "d6_dedup_components",
     "e10_leakage_safe_split",
-    "m7_audio_frames",
     "t17_bpe_pair_counts",
     "t18_bpe_train",
     "t19_hll_distinct",
     "t27_countmin",
     "t28_moments_sketch",
     "t29_ngram_novelty",
-    "t25_keyword_extraction",
     "t26_token_entropy",
     "t22_boilerplate_removal",
     "t23_quality_sampling",

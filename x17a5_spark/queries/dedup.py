@@ -1478,6 +1478,104 @@ FROM totals15 t LEFT JOIN rebuilt15 r USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# D16 — paragraph dedup in DELIMITER mode (round-7 VERDICT ask #6):
+# real corpora split on structural boundaries (blank lines) FIRST, then
+# fixed-width chunk only the oversized spans — d15's fixed-width-only
+# split cuts across real paragraph boundaries and misses boilerplate
+# that is not phase-aligned. Same keep-first packed-long machinery as
+# d15 (operators/paragraphs.py); only the paragraphization differs.
+#
+# Fixture: the corpus text has no natural structure (one flat token
+# stream), so structure is PLANTED identically on both engines: every
+# 'table' token becomes a blank-line break, and every 10th doc gets a
+# copy (doc_id+400000) with the 12-token boilerplate PREPENDED as its
+# own span. Unlike d15's shift-alignment stress, delimiter spans align
+# naturally — prepending a span shifts no other span — so the copy must
+# dedup to (at most) the corpus-wide boilerplate keeper.
+# ---------------------------------------------------------------------------
+
+D16_DELIM = r"\n\s*\n"
+
+
+def d16_paragraph_dedup_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.operators.paragraphs import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "table", "\n\n").alias("text")
+    )
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat_ws("\n\n", F.lit(D15_BOILERPLATE), F.col("text")).alias("text"),
+    )
+    return dedup_paragraphs(docs.unionByName(copies), delimiter=D16_DELIM)
+
+
+D16_SQL = f"""
+WITH aug16 AS (
+  SELECT doc_id, regexp_replace(text, 'table', chr(10) || chr(10), 'g') AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 400000,
+         '{D15_BOILERPLATE}' || chr(10) || chr(10)
+           || regexp_replace(text, 'table', chr(10) || chr(10), 'g')
+  FROM documents WHERE doc_id % 10 = 0
+),
+spans16 AS (
+  SELECT doc_id, u.i AS span_idx,
+         list_filter(regexp_split_to_array(trim(sp[u.i + 1]), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM (SELECT doc_id, regexp_split_to_array(text, '{D16_DELIM}') AS sp
+        FROM aug16),
+       unnest(range(0, len(sp))) AS u(i)
+),
+chunks16 AS (
+  SELECT doc_id, span_idx, v.j AS chunk_idx,
+         array_to_string(toks[v.j * {D15_PARA_TOKENS} + 1 : (v.j + 1) * {D15_PARA_TOKENS}], ' ') AS para,
+         least({D15_PARA_TOKENS}, len(toks) - v.j * {D15_PARA_TOKENS}) AS para_len
+  FROM spans16,
+       unnest(range(0, CAST(floor((len(toks) + {D15_PARA_TOKENS - 1}) / {D15_PARA_TOKENS}) AS INT))) AS v(j)
+  WHERE len(toks) > 0
+),
+pos16 AS (
+  SELECT doc_id, para, para_len,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY span_idx, chunk_idx) - 1 AS pos
+  FROM chunks16
+),
+packed16 AS (
+  SELECT para, para_len,
+         CASE WHEN pos < {D15_PACK} AND doc_id < {D15_IDSPACE}
+              THEN doc_id * {D15_PACK} + pos
+              ELSE error('d16: (doc_id, pos) exceeds the 2^43/2^20 packing bounds')
+         END AS packed
+  FROM pos16
+),
+kept16 AS (
+  SELECT w >> {D15_SHIFT} AS doc_id, w, para FROM (
+    SELECT para,
+           CASE WHEN para_len < {D15_MIN_TOKENS} THEN packed END AS salt,
+           min(packed) AS w
+    FROM packed16 GROUP BY 1, 2)
+),
+rebuilt16 AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, ' ' ORDER BY w) AS text_dedup
+  FROM kept16 GROUP BY 1
+),
+totals16 AS (
+  SELECT doc_id, count(*) AS n_para FROM chunks16 GROUP BY 1
+)
+SELECT a.doc_id,
+       CAST(COALESCE(t.n_para, 0) AS INT) AS n_para,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.text_dedup, '') AS text_dedup
+FROM (SELECT doc_id FROM aug16) a
+LEFT JOIN totals16 t USING (doc_id)
+LEFT JOIN rebuilt16 r USING (doc_id)
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
@@ -1489,6 +1587,7 @@ QUERIES = {
     "d13_sparse_cosine_join": d13_sparse_cosine_join,
     "d14_containment_join": d14_containment_join,
     "d15_paragraph_dedup": d15_paragraph_dedup,
+    "d16_paragraph_dedup_delim": d16_paragraph_dedup_delim,
     "e7_dedup_audit": e7_dedup_audit,
     "e10_leakage_safe_split": e10_leakage_safe_split,
     "e11_cluster_canonical": e11_cluster_canonical,
@@ -1505,6 +1604,7 @@ ORACLES = {
     "d13_sparse_cosine_join": D13_SQL,
     "d14_containment_join": D14_SQL,
     "d15_paragraph_dedup": D15_SQL,
+    "d16_paragraph_dedup_delim": D16_SQL,
     "e7_dedup_audit": E7_SQL,
     "e10_leakage_safe_split": E10_SQL,
     "e11_cluster_canonical": E11_SQL,
