@@ -164,6 +164,16 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    # variance-bracket protocol (round-7 VERDICT ask #3): the scaled-lake
+    # join/kernel tails vary run-to-run on this VM (d13 14.5-41.0 s
+    # between identical-plan suite samples), so single-sample artifacts
+    # cannot distinguish a regression from noise. SPARK_GRAFT_BENCH_REPEATS=N
+    # (N >= 3) switches the steady-state figure from best-of-2 to
+    # MEDIAN-of-N and records a per-query [min, max] bracket in
+    # BENCH_FULL.json. Default (unset/2) keeps the driver's best-of-2
+    # contract byte-identical. Regression rule (SCALE.md): flag a query
+    # only when its new median moves >1.5x outside the recorded bracket.
+    repeats = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     spark = get_spark("bench")
     queries, _ = registry()
 
@@ -180,6 +190,7 @@ def main() -> None:
     END_TO_END = {"e1_full_pipeline"}
 
     timings: dict[str, float] = {}
+    brackets: dict[str, list[float]] = {}
     cold_total = 0.0
     for name in HEADLINE:
         # one plan per query, reused across warmup + timed runs: queries
@@ -211,7 +222,12 @@ def main() -> None:
             cold_total += timings[name]
         else:
             cold_total += run()  # warmup: codegen + JIT + stage fill
-            timings[name] = round(min(run(), run()), 3)
+            samples = sorted(run() for _ in range(repeats))
+            if repeats == 2:
+                timings[name] = round(samples[0], 3)  # best-of-2 contract
+            else:
+                timings[name] = round(samples[len(samples) // 2], 3)  # median
+                brackets[name] = [round(samples[0], 3), round(samples[-1], 3)]
         spark.catalog.clearCache()
 
     # "value" stays the STEADY-STATE suite total (comparable across
@@ -233,6 +249,13 @@ def main() -> None:
         "e1_stages": e1_stages,
         "n_queries": len(timings),
     }
+    if brackets:
+        full["protocol"] = f"median_of_{repeats}"
+        full["bracket"] = brackets
+        full["regression_rule"] = (
+            "flag only if a query's new median moves >1.5x outside the "
+            "recorded [min,max] bracket"
+        )
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
@@ -240,7 +263,10 @@ def main() -> None:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
-    print(compose_stdout_line(full, timings))
+    # the per-query bracket map lives in BENCH_FULL.json only — the
+    # stdout line's ~2 KB capture budget carries the medians
+    slim = {k: v for k, v in full.items() if k != "bracket"}
+    print(compose_stdout_line(slim, timings))
 
 
 # stdout capture budget: the driver's tail capture holds ~2 KB
