@@ -134,6 +134,66 @@ def test_connected_components_star_escape_hatch(spark):
         connected_components(df, on_exhausted="nope")
 
 
+def test_cc_star_property_random_graphs(spark):
+    """Property check: on hypothesis-generated random edge lists,
+    cc_star, the propagation loop, and a pure-Python union-find all
+    agree on the full (id -> component-min) map."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edges_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    def union_find(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for u, v in edges:
+            if u == v:
+                continue
+            nodes |= {u, v}
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        # component min as the label
+        comp_min: dict[int, int] = {}
+        for n in nodes:
+            r = find(n)
+            comp_min[r] = min(comp_min.get(r, n), n)
+        return {n: comp_min[find(n)] for n in nodes}
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(edges_strategy)
+    def prop(edges):
+        oracle = union_find(edges)
+        if not oracle:  # all self-loops: no incident nodes, empty map
+            return
+        df = spark.createDataFrame(edges, "src long, dst long")
+        star = {r.id: r.comp for r in cc_star(df, "src", "dst").collect()}
+        loop = {
+            r.id: r.comp
+            for r in connected_components(df, "src", "dst", max_rounds=40).collect()
+        }
+        assert star == oracle
+        assert loop == oracle
+
+    prop()
+
+
 def test_cc_star_matches_loop_on_d6_fixture(spark):
     sf_dir = "/root/testdata/sf0.001"
     # the d6 star+chain fixture over the real documents table: cc_star

@@ -158,6 +158,39 @@ def test_bench_stdout_line_never_exceeds_budget():
     assert parsed.get("queries") in (None, {})  # map dropped, headline kept
 
 
+def test_bench_bracket_protocol_stays_out_of_stdout():
+    """Round-8 variance protocol: the per-query [min,max] bracket map
+    lives in BENCH_FULL.json only — main() strips it before composing
+    the ~2KB stdout line, and the median/protocol fields survive."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import LINE_BUDGET, compose_stdout_line
+
+    timings = {f"q{i}_name": 0.1 * i for i in range(1, 60)}
+    full = {
+        "metric": "headline_suite_wall_clock",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": timings,
+        "sf": "2u",
+        "cold_total_sec": 2.0,
+        "e2e_pipeline_sec": {},
+        "e1_stages": {},
+        "n_queries": len(timings),
+        "protocol": "median_of_3",
+        "bracket": {n: [t, t * 3] for n, t in timings.items()},
+        "regression_rule": "flag only if >1.5x outside bracket",
+    }
+    slim = {k: v for k, v in full.items() if k != "bracket"}  # main()'s strip
+    line = compose_stdout_line(slim, timings)
+    assert len(line) <= LINE_BUDGET
+    parsed = json.loads(line)
+    assert "bracket" not in parsed
+    assert parsed["protocol"] == "median_of_3"
+
+
 def test_grouped_kernel_handles_groups_spanning_arrow_batches(spark):
     """grouped_kernel's carry path: with maxRecordsPerBatch far smaller
     than a group, every group spans several Arrow batches and must
