@@ -140,10 +140,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (struct-array paragraphization refactor shared with d16 + doc_id
 # guard + derived oracle shift), e1_full_pipeline (stale-plan guard now
 # covers the writer path — wrapper only, plan unchanged).
-# OUT — m7_audio_frames and t25_keyword_extraction: both hash-green in
-# CORRECTNESS_r07 and untouched this round (the local gate still
-# value-checks them every run; m7 additionally carries codec
-# round-trip pytests).
+# IN — d17_cc_star_chain (NEW this round: cc_star itself on a
+# chain-shaped dup graph whose diameter the propagation loop's default
+# budget refuses, hash-checked against an INDEPENDENT gaps-and-islands
+# closed-form oracle — the round's headline addition gets a driver row,
+# not just pytest evidence).
+# OUT — m7_audio_frames, t25_keyword_extraction and
+# a21_cohort_retention: all hash-green in CORRECTNESS_r07 and untouched
+# this round (the local gate still value-checks them every run; m7
+# additionally carries codec round-trip pytests).
 
 # Round-5 rotation (verdict ask #3 + the never-ride-a-stale-row rule):
 # IN — a18_histogram and s4_pq_adc (both changed in round 4 on standing
@@ -206,6 +211,7 @@ WINDOW_ORDER = [
     "s8_trained_pq",
     "d15_paragraph_dedup",
     "d16_paragraph_dedup_delim",
+    "d17_cc_star_chain",
     "d6_dedup_components",
     "e10_leakage_safe_split",
     "t17_bpe_pair_counts",
@@ -230,7 +236,6 @@ WINDOW_ORDER = [
     "st7_rate_anomaly",
     "st10_trending",
     # --- analytics / joins / graph / maintenance ---
-    "a21_cohort_retention",
     "a22_robust_outliers",
     "g1_pagerank",
     "g2_triangle_count",

@@ -1576,6 +1576,73 @@ LEFT JOIN rebuilt16 r USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# D17 — cc_star on a CHAIN-SHAPED dup graph (round-8 VERDICT ask #1's
+# registry evidence): consecutive doc_ids are linked within blocks of
+# 100, so every component is a path of diameter ~99 — the propagation
+# loop's default budget (25 rounds = 50 hops) REFUSES this graph
+# (test-pinned in tests/test_components.py), while the alternating
+# large-star/small-star contraction resolves it in O(log^2 n) rounds.
+# This is exactly the templated-documents-drifting-gradually shape that
+# turns min-label propagation into a pipeline stop at 100 TB.
+#
+# The oracle is an INDEPENDENT derivation: gaps-and-islands over the
+# sorted doc_id sequence (a run breaks at a missing id or a block
+# boundary; the component min is the run's first id) — no transitive
+# closure at all, so agreement cross-checks the contraction against
+# closed-form ground truth rather than against another graph traversal.
+# Excluded from bench HEADLINE on the g1 precedent: ~10 fixed
+# alternating rounds of tiny exchanges measure driver/scheduler latency
+# at bench SF, not engine throughput (cc_star's scale behavior is
+# measured in SCALE.md: 22.2 s for a diameter-100,000 path at the 20×
+# lake).
+# ---------------------------------------------------------------------------
+
+D17_BLOCK = 100
+
+
+def d17_cc_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.operators.components import (
+        canonicalize_duplicates,
+        cc_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nxt = docs.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    edges = nxt.filter(F.col("src") % D17_BLOCK != D17_BLOCK - 1).join(
+        docs.withColumnRenamed("doc_id", "dst"), "dst", "left_semi"
+    )
+    comp = cc_star(edges, "src", "dst")
+    return canonicalize_duplicates(docs, comp).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
+D17_SQL = f"""
+WITH flags AS (
+  SELECT doc_id,
+         CASE WHEN lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+               AND doc_id % {D17_BLOCK} <> 0 THEN 0 ELSE 1 END AS brk
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, sum(brk) OVER (ORDER BY doc_id) AS run_id FROM flags
+),
+comp AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY run_id) AS cmin,
+         count(*) OVER (PARTITION BY run_id) AS n_run
+  FROM runs
+)
+SELECT doc_id,
+       CASE WHEN n_run > 1 THEN cmin ELSE doc_id END AS cluster_id,
+       doc_id = CASE WHEN n_run > 1 THEN cmin ELSE doc_id END AS is_canonical
+FROM comp
+"""
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
@@ -1588,6 +1655,7 @@ QUERIES = {
     "d14_containment_join": d14_containment_join,
     "d15_paragraph_dedup": d15_paragraph_dedup,
     "d16_paragraph_dedup_delim": d16_paragraph_dedup_delim,
+    "d17_cc_star_chain": d17_cc_star_chain,
     "e7_dedup_audit": e7_dedup_audit,
     "e10_leakage_safe_split": e10_leakage_safe_split,
     "e11_cluster_canonical": e11_cluster_canonical,
@@ -1605,6 +1673,7 @@ ORACLES = {
     "d14_containment_join": D14_SQL,
     "d15_paragraph_dedup": D15_SQL,
     "d16_paragraph_dedup_delim": D16_SQL,
+    "d17_cc_star_chain": D17_SQL,
     "e7_dedup_audit": E7_SQL,
     "e10_leakage_safe_split": E10_SQL,
     "e11_cluster_canonical": E11_SQL,
