@@ -42,6 +42,9 @@ N_BANDS = 4  # 4 rows per band
 import os as _os
 
 D3_SHINGLE_K = int(_os.environ.get("X17A5_D3_SHINGLE", "3"))
+# all-empty-signature sentinel for the densified numeric minhash:
+# outside the packed range (mh·16 + d < 2^60, see d3's densification)
+D3_SENTINEL = 1 << 62
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,11 +198,20 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle ONCE, partition the hash space into N_MINHASH buckets by
     # the first hex nibble, take the min per bucket — 16× less hash
     # work than a 16-function family, one map-side-combined groupBy.
-    # Empty buckets (rare for >.100-shingle docs) densify to the 'z'
-    # sentinel (sorts after every hex digest) in both engines.
+    #
+    # The minhash VALUE is numeric (round 8): the next 14 hex chars
+    # parsed to a 56-bit LONG (engine `conv`, oracle
+    # CAST('0x'||… AS BIGINT) — bit-exact parity, probed). min over a
+    # LONG compiles to HashAggregate with map-side combine, where the
+    # pre-round-8 min over the md5 HEX STRING fell back to
+    # SortAggregate and dragged a per-partition sort of the FULL
+    # shingle table — the engine's largest intermediate, feeding
+    # d3/e7/e10/e11 — into every chain execution (the d15 packed-long
+    # lesson applied to the chain that taught it).
     h = F.md5("shingle")
     bucket = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
-    hashed = sh.select("doc_id", h.alias("h"), bucket.alias("bk"))
+    hnum = F.conv(F.substring(h, 2, 14), 16, 10).cast("long")
+    hashed = sh.select("doc_id", hnum.alias("h"), bucket.alias("bk"))
     minhash_cols = [
         F.min(F.when(F.col("bk") == i, F.col("h"))).alias(f"mh{i}")
         for i in range(N_MINHASH)
@@ -213,21 +225,28 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROTATION densification (Shrivastava & Li, ICML'14): an empty
     # bucket borrows the nearest non-empty bucket's min cyclically to
     # the right, tagged with the borrow distance. Round 4 densified to
-    # a constant 'z' sentinel — and two SHORT docs then collided on
+    # a constant sentinel — and two SHORT docs then collided on
     # every all-empty band regardless of content (measured at the 20x
-    # lake: 5.4M of 8.1M five-gram candidates were 'z'-band collisions
-    # between unrelated short docs). Borrowed values collide only when
-    # the borrowed-from minima AND distances match, i.e. when the docs
-    # genuinely share shingle structure; 'z' survives only for the
-    # impossible all-empty signature.
+    # lake: 5.4M of 8.1M five-gram candidates were sentinel-band
+    # collisions between unrelated short docs). Borrowed values collide
+    # only when the borrowed-from minima AND distances match, i.e. when
+    # the docs genuinely share shingle structure; the sentinel survives
+    # only for the impossible all-empty signature.
+    #
+    # Numeric packing (round 8): own value = mh·16, borrowed =
+    # mh_src·16 + distance (distance < 16), so own-vs-borrowed never
+    # collide and borrowed-vs-borrowed collide exactly on (source,
+    # distance) — the same equality semantics the old mh||'+d' string
+    # carried, in one long (mh < 2^56 ⇒ packed < 2^60; sentinel 2^62
+    # is outside the packed range).
     dens_cols = [
         F.coalesce(
-            F.col(f"mh{i}"),
+            F.col(f"mh{i}") * 16,
             *[
-                F.concat(F.col(f"mh{(i + d) % N_MINHASH}"), F.lit(f"+{d}"))
+                F.col(f"mh{(i + d) % N_MINHASH}") * 16 + d
                 for d in range(1, N_MINHASH)
             ],
-            F.lit("z"),
+            F.lit(D3_SENTINEL),
         ).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
@@ -324,11 +343,12 @@ _MINWIDE_COLS = ",\n         ".join(
     f"min(CASE WHEN bk = {i} THEN h END) AS mh{i}" for i in range(N_MINHASH)
 )
 _DENS_COLS = ",\n         ".join(
-    "coalesce(mh{i}, {borrows}, 'z') AS mh{i}".format(
+    "coalesce(mh{i} * 16, {borrows}, {sent}) AS mh{i}".format(
         i=i,
         borrows=", ".join(
-            f"mh{(i + d) % N_MINHASH} || '+{d}'" for d in range(1, N_MINHASH)
+            f"mh{(i + d) % N_MINHASH} * 16 + {d}" for d in range(1, N_MINHASH)
         ),
+        sent=D3_SENTINEL,
     )
     for i in range(N_MINHASH)
 )
@@ -347,7 +367,7 @@ _BAND_SELECTS = "\n  UNION ALL ".join(
 _D3_CHAIN = f"""{_AUG_SQL.strip()},
 {_SHINGLES_SQL.strip()},
 hashed AS (
-  SELECT doc_id, md5(shingle) AS h,
+  SELECT doc_id, CAST('0x' || md5(shingle)[2:15] AS BIGINT) AS h,
          CAST('0x' || md5(shingle)[1:1] AS INT) AS bk
   FROM shingles
 ),
