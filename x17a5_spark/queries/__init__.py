@@ -145,6 +145,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # budget refuses, hash-checked against an INDEPENDENT gaps-and-islands
 # closed-form oracle — the round's headline addition gets a driver row,
 # not just pytest evidence).
+# ALSO riding in-window slots: the round-8 numeric-minhash rework
+# (56-bit LONG minhash values + packed-int densification — SortAggregate
+# of the full shingle table eliminated, candidate set bit-identical)
+# changes the PLANS and sig values of d3_minhash_lsh / e7_dedup_audit /
+# e10_leakage_safe_split / e11_cluster_canonical — all four hold window
+# slots, so all get fresh r08 rows; full local gate re-run green after
+# the rework (178/178).
 # OUT — m7_audio_frames, t25_keyword_extraction and
 # a21_cohort_retention: all hash-green in CORRECTNESS_r07 and untouched
 # this round (the local gate still value-checks them every run; m7
