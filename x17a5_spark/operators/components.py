@@ -125,7 +125,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 def _edge_sig(edges: DataFrame) -> tuple[int, int]:
     """(count, sum-of-xxhash64) set fingerprint — one action per round;
-    two DISTINCT edge sets colliding on both is a 64-bit accident."""
+    two DISTINCT edge sets colliding on both is a 64-bit accident, and
+    a fingerprint MATCH is confirmed exactly before cc_star returns
+    (see the exceptAll check there), so a collision costs one wasted
+    comparison, never a wrong component map."""
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
@@ -144,7 +147,13 @@ def cc_star(
     Fixpoint detection: one (large-star, small-star) round that leaves
     the edge set unchanged means every node points directly at its
     component minimum (the star shape is the unique fixpoint of both
-    operators), so the edges ARE the label map.
+    operators), so the edges ARE the label map. A fingerprint match is
+    CONFIRMED with one exact set-difference check before returning
+    (ADVICE r8): both sides are distinct sets of equal count (count is
+    part of the fingerprint), so an empty ``nxt.exceptAll(cur)`` proves
+    equality — one extra action on the final round only, and a ~2^-64
+    fingerprint collision degrades to a wasted comparison instead of a
+    silently wrong component map.
     """
     cur = (
         edges.select(
@@ -158,7 +167,7 @@ def cc_star(
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         nsig = _edge_sig(nxt)
-        if nsig == sig:
+        if nsig == sig and nxt.exceptAll(cur).isEmpty():
             return (
                 nxt.select(F.col("u").alias("id"), F.col("v").alias("comp"))
                 .unionByName(

@@ -157,6 +157,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # this round (the local gate still value-checks them every run; m7
 # additionally carries codec round-trip pytests).
 
+# Round-9 rotation (never-ride-a-stale-row): IN — j12_scd2_intervals,
+# j14_pit_join, st8_ttl_dedup (all three rewritten this round: the
+# VERDICT r8 #3 SortAggregate retirement — per-run/per-burst rollups
+# became run-start window filters, zero aggregates; value-identical,
+# locally hash-verified, but changed code never rides).
+# Queries changed in round 9 already holding slots: s2_lsh_ann (same
+# SortAggregate retirement — ids-only candidate distinct, vectors
+# re-attached post-dedup), d3_minhash_lsh (D3_HEX_CHARS packing
+# tripwire shared by both engines — plan unchanged, constants now
+# guarded), d17_cc_star_chain / d6_dedup_components /
+# e10_leakage_safe_split / e11_cluster_canonical (cc_star's fingerprint
+# match is now confirmed by an exact exceptAll set-difference before
+# returning — ADVICE r8), e1_full_pipeline (the binary-docs slicer
+# gained empty-user-password PDF decryption — RC4-40/128/AES-128,
+# pdf_mini.py + pdf_crypt.py; e1's own plan unchanged).
+# OUT — t19_hll_distinct, t27_countmin, t28_moments_sketch: all
+# hash-green in CORRECTNESS_r08 and untouched this round (the local
+# gate still value-checks them every run).
+
 # Round-5 rotation (verdict ask #3 + the never-ride-a-stale-row rule):
 # IN — a18_histogram and s4_pq_adc (both changed in round 4 on standing
 # r3 rows; the verdict's explicit ask), g1_pagerank (round-5 lazy
@@ -223,9 +242,6 @@ WINDOW_ORDER = [
     "e10_leakage_safe_split",
     "t17_bpe_pair_counts",
     "t18_bpe_train",
-    "t19_hll_distinct",
-    "t27_countmin",
-    "t28_moments_sketch",
     "t29_ngram_novelty",
     "t26_token_entropy",
     "t22_boilerplate_removal",
@@ -242,6 +258,10 @@ WINDOW_ORDER = [
     # --- streaming ---
     "st7_rate_anomaly",
     "st10_trending",
+    "st8_ttl_dedup",
+    # --- round-9 SortAggregate retirement: fresh rows for new plans ---
+    "j12_scd2_intervals",
+    "j14_pit_join",
     # --- analytics / joins / graph / maintenance ---
     "a22_robust_outliers",
     "g1_pagerank",

@@ -45,6 +45,44 @@ D3_SHINGLE_K = int(_os.environ.get("X17A5_D3_SHINGLE", "3"))
 # all-empty-signature sentinel for the densified numeric minhash:
 # outside the packed range (mh·16 + d < 2^60, see d3's densification)
 D3_SENTINEL = 1 << 62
+# md5 hex chars parsed into the numeric minhash value (chars 2..15 of
+# the digest) — BOTH engines derive their substring from this constant,
+# and _d3_pack_guard() below fails the module import if a widened value
+# would let packed minhashes (mh·16 + borrow distance) reach the
+# sentinel (round 9, VERDICT r8 #5: the d15/e11 fails-LOUD discipline
+# applied to the packing bound that was previously comment-only).
+D3_HEX_CHARS = 14
+
+
+def _d3_pack_guard(
+    hex_chars: int = D3_HEX_CHARS,
+    n_minhash: int | None = None,
+    sentinel: int = D3_SENTINEL,
+) -> None:
+    """Build-time tripwire for the d3 numeric packing invariant:
+    mh < 2^(4·hex_chars), borrow distance < n_minhash, so
+    packed = mh·16 + d < 2^(4·hex_chars + 4) must stay BELOW the
+    all-empty sentinel, and the distance must fit the low nibble.
+    Raises at import (both the Spark expressions and the oracle SQL are
+    built from these constants), so widening the substring can never
+    silently collide packed values with the sentinel on either engine."""
+    n = N_MINHASH if n_minhash is None else n_minhash
+    packed_bound = (1 << (4 * hex_chars)) * 16  # mh·16 + d < mh_bound·16
+    if packed_bound > sentinel:
+        raise ValueError(
+            f"d3 packing overflow: {hex_chars} hex chars give packed "
+            f"minhash values up to 2^{4 * hex_chars + 4}, which reaches "
+            f"the all-empty sentinel 2^62 — shrink D3_HEX_CHARS (<= 14) "
+            "or widen D3_SENTINEL on BOTH engines"
+        )
+    if n > 16:
+        raise ValueError(
+            f"d3 densification overflow: borrow distance must fit the "
+            f"packed value's low nibble (distance < 16), got N_MINHASH={n}"
+        )
+
+
+_d3_pack_guard()
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,7 +248,7 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lesson applied to the chain that taught it).
     h = F.md5("shingle")
     bucket = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
-    hnum = F.conv(F.substring(h, 2, 14), 16, 10).cast("long")
+    hnum = F.conv(F.substring(h, 2, D3_HEX_CHARS), 16, 10).cast("long")
     hashed = sh.select("doc_id", hnum.alias("h"), bucket.alias("bk"))
     minhash_cols = [
         F.min(F.when(F.col("bk") == i, F.col("h"))).alias(f"mh{i}")
@@ -367,7 +405,7 @@ _BAND_SELECTS = "\n  UNION ALL ".join(
 _D3_CHAIN = f"""{_AUG_SQL.strip()},
 {_SHINGLES_SQL.strip()},
 hashed AS (
-  SELECT doc_id, CAST('0x' || md5(shingle)[2:15] AS BIGINT) AS h,
+  SELECT doc_id, CAST('0x' || md5(shingle)[2:{1 + D3_HEX_CHARS}] AS BIGINT) AS h,
          CAST('0x' || md5(shingle)[1:1] AS INT) AS bk
   FROM shingles
 ),

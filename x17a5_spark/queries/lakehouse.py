@@ -148,6 +148,16 @@ GROUP BY 1, 2
 # exchange + small per-key sort) — never a global sort, so the shape
 # holds at 100 TB where per-user history fits a partition but the
 # stream does not.
+#
+# Round 9 (VERDICT r8 #3): the per-run rollup used to be a
+# groupBy(user, version).agg(min(state), min(ts), count(*)) — min over
+# a STRING on the full event stream, which plans as SortAggregate (a
+# second per-partition sort of the data-proportional intermediate; the
+# d15/e11/d3 packed-long lesson in reverse). But a run's FIRST event
+# (the chg=1 row the change marker already tags) carries the run's
+# state and valid_from by construction, so the rollup is a filter, and
+# n_events falls out of row positions: next run start's row_number
+# minus this one's. Same exchange, same per-key sort, ZERO aggregates.
 # ---------------------------------------------------------------------------
 
 
@@ -168,16 +178,34 @@ def j12_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = marked.withColumn(
         "version",
         F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("rn", F.row_number().over(w)).withColumn(
+        # per-user event total: same hash partitioning, unordered frame
+        # — no additional sort or exchange
+        "n_user",
+        F.count("*").over(Window.partitionBy("user_id")),
     )
-    # state is constant within a run by construction, so min() is exact
-    per_run = runs.groupBy("user_id", "version").agg(
-        F.min("state").alias("state"),
-        F.min("ts").alias("valid_from"),
-        F.count("*").alias("n_events"),
-    )
+    # one row per run — its first event (state is constant within a run,
+    # and the window order makes the chg=1 row the run's minimum ts)
+    starts = runs.filter(F.col("chg") == 1)
     vw = Window.partitionBy("user_id").orderBy("version")
-    return per_run.withColumn("valid_to", F.lead("valid_from").over(vw)).select(
-        "user_id", "version", "state", "valid_from", "valid_to", "n_events"
+    return (
+        starts.select(
+            "user_id",
+            "version",
+            "state",
+            F.col("ts").alias("valid_from"),
+            "rn",
+            "n_user",
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(vw))
+        .withColumn(
+            "n_events",
+            (
+                F.coalesce(F.lead("rn").over(vw), F.col("n_user") + 1)
+                - F.col("rn")
+            ).cast("long"),
+        )
+        .select("user_id", "version", "state", "valid_from", "valid_to", "n_events")
     )
 
 
@@ -640,8 +668,16 @@ def j14_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    per_run = runs.groupBy("user_id", "version").agg(
-        F.min("state").alias("iv_state"), F.min("us").alias("vf_us")
+    # per-run rollup as a FILTER, not a groupBy (round 9, VERDICT r8 #3):
+    # the chg=1 row is the run's first event, which carries the run's
+    # state and minimum us by construction — the old
+    # agg(min(state), min(us)) planned a SortAggregate (string min) over
+    # the full event stream; this is the j12 rewrite applied here
+    per_run = runs.filter(F.col("chg") == 1).select(
+        "user_id",
+        "version",
+        F.col("state").alias("iv_state"),
+        F.col("us").alias("vf_us"),
     )
     vw = Window.partitionBy("user_id").orderBy("version")
     iv = (

@@ -29,9 +29,19 @@ bytes:
   classic single-section xref; stream dicts get a direct ``/Length``
   rewritten to the payload actually emitted.
 
+Round 9 (VERDICT r8 #4): encrypted PDFs with an EMPTY USER PASSWORD —
+the overwhelming majority of "encrypted" regulatory filings are
+owner-password-only — are DECRYPTED and sliced: the standard security
+handler (PDF 32000-1 §7.6.3) with RC4-40/128 (V1/V2, R2/R3) and
+AES-128-CBC (V4/R4 ``/CFM /AESV2``), key material verified against
+``/U`` before any decryption (sources/pdf_crypt.py). The sliced output
+is re-serialized UNENCRYPTED (the trailer the slicer writes has no
+``/Encrypt``), so downstream consumers see plaintext pages.
+
 Out of subset — returns ``None`` and the caller passes the document
 through untouched (the same lenient contract as before): encrypted
-PDFs (``/Encrypt``), ObjStm with non-Flate filters when the page tree
+PDFs the handler can't open (a real user password, V5/AES-256, or a
+non-Standard filter), ObjStm with non-Flate filters when the page tree
 is inside, and structurally broken files. Linearization hints and
 incremental-update ordering are handled by last-definition-wins.
 
@@ -76,11 +86,42 @@ def _strip_one_eol(data: bytes) -> bytes:
     return data
 
 
-def _scan_objects(content: bytes) -> dict[int, _Obj] | None:
+_PDF_WS = b" \t\r\n\x00\x0c"
+
+
+def _skip_ws_comments(content: bytes, i: int) -> int:
+    """Index of the next real token at or after ``i``: skips PDF
+    whitespace AND %-comments with no byte cap (ADVICE r8: the old
+    fixed 32-byte window declined valid files with longer gaps between
+    ``endstream`` and ``endobj``)."""
+    n = len(content)
+    while i < n:
+        c = content[i : i + 1]
+        if c in (b" ", b"\t", b"\r", b"\n", b"\x00", b"\x0c"):
+            i += 1
+        elif c == b"%":
+            nl = content.find(b"\n", i)
+            cr = content.find(b"\r", i)
+            ends = [e for e in (nl, cr) if e != -1]
+            if not ends:
+                return n
+            i = min(ends) + 1
+        else:
+            break
+    return i
+
+
+def _scan_objects(
+    content: bytes, verify_flate: bool = True
+) -> dict[int, _Obj] | None:
     """Sequential top-level object scan. Stream payloads are skipped by
     declared /Length (or by delimiter when indirect/wrong), so binary
     runs inside them can never alias object headers or keywords. Later
-    definitions of the same object number win (incremental updates)."""
+    definitions of the same object number win (incremental updates).
+
+    ``verify_flate=False`` skips the delimiter-scan inflate sanity
+    check — encrypted files' Flate streams only inflate AFTER
+    decryption, which happens downstream of this scan."""
     objs: dict[int, _Obj] = {}
     pos = 0
     while True:
@@ -116,11 +157,11 @@ def _scan_objects(content: bytes) -> dict[int, _Obj] | None:
                 # scan and DECLINE instead (ADVICE r7): the next token
                 # after a true endstream is endobj, and a pure-Flate
                 # payload must inflate cleanly.
-                after = content[es + 9 : es + 41].lstrip()
-                if not after.startswith(b"endobj"):
+                nxt = _skip_ws_comments(content, es + 9)
+                if content[nxt : nxt + 6] != b"endobj":
                     return None
                 filt = _dict_value(dict_part, b"Filter")
-                if filt is not None:
+                if verify_flate and filt is not None:
                     names = filt.replace(b"[", b" ").replace(b"]", b" ").split()
                     if names == [b"/FlateDecode"]:
                         try:
@@ -182,6 +223,229 @@ def _dict_value(body: bytes, key: bytes) -> bytes | None:
         return body[i : i + m2.end()]
     m3 = re.match(rb"/?[^\s/\[\]<>()]+", body[i:])
     return body[i : i + m3.end()] if m3 is not None else None
+
+
+# --------------------------------------------------------------------------
+# PDF string parsing + standard-security-handler decryption (round 9)
+# --------------------------------------------------------------------------
+
+_LIT_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08", b"f": b"\x0c",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _parse_literal(body: bytes, start: int) -> tuple[bytes, int] | None:
+    """Decode a literal string starting at ``body[start] == b'('``:
+    (raw bytes, index past the closing paren). Handles escapes, octal,
+    line continuations and balanced unescaped parens (§7.3.4.2)."""
+    out = bytearray()
+    depth = 0
+    i, n = start, len(body)
+    while i < n:
+        c = body[i : i + 1]
+        if c == b"\\":
+            e = body[i + 1 : i + 2]
+            if e in _LIT_ESCAPES:
+                out += _LIT_ESCAPES[e]
+                i += 2
+            elif e.isdigit():
+                j = i + 1
+                while j < min(i + 4, n) and body[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(body[i + 1 : j], 8) & 0xFF)
+                i = j
+            elif e in (b"\r", b"\n"):  # line continuation
+                i += 2
+                if e == b"\r" and body[i : i + 1] == b"\n":
+                    i += 1
+            else:  # lone backslash: drop it, keep the char
+                out += e
+                i += 2
+        elif c == b"(":
+            depth += 1
+            if depth > 1:
+                out += c
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out += c
+            i += 1
+        else:
+            out += c
+            i += 1
+    return None  # unbalanced
+
+
+def _map_strings(body: bytes, fn) -> bytes:
+    """Rewrite every string object in a dict/array body through ``fn``
+    (bytes -> bytes), re-emitting as hex strings (always valid, no
+    re-escaping needed). ``<<``/``>>`` pass through untouched."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i : i + 1]
+        if c == b"(":
+            parsed = _parse_literal(body, i)
+            if parsed is None:  # unbalanced: emit the rest verbatim
+                out += body[i:]
+                break
+            raw, j = parsed
+            out += b"<" + fn(raw).hex().encode() + b">"
+            i = j
+        elif c == b"<" and body[i + 1 : i + 2] == b"<":
+            out += b"<<"
+            i += 2
+        elif c == b"<":
+            j = body.find(b">", i)
+            if j == -1:
+                out += body[i:]
+                break
+            hexs = re.sub(rb"\s", b"", body[i + 1 : j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            try:
+                raw = bytes.fromhex(hexs.decode("ascii"))
+            except ValueError:
+                out += body[i : j + 1]
+                i = j + 1
+                continue
+            out += b"<" + fn(raw).hex().encode() + b">"
+            i = j + 1
+        else:
+            out += c
+            i += 1
+    return bytes(out)
+
+
+def _dict_string(body: bytes, key: bytes) -> bytes | None:
+    """The decoded STRING value of ``/key`` (literal or hex) — for the
+    /O and /U entries of the encryption dictionary, which _dict_value's
+    token grammar does not cover."""
+    m = re.search(rb"/" + key + rb"(?![A-Za-z0-9])", body)
+    if m is None:
+        return None
+    i = _skip_ws_comments(body, m.end())
+    c = body[i : i + 1]
+    if c == b"(":
+        parsed = _parse_literal(body, i)
+        return None if parsed is None else parsed[0]
+    if c == b"<" and body[i + 1 : i + 2] != b"<":
+        j = body.find(b">", i)
+        if j == -1:
+            return None
+        hexs = re.sub(rb"\s", b"", body[i + 1 : j])
+        if len(hexs) % 2:
+            hexs += b"0"
+        try:
+            return bytes.fromhex(hexs.decode("ascii"))
+        except ValueError:
+            return None
+    return None
+
+
+_ID_RE = re.compile(rb"/ID\s*\[\s*(<[0-9A-Fa-f\s]*>|\([^)]*\))")
+
+
+def _file_id0(content: bytes) -> bytes:
+    """First element of the trailer /ID array (LAST occurrence wins —
+    incremental updates); empty when absent, per the spec's allowance."""
+    last = None
+    for m in _ID_RE.finditer(content):
+        last = m.group(1)
+    if last is None:
+        return b""
+    if last.startswith(b"<"):
+        hexs = re.sub(rb"\s", b"", last[1:-1])
+        if len(hexs) % 2:
+            hexs += b"0"
+        try:
+            return bytes.fromhex(hexs.decode("ascii"))
+        except ValueError:
+            return b""
+    parsed = _parse_literal(last, 0)
+    return b"" if parsed is None else parsed[0]
+
+
+def _decrypt_in_place(content: bytes, objs: dict[int, _Obj]) -> bool:
+    """Open the standard security handler with the EMPTY user password
+    and decrypt every object's strings and stream payloads in place
+    (sources/pdf_crypt.py). True on success; False declines to the
+    ``encrypted`` passthrough (real user password, unsupported V/R or
+    crypt filter, malformed dictionary).
+
+    Order matters: strings inside /ObjStm containers are encrypted as
+    part of the CONTAINER stream only (§7.6.2), so this runs before
+    _expand_objstm and the expanded objects need no further work."""
+    from x17a5_spark.sources import pdf_crypt as C
+
+    enc_num = None
+    for m in _ENCRYPT_RE.finditer(content):
+        enc_num = int(re.match(rb"/Encrypt\s+(\d+)", m.group(0)).group(1))
+    if enc_num is None or enc_num not in objs:
+        return False
+    enc_body = objs[enc_num][0]
+    if re.search(rb"/Filter\s*/Standard(?![A-Za-z0-9])", enc_body) is None:
+        return False
+    v_m = re.search(rb"/V\s+(\d+)", enc_body)
+    r_m = re.search(rb"/R\s+(\d+)", enc_body)
+    p_m = re.search(rb"/P\s+(-?\d+)", enc_body)
+    v = int(v_m.group(1)) if v_m else 0
+    r = int(r_m.group(1)) if r_m else 0
+    if v not in (1, 2, 4) or r not in (2, 3, 4) or p_m is None:
+        return False
+    len_m = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", enc_body)
+    length_bits = int(len_m.group(1)) if len_m else 40
+    if length_bits % 8 or not 40 <= length_bits <= 128:
+        return False
+    aes = False
+    if v == 4:
+        # crypt filters: only /StdCF with /CFM /V2 (RC4) or /AESV2
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
+        stmf = re.search(rb"/StmF\s*/(\w+)", enc_body)
+        strf = re.search(rb"/StrF\s*/(\w+)", enc_body)
+        if cfm is None or cfm.group(1) not in (b"V2", b"AESV2"):
+            return False
+        for f in (stmf, strf):
+            if f is None or f.group(1) != b"StdCF":
+                return False  # /Identity or per-class filters: decline
+        aes = cfm.group(1) == b"AESV2"
+        if aes:
+            length_bits = 128  # AESV2 is AES-128 by definition
+    o_entry = _dict_string(enc_body, b"O")
+    u_entry = _dict_string(enc_body, b"U")
+    if o_entry is None or u_entry is None:
+        return False
+    encrypt_metadata = (
+        re.search(rb"/EncryptMetadata\s+false", enc_body) is None
+    )
+    key = C.authenticate_empty_user(
+        o_entry,
+        u_entry,
+        int(p_m.group(1)),
+        _file_id0(content),
+        r,
+        length_bits,
+        encrypt_metadata,
+    )
+    if key is None:
+        return False  # genuinely passworded
+    del objs[enc_num]  # /O //U must never be decrypted; trailer drops it
+    for num in list(objs):
+        body, data = objs[num]
+        okey = C.object_key(key, num, 0, aes)
+        body = _map_strings(body, lambda raw, k=okey: C.decrypt_bytes(k, raw, aes))
+        if data is not None:
+            if not encrypt_metadata and re.search(
+                rb"/Type\s*/Metadata\b", body
+            ):
+                pass  # metadata stream stays plaintext by declaration
+            else:
+                data = C.decrypt_bytes(okey, data, aes)
+        objs[num] = (body, data)
+    return True
 
 
 def _expand_objstm(objs: dict[int, _Obj]) -> int:
@@ -286,16 +550,22 @@ def _walk_pages(
 
 def _parse(content: bytes):
     """Shared front half: ((objs, root_num, pages_num, leaves), "ok")
-    or (None, reason) with reason one of ``not-pdf`` / ``encrypted`` /
+    or (None, reason) with reason one of ``not-pdf`` / ``encrypted``
+    (the standard handler could NOT open it with the empty user
+    password — a real password, V5/AES-256, or a non-Standard filter) /
     ``objstm-filter`` (page tree likely inside a codec-unsupported
-    object stream) / ``broken``."""
+    object stream) / ``broken``. Empty-user-password RC4/AES-128 files
+    are decrypted here and parse like plaintext (round 9)."""
     if not content.startswith(b"%PDF"):
         return None, "not-pdf"
-    if _ENCRYPT_RE.search(content) is not None:
-        return None, "encrypted"  # strings/streams need the crypt filter
-    objs = _scan_objects(content)
+    encrypted = _ENCRYPT_RE.search(content) is not None
+    # encrypted Flate payloads only inflate after decryption, so the
+    # delimiter-scan sanity check defers to the post-decrypt expansion
+    objs = _scan_objects(content, verify_flate=not encrypted)
     if objs is None:
         return None, "broken"
+    if encrypted and not _decrypt_in_place(content, objs):
+        return None, "encrypted"  # out of handler subset: pass through
     skipped = _expand_objstm(objs)
     # structural resolution failing AFTER codec-unsupported ObjStm
     # shells were left opaque most plausibly means the page tree (or
