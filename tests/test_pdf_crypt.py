@@ -46,6 +46,18 @@ def test_aes128_fips197_vector():
     assert C._aes_decrypt_block(rk, ct) == pt
 
 
+def test_aes256_fips197_vector():
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    rk = C._expand_key(key)
+    assert len(rk) == 15
+    assert C._aes_encrypt_block(rk, pt) == ct
+    assert C._aes_decrypt_block(rk, ct) == pt
+
+
 def test_aes_cbc_roundtrip_and_padding():
     key = hashlib.md5(b"k").digest()
     for n in (0, 1, 15, 16, 17, 100):
@@ -77,13 +89,20 @@ def _encrypt_pdf(
 ) -> bytes:
     objs = _scan_objects(content)
     root = _find_root(content, objs)
-    aes = v == 4
-    o = C.compute_o(owner_pwd, user_pwd, r, length_bits)
-    key = C.compute_key(user_pwd, o, PERMS, FILE_ID0, r, length_bits)
-    u = C.compute_u(key, FILE_ID0, r)
+    aes = v in (4, 5)
+    if v == 5:
+        # AES-256: one 32-byte file key, wrapped in /UE; O/OE are
+        # owner-path entries the empty-user decryptor never touches
+        key = hashlib.sha256(b"v5-file-key").digest()
+        u, ue = C.make_u_ue_v5(key, r, password=user_pwd)
+        o, oe = b"\x00" * 48, b"\x00" * 32
+    else:
+        o = C.compute_o(owner_pwd, user_pwd, r, length_bits)
+        key = C.compute_key(user_pwd, o, PERMS, FILE_ID0, r, length_bits)
+        u = C.compute_u(key, FILE_ID0, r)
     enc_objs: dict[int, tuple[bytes, bytes | None]] = {}
     for num, (body, data) in objs.items():
-        okey = C.object_key(key, num, 0, aes)
+        okey = key if v == 5 else C.object_key(key, num, 0, aes)
         iv = hashlib.md5(b"iv%d" % num).digest()
         body = _map_strings(
             body, lambda raw, k=okey, s=iv: C.encrypt_bytes(k, raw, aes, iv=s)
@@ -97,7 +116,22 @@ def _encrypt_pdf(
                 body = b"<< /Length %d " % len(data) + body[2:]
         enc_objs[num] = (body, data)
     enc_num = max(enc_objs) + 1
-    if v == 4:
+    if v == 5:
+        enc_body = (
+            b"<< /Filter /Standard /V 5 /R %d /Length 256"
+            b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            b" /O <%s> /OE <%s> /U <%s> /UE <%s> /P %d >>"
+            % (
+                r,
+                o.hex().encode(),
+                oe.hex().encode(),
+                u.hex().encode(),
+                ue.hex().encode(),
+                PERMS,
+            )
+        )
+    elif v == 4:
         enc_body = (
             b"<< /Filter /Standard /V 4 /R 4 /Length 128"
             b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
@@ -191,18 +225,31 @@ def test_aes128_v4_r4_slices():
     )
 
 
-def test_real_user_password_keeps_encrypted_passthrough():
-    enc = _encrypt_pdf(
-        _plain_with_title(5), v=2, r=3, length_bits=128, user_pwd=b"hunter2"
+def test_aes256_v5_r5_slices():
+    _assert_slices_decrypted(
+        "aes-256-r5", _encrypt_pdf(_plain_with_title(5), v=5, r=5, length_bits=256)
     )
-    out, status = slice_pdf(enc, 2)
-    assert (out, status) == (None, "encrypted")
 
 
-def test_v5_aes256_declines_to_encrypted():
+def test_aes256_v5_r6_slices():
+    _assert_slices_decrypted(
+        "aes-256-r6", _encrypt_pdf(_plain_with_title(5), v=5, r=6, length_bits=256)
+    )
+
+
+def test_real_user_password_keeps_encrypted_passthrough():
+    for v, r, bits in ((2, 3, 128), (5, 6, 256)):
+        enc = _encrypt_pdf(
+            _plain_with_title(5), v=v, r=r, length_bits=bits, user_pwd=b"hunter2"
+        )
+        out, status = slice_pdf(enc, 2)
+        assert (out, status) == (None, "encrypted"), (v, r)
+
+
+def test_unknown_revision_declines_to_encrypted():
     enc = _encrypt_pdf(_plain_with_title(5), v=2, r=3, length_bits=128)
-    # rewrite the handler version to the unsupported V5/R6 class
-    enc = enc.replace(b"/V 2 /R 3", b"/V 5 /R 6")
+    # a future/unknown handler class must decline, not mis-decrypt
+    enc = enc.replace(b"/V 2 /R 3", b"/V 6 /R 7")
     out, status = slice_pdf(enc, 2)
     assert (out, status) == (None, "encrypted")
 

@@ -170,7 +170,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # e10_leakage_safe_split / e11_cluster_canonical (cc_star's fingerprint
 # match is now confirmed by an exact exceptAll set-difference before
 # returning — ADVICE r8), e1_full_pipeline (the binary-docs slicer
-# gained empty-user-password PDF decryption — RC4-40/128/AES-128,
+# gained empty-user-password PDF decryption — RC4-40/128, AES-128,
+# AES-256 (V5/R5/R6),
 # pdf_mini.py + pdf_crypt.py; e1's own plan unchanged).
 # OUT — t19_hll_distinct, t27_countmin, t28_moments_sketch: all
 # hash-green in CORRECTNESS_r08 and untouched this round (the local

@@ -45,8 +45,8 @@ def slice_pages(
     PDF spec), else the vendored pure-Python slicer
     (sources/pdf_mini.py — handles content streams opaquely, FlateDecode
     object streams, nested page trees, and — round 9 — empty-user-
-    password encryption via the standard security handler, RC4-40/128
-    and AES-128; declines genuinely passworded, AES-256 or broken
+    password encryption via the standard security handler, RC4-40/128,
+    AES-128 and AES-256; declines genuinely passworded or broken
     files), else pass-through — so the operator does real work with
     zero optional dependencies and never fails a batch on an
     unparseable document (quarantine-style leniency: a bad PDF flows on
@@ -57,7 +57,7 @@ def slice_pages(
     ``short`` (already within the bound, bytes untouched) or
     ``passthrough:<reason>`` (bytes untouched; reason ``encrypted`` =
     the standard handler could not open it with the empty user
-    password — a real password, AES-256, or a non-Standard filter —
+    password — a real password or a non-Standard filter —
     ``objstm-filter`` = page tree behind a codec-unsupported object
     stream, ``not-pdf``, ``broken``, or ``error`` on the pypdf path) —
     so a pipeline can QUANTIFY how much of its corpus kept the page

@@ -13,9 +13,12 @@ slice that the reference's pypdf-backed slicer
 files still decline: :func:`authenticate_empty_user` verifies the
 derived key against ``/U`` before any decryption happens.
 
-Scope: ``/Filter /Standard`` with V in {1, 2, 4} and R in {2, 3, 4} —
-RC4 with 40-128 bit keys and AES-128-CBC (``/CFM /AESV2``). V5/R6
-(AES-256) declines to the ``encrypted`` passthrough.
+Scope: ``/Filter /Standard`` with V in {1, 2, 4, 5} and R in
+{2, 3, 4, 5, 6} — RC4 with 40-128 bit keys, AES-128-CBC
+(``/CFM /AESV2``), and AES-256-CBC (``/CFM /AESV3``, both the R5
+extension-level-3 scheme and the ISO 32000-2 R6 iterated-hash
+scheme). Only a genuinely non-empty user password (or a non-Standard
+filter) declines to the ``encrypted`` passthrough.
 
 Everything here is stdlib-only (hashlib MD5 + a from-scratch FIPS-197
 AES with tables generated from GF(2^8) arithmetic at import), so it
@@ -120,16 +123,21 @@ _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    """AES-128 key schedule: 11 round keys of 16 bytes each."""
-    words = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    """FIPS-197 key schedule for AES-128 (11 round keys) or AES-256
+    (15 round keys), selected by key length."""
+    nk = len(key) // 4  # 4 or 8 words
+    nr = nk + 6  # 10 or 14 rounds
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
-    return [sum(words[4 * r : 4 * r + 4], []) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return [sum(words[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
 
 
 def _mix_single(col: list[int], m: tuple[int, int, int, int]) -> list[int]:
@@ -156,10 +164,11 @@ def _sub_shift(state: list[int], inverse: bool) -> list[int]:
 
 
 def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    nr = len(rk) - 1
     state = [b ^ k for b, k in zip(block, rk[0])]
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         state = _sub_shift(state, inverse=False)
-        if rnd < 10:
+        if rnd < nr:
             state = sum(
                 (
                     _mix_single(state[4 * c : 4 * c + 4], (2, 3, 1, 1))
@@ -172,8 +181,9 @@ def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
 
 
 def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
-    state = [b ^ k for b, k in zip(block, rk[10])]
-    for rnd in range(9, -1, -1):
+    nr = len(rk) - 1
+    state = [b ^ k for b, k in zip(block, rk[nr])]
+    for rnd in range(nr - 1, -1, -1):
         state = _sub_shift(state, inverse=True)
         state = [b ^ k for b, k in zip(state, rk[rnd])]
         if rnd > 0:
@@ -323,3 +333,88 @@ def encrypt_bytes(okey: bytes, data: bytes, aes: bool, iv: bytes = b"") -> bytes
     if not aes:
         return rc4(okey, data)
     return aes_cbc_encrypt(okey, iv or bytes(16), data)
+
+
+# ---------------------------------------------------------------------------
+# V5 / AES-256 (R5: Adobe extension level 3; R6: ISO 32000-2 §7.6.4).
+# V5 derives NO per-object keys — every string/stream uses the 32-byte
+# file key directly (/CFM /AESV3), and the file key is wrapped in /UE
+# by an intermediate key derived from the user password.
+# ---------------------------------------------------------------------------
+
+
+def _aes_cbc_nopad(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    """Raw CBC with no padding (data length must be a block multiple) —
+    the mode Algorithm 2.B and the /UE key unwrap use."""
+    rk = _expand_key(key)
+    out = bytearray()
+    if encrypt:
+        prev = iv
+        for i in range(0, len(data), 16):
+            block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+            prev = _aes_encrypt_block(rk, block)
+            out += prev
+    else:
+        prev = iv
+        for i in range(0, len(data), 16):
+            block = data[i : i + 16]
+            out += bytes(
+                a ^ b for a, b in zip(_aes_decrypt_block(rk, block), prev)
+            )
+            prev = block
+    return bytes(out)
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 iterated hash: SHA-256 seed,
+    then rounds of AES-128-CBC(K[:16], iv=K[16:32]) over 64 copies of
+    (password + K + udata), picking SHA-256/384/512 by the first 16
+    bytes of E mod 3; stops after round >= 64 once E's last byte <=
+    round - 32. (R5 uses the plain SHA-256 seed only.)"""
+    k = hashlib.sha256(password + salt + udata).digest()
+    rnd = 0
+    while True:
+        rnd += 1
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_nopad(k[:16], k[16:32], k1, encrypt=True)
+        # first 16 bytes as a big-endian int mod 3 == byte-sum mod 3
+        pick = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[pick](e).digest()
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _v5_user_hash(password: bytes, salt: bytes, r: int) -> bytes:
+    if r == 5:
+        return hashlib.sha256(password + salt).digest()
+    return hash_2b(password, salt)
+
+
+def authenticate_empty_user_v5(
+    u_entry: bytes, ue_entry: bytes, r: int
+) -> bytes | None:
+    """V5 (R5/R6) user-password path with the EMPTY password:
+    /U = hash(32) || validation salt(8) || key salt(8); on a hash
+    match, the 32-byte FILE key is the /UE unwrap under the
+    intermediate key from the key salt. None when the password is
+    real or the entries are malformed."""
+    if len(u_entry) < 48 or len(ue_entry) < 32:
+        return None
+    vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+    if _v5_user_hash(b"", vsalt, r) != u_entry[:32]:
+        return None
+    intermediate = _v5_user_hash(b"", ksalt, r)
+    return _aes_cbc_nopad(intermediate, bytes(16), ue_entry[:32], encrypt=False)
+
+
+def make_u_ue_v5(
+    file_key: bytes, r: int, password: bytes = b""
+) -> tuple[bytes, bytes]:
+    """Fixture-builder direction: (/U, /UE) for a user password (empty
+    by default) with deterministic salts."""
+    vsalt = hashlib.md5(b"vsalt").digest()[:8]
+    ksalt = hashlib.md5(b"ksalt").digest()[:8]
+    u = _v5_user_hash(password, vsalt, r) + vsalt + ksalt
+    intermediate = _v5_user_hash(password, ksalt, r)
+    ue = _aes_cbc_nopad(intermediate, bytes(16), file_key, encrypt=True)
+    return u, ue

@@ -32,17 +32,19 @@ bytes:
 Round 9 (VERDICT r8 #4): encrypted PDFs with an EMPTY USER PASSWORD —
 the overwhelming majority of "encrypted" regulatory filings are
 owner-password-only — are DECRYPTED and sliced: the standard security
-handler (PDF 32000-1 §7.6.3) with RC4-40/128 (V1/V2, R2/R3) and
-AES-128-CBC (V4/R4 ``/CFM /AESV2``), key material verified against
-``/U`` before any decryption (sources/pdf_crypt.py). The sliced output
-is re-serialized UNENCRYPTED (the trailer the slicer writes has no
-``/Encrypt``), so downstream consumers see plaintext pages.
+handler with RC4-40/128 (V1/V2, R2/R3), AES-128-CBC (V4/R4
+``/CFM /AESV2``, PDF 32000-1 §7.6.3) and AES-256-CBC (V5/R5/R6
+``/CFM /AESV3``, ISO 32000-2 §7.6.4 incl. the Algorithm 2.B iterated
+hash), key material verified against ``/U`` before any decryption
+(sources/pdf_crypt.py). The sliced output is re-serialized UNENCRYPTED
+(the trailer the slicer writes has no ``/Encrypt``), so downstream
+consumers see plaintext pages.
 
 Out of subset — returns ``None`` and the caller passes the document
 through untouched (the same lenient contract as before): encrypted
-PDFs the handler can't open (a real user password, V5/AES-256, or a
-non-Standard filter), ObjStm with non-Flate filters when the page tree
-is inside, and structurally broken files. Linearization hints and
+PDFs the handler can't open (a real user password or a non-Standard
+filter), ObjStm with non-Flate filters when the page tree is inside,
+and structurally broken files. Linearization hints and
 incremental-update ordering are handled by last-definition-wins.
 
 Pure bytes-in/bytes-out, so it runs unchanged inside the executors'
@@ -394,48 +396,59 @@ def _decrypt_in_place(content: bytes, objs: dict[int, _Obj]) -> bool:
     p_m = re.search(rb"/P\s+(-?\d+)", enc_body)
     v = int(v_m.group(1)) if v_m else 0
     r = int(r_m.group(1)) if r_m else 0
-    if v not in (1, 2, 4) or r not in (2, 3, 4) or p_m is None:
+    if v not in (1, 2, 4, 5) or r not in (2, 3, 4, 5, 6) or p_m is None:
         return False
     len_m = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", enc_body)
     length_bits = int(len_m.group(1)) if len_m else 40
-    if length_bits % 8 or not 40 <= length_bits <= 128:
-        return False
     aes = False
-    if v == 4:
-        # crypt filters: only /StdCF with /CFM /V2 (RC4) or /AESV2
+    if v in (4, 5):
+        # crypt filters: only /StdCF with /CFM /V2 (RC4), /AESV2, /AESV3
         cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
         stmf = re.search(rb"/StmF\s*/(\w+)", enc_body)
         strf = re.search(rb"/StrF\s*/(\w+)", enc_body)
-        if cfm is None or cfm.group(1) not in (b"V2", b"AESV2"):
+        allowed = (b"AESV3",) if v == 5 else (b"V2", b"AESV2")
+        if cfm is None or cfm.group(1) not in allowed:
             return False
         for f in (stmf, strf):
             if f is None or f.group(1) != b"StdCF":
                 return False  # /Identity or per-class filters: decline
-        aes = cfm.group(1) == b"AESV2"
-        if aes:
+        aes = cfm.group(1) in (b"AESV2", b"AESV3")
+        if cfm.group(1) == b"AESV2":
             length_bits = 128  # AESV2 is AES-128 by definition
-    o_entry = _dict_string(enc_body, b"O")
     u_entry = _dict_string(enc_body, b"U")
-    if o_entry is None or u_entry is None:
+    if u_entry is None:
         return False
     encrypt_metadata = (
         re.search(rb"/EncryptMetadata\s+false", enc_body) is None
     )
-    key = C.authenticate_empty_user(
-        o_entry,
-        u_entry,
-        int(p_m.group(1)),
-        _file_id0(content),
-        r,
-        length_bits,
-        encrypt_metadata,
-    )
+    if v == 5:
+        # AES-256: the 32-byte file key unwraps from /UE; every object
+        # uses it DIRECTLY (no per-object key in V5)
+        ue_entry = _dict_string(enc_body, b"UE")
+        if ue_entry is None:
+            return False
+        key = C.authenticate_empty_user_v5(u_entry, ue_entry, r)
+    else:
+        if length_bits % 8 or not 40 <= length_bits <= 128:
+            return False
+        o_entry = _dict_string(enc_body, b"O")
+        if o_entry is None:
+            return False
+        key = C.authenticate_empty_user(
+            o_entry,
+            u_entry,
+            int(p_m.group(1)),
+            _file_id0(content),
+            r,
+            length_bits,
+            encrypt_metadata,
+        )
     if key is None:
         return False  # genuinely passworded
     del objs[enc_num]  # /O //U must never be decrypted; trailer drops it
     for num in list(objs):
         body, data = objs[num]
-        okey = C.object_key(key, num, 0, aes)
+        okey = key if v == 5 else C.object_key(key, num, 0, aes)
         body = _map_strings(body, lambda raw, k=okey: C.decrypt_bytes(k, raw, aes))
         if data is not None:
             if not encrypt_metadata and re.search(
@@ -552,10 +565,11 @@ def _parse(content: bytes):
     """Shared front half: ((objs, root_num, pages_num, leaves), "ok")
     or (None, reason) with reason one of ``not-pdf`` / ``encrypted``
     (the standard handler could NOT open it with the empty user
-    password — a real password, V5/AES-256, or a non-Standard filter) /
+    password — a real password or a non-Standard filter) /
     ``objstm-filter`` (page tree likely inside a codec-unsupported
-    object stream) / ``broken``. Empty-user-password RC4/AES-128 files
-    are decrypted here and parse like plaintext (round 9)."""
+    object stream) / ``broken``. Empty-user-password RC4 / AES-128 /
+    AES-256 files are decrypted here and parse like plaintext
+    (round 9)."""
     if not content.startswith(b"%PDF"):
         return None, "not-pdf"
     encrypted = _ENCRYPT_RE.search(content) is not None
