@@ -1,9 +1,9 @@
 """Round-9 contract (VERDICT r8 #4): encrypted PDFs with an EMPTY user
-password — RC4-40 (V1/R2), RC4-128 (V2/R3) and AES-128-CBC (V4/R4
-/AESV2), the overwhelming majority of "encrypted" regulatory filings —
-decrypt and slice to status ``sliced`` on the zero-dependency path;
-genuinely user-passworded and out-of-subset (V5/AES-256) files keep
-the ``passthrough:encrypted`` status.
+password — RC4-40 (V1/R2), RC4-128 (V2/R3), AES-128-CBC (V4/R4
+/AESV2) and AES-256-CBC (V5/R5 and V5/R6 incl. the ISO 32000-2
+Algorithm 2.B iterated hash) — decrypt and slice to status ``sliced``
+on the zero-dependency path; genuinely user-passworded and
+unknown-revision files keep the ``passthrough:encrypted`` status.
 
 The fixture builder runs the SAME spec algorithms (pdf_crypt.py) in
 the encrypt direction, so fixtures and decryptor cross-check each
@@ -277,3 +277,31 @@ def test_endstream_to_endobj_gap_is_uncapped():
     assert count_pages(pdf2) == 3
     sliced, status = slice_pdf(pdf2, 2)
     assert status == "sliced" and count_pages(sliced) == 2
+
+
+def test_slice_pages_spark_path_decrypts(spark, tmp_path):
+    """End-to-end through the mapInPandas operator: an encrypted
+    (empty-user-password) PDF in a binaryFile corpus comes out
+    DECRYPTED and truncated on the zero-dependency path, status
+    ``sliced`` — while a genuinely passworded sibling keeps
+    ``passthrough:encrypted`` (the round-9 taxonomy refinement)."""
+    from x17a5_spark.sources.binary_docs import read_document_corpus, slice_pages
+
+    (tmp_path / "1-2021-03-31.pdf").write_bytes(
+        _encrypt_pdf(_plain_with_title(5), v=4, r=4, length_bits=128)
+    )
+    (tmp_path / "2-2021-06-30.pdf").write_bytes(
+        _encrypt_pdf(
+            _plain_with_title(5), v=2, r=3, length_bits=128, user_pwd=b"nope"
+        )
+    )
+    df = read_document_corpus(spark, str(tmp_path))
+    out = {
+        r["cik"]: r
+        for r in slice_pages(df, max_pages=2, status_col="slice_status").collect()
+    }
+    assert out["1"]["slice_status"] == "sliced"
+    sliced = bytes(out["1"]["content"])
+    assert count_pages(sliced) == 2
+    assert b"PAYLOAD-PAGE-1" in sliced and b"/Encrypt" not in sliced
+    assert out["2"]["slice_status"] == "passthrough:encrypted"
