@@ -161,6 +161,9 @@ HEADLINE = [
     # round 8: delimiter-mode paragraph dedup (structural split +
     # fixed-width chunking of oversized spans only)
     "d16_paragraph_dedup_delim",
+    # round 9: eval-set n-gram decontamination (broadcast semi-join
+    # shape — the corpus gram set never shuffles)
+    "t30_decontamination",
 ]
 
 

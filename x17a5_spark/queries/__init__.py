@@ -173,9 +173,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # gained empty-user-password PDF decryption — RC4-40/128, AES-128,
 # AES-256 (V5/R5/R6),
 # pdf_mini.py + pdf_crypt.py; e1's own plan unchanged).
-# OUT — t19_hll_distinct, t27_countmin, t28_moments_sketch: all
-# hash-green in CORRECTNESS_r08 and untouched this round (the local
-# gate still value-checks them every run).
+# IN — t30_decontamination (NEW this round: eval-set n-gram
+# contamination check, the GPT-3/Llama-style decontamination step —
+# eval gram-hash set broadcast against the corpus explode so the
+# corpus gram set never shuffles; first-ever row).
+# OUT — t19_hll_distinct, t27_countmin, t28_moments_sketch,
+# t26_token_entropy: all hash-green in CORRECTNESS_r08 and untouched
+# this round (the local gate still value-checks them every run).
 
 # Round-5 rotation (verdict ask #3 + the never-ride-a-stale-row rule):
 # IN — a18_histogram and s4_pq_adc (both changed in round 4 on standing
@@ -244,7 +248,7 @@ WINDOW_ORDER = [
     "t17_bpe_pair_counts",
     "t18_bpe_train",
     "t29_ngram_novelty",
-    "t26_token_entropy",
+    "t30_decontamination",
     "t22_boilerplate_removal",
     "t23_quality_sampling",
     # --- corpus-prep + packing layer ---

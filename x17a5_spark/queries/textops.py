@@ -1093,6 +1093,146 @@ LEFT JOIN novel29 v USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# T30 — eval-set decontamination (the standard LLM pre-training step:
+# GPT-3 appendix C / Llama-style 13-gram overlap checks, here k=7 over
+# the synthetic ~30-word vocabulary so chance collisions stay rare
+# while the planted 90%-prefix twins light up). Every eval document is
+# scored by the fraction of its distinct word k-grams that appear
+# ANYWHERE in the training corpus; docs over the threshold are flagged
+# for removal from the benchmark (or the corpus, depending on policy).
+#
+# 100-TB shape — the corpus gram set is NEVER shuffled: the eval side
+# is small by nature (benchmarks are thousands of docs), so its
+# distinct gram-hash set BROADCASTS, the corpus explode is filtered by
+# a broadcast left-semi join (a map-side scan at any corpus size), and
+# only the surviving hits — bounded by |eval grams| — are distinct'd
+# and broadcast back for the per-doc rate. Grams travel as the proven
+# 56-bit md5 LONG (the d3 cross-engine hash; collisions are ~2^-56 AND
+# identical on both engines). At real scale the broadcast semi-join
+# would be a bloom filter pushed into the corpus scan (j11's
+# machinery); exact set semantics keep the oracle twin hash-exact here.
+# ---------------------------------------------------------------------------
+
+T30_GRAM_K = 7
+T30_EVAL_MOD = 23  # doc_id % 23 == 0 -> the held-out "benchmark" docs
+T30_THRESHOLD = 0.2
+
+
+def t30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.functions.text import word_shingles
+    from x17a5_spark.queries.dedup import D3_HEX_CHARS, _augmented_docs
+
+    def hash56(c):
+        return F.conv(F.substring(F.md5(c), 2, D3_HEX_CHARS), 16, 10).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.filter(F.col("doc_id") % T30_EVAL_MOD == 0)
+    # training corpus = originals + perturbed twins, MINUS the eval docs
+    # themselves. Half the eval docs' twins are scrubbed too (the
+    # "benchmark authors decontaminated these" half), so the output has
+    # a real clean/dirty mix: un-scrubbed eval docs flag through their
+    # planted 90%-prefix twin, scrubbed ones stay near zero — except
+    # any with a NATURAL near-copy elsewhere in the corpus, which is
+    # precisely what the check exists to catch.
+    corpus = _augmented_docs(spark, sf_dir).filter(
+        ~((F.col("doc_id") % T30_EVAL_MOD == 0) & (F.col("doc_id") < 100000))
+        & ~(
+            (F.col("doc_id") >= 100000)
+            & ((F.col("doc_id") - 100000) % (2 * T30_EVAL_MOD) == 0)
+        )
+    )
+    eval_grams = eval_docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), T30_GRAM_K))
+        ).alias("gram"),
+    ).select("doc_id", hash56(F.col("gram")).alias("g"))
+    eval_set = eval_grams.select("g").distinct()
+    corpus_grams = corpus.select(
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), T30_GRAM_K))
+        ).alias("gram")
+    ).select(hash56(F.col("gram")).alias("g"))
+    hits = (
+        corpus_grams.join(F.broadcast(eval_set), "g", "left_semi")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        eval_grams.join(F.broadcast(hits), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_hits").alias("n_contaminated"),
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias(
+                "contamination_rate"
+            ),
+            (F.col("n_hits") / F.col("n_grams") >= T30_THRESHOLD)
+            .cast("int")
+            .alias("flagged"),
+        )
+    )
+
+
+def _t30_grams_sql(src: str, k: int = T30_GRAM_K) -> str:
+    """DuckDB k-gram CTE body over CTE ``src`` (doc_id, text) — the
+    same token/shingle construction as dedup._shingles_sql, scoped to
+    t30's k."""
+    terms = " || ' ' || ".join(
+        "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(k)
+    )
+    return f"""
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - {k - 1}, 0) + 1),
+                          i -> {terms})))
+         AS gram
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+        FROM {src})
+"""
+
+
+def _t30_sql() -> str:
+    from x17a5_spark.queries.dedup import _AUG_SQL, D3_HEX_CHARS
+
+    return f"""
+WITH {_AUG_SQL.strip()},
+eval_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {T30_EVAL_MOD} = 0
+),
+corpus AS (
+  SELECT * FROM aug
+  WHERE NOT (doc_id % {T30_EVAL_MOD} = 0 AND doc_id < 100000)
+    AND NOT (doc_id >= 100000 AND (doc_id - 100000) % {2 * T30_EVAL_MOD} = 0)
+),
+eval_grams AS (
+  SELECT doc_id, CAST('0x' || md5(gram)[2:{1 + D3_HEX_CHARS}] AS BIGINT) AS g
+  FROM ({_t30_grams_sql("eval_docs").strip()})
+),
+corpus_g AS (
+  SELECT DISTINCT CAST('0x' || md5(gram)[2:{1 + D3_HEX_CHARS}] AS BIGINT) AS g
+  FROM ({_t30_grams_sql("corpus").strip()})
+),
+hits AS (
+  SELECT DISTINCT e.g FROM corpus_g c JOIN (SELECT DISTINCT g FROM eval_grams) e
+    ON c.g = e.g
+)
+SELECT eg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(h.g) AS BIGINT) AS n_contaminated,
+       round(count(h.g) / count(*), 6) AS contamination_rate,
+       CAST(count(h.g) / count(*) >= {T30_THRESHOLD} AS INT) AS flagged
+FROM eval_grams eg LEFT JOIN hits h ON eg.g = h.g
+GROUP BY eg.doc_id
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -1110,6 +1250,7 @@ QUERIES = {
     "t26_token_entropy": t26_token_entropy,
     "e8_bpe_tokenize": e8_bpe_tokenize,
     "t29_ngram_novelty": t29_ngram_novelty,
+    "t30_decontamination": t30_decontamination,
 }
 
 ORACLES = {
@@ -1128,4 +1269,5 @@ ORACLES = {
     "t26_token_entropy": T26_SQL,
     "e8_bpe_tokenize": E8_SQL,
     "t29_ngram_novelty": T29_SQL,
+    "t30_decontamination": _t30_sql(),
 }
