@@ -666,3 +666,40 @@ def test_k11_length_banding_cuts_padding_waste(spark):
             r["n_docs"] * r["max_tokens"] - r["sum_tokens"] for r in batches
         )
     assert waste["length_banded"] < waste["arrival"], waste
+
+
+def test_t30_decontamination_separates_planted_leaks(spark):
+    """t30's fixture plants a clean/dirty mix: eval docs whose
+    90%-prefix twin stays in the corpus must flag with high rates;
+    scrubbed eval docs stay low — EXCEPT ones with a natural cross-doc
+    near-copy, which must still flag (the leak class the check exists
+    for). Verified structurally: every un-scrubbed eval doc is flagged,
+    and its rate is consistent with the twin construction (>= 0.5)."""
+    from x17a5_spark.queries.textops import (
+        T30_EVAL_MOD,
+        t30_decontamination,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in t30_decontamination(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert rows, "no eval docs at sf0.01"
+    scrub_mod = 2 * T30_EVAL_MOD
+    leaky = [r for d, r in rows.items() if d % scrub_mod != 0]
+    scrubbed = [r for d, r in rows.items() if d % scrub_mod == 0]
+    assert leaky and scrubbed
+    # every doc whose twin stayed in the corpus is caught, strongly
+    for r in leaky:
+        assert r["flagged"] == 1 and r["contamination_rate"] >= 0.5, dict(r.asDict())
+    # scrubbed docs split: mostly clean, any flagged one must be a
+    # genuine near-copy (high rate), never a borderline threshold case
+    for r in scrubbed:
+        assert r["contamination_rate"] <= 0.1 or r["contamination_rate"] >= 0.5, (
+            dict(r.asDict())
+        )
+    assert any(r["flagged"] == 0 for r in scrubbed), "no clean eval docs"
+    # rate bookkeeping is exact
+    for r in rows.values():
+        assert 0 <= r["n_contaminated"] <= r["n_grams"]
+        assert abs(r["contamination_rate"] - r["n_contaminated"] / r["n_grams"]) < 1e-6
