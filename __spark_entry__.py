@@ -4,7 +4,7 @@
 sf0.001; ``queries()`` exposes every implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
 gives the DuckDB-equivalent SQL for each hash-checkable query
-(180 queries / 179 oracles). The single query without an oracle entry
+(181 queries / 180 oracles). The single query without an oracle entry
 is the genuinely non-SQL-expressible iterative BPE training kernel
 (``t18_bpe_train``) — verified by golden tests under tests/.
 """

@@ -703,3 +703,23 @@ def test_t30_decontamination_separates_planted_leaks(spark):
     for r in rows.values():
         assert 0 <= r["n_contaminated"] <= r["n_grams"]
         assert abs(r["contamination_rate"] - r["n_contaminated"] / r["n_grams"]) < 1e-6
+
+
+def test_t31_pii_scrub_detects_planted_and_spares_clean(spark):
+    """t31's planted layer gives every 5th doc exactly one email, one
+    phone and one SSN; redaction must change exactly those docs and
+    leave every other document byte-identical (unchanged flag)."""
+    from x17a5_spark.queries.textops import t31_pii_scrub
+
+    rows = t31_pii_scrub(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        if r["doc_id"] % 5 == 0:
+            assert (r["n_emails"], r["n_phones"], r["n_ssns"]) == (1, 1, 1), dict(
+                r.asDict()
+            )
+            assert r["pii_total"] == 3 and r["is_clean"] == 0 and r["unchanged"] == 0
+        else:
+            assert r["pii_total"] == 0 and r["is_clean"] == 1 and r["unchanged"] == 1, (
+                dict(r.asDict())
+            )

@@ -176,10 +176,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # IN — t30_decontamination (NEW this round: eval-set n-gram
 # contamination check, the GPT-3/Llama-style decontamination step —
 # eval gram-hash set broadcast against the corpus explode so the
-# corpus gram set never shuffles; first-ever row).
+# corpus gram set never shuffles; first-ever row) and t31_pii_scrub
+# (NEW this round: PII detection + redaction with a planted
+# deterministic positive class; pure codegen scalar chain; first-ever
+# row).
 # OUT — t19_hll_distinct, t27_countmin, t28_moments_sketch,
-# t26_token_entropy: all hash-green in CORRECTNESS_r08 and untouched
-# this round (the local gate still value-checks them every run).
+# t26_token_entropy, t22_boilerplate_removal: all hash-green in
+# CORRECTNESS_r08 and untouched this round (the local gate still
+# value-checks them every run).
 
 # Round-5 rotation (verdict ask #3 + the never-ride-a-stale-row rule):
 # IN — a18_histogram and s4_pq_adc (both changed in round 4 on standing
@@ -249,7 +253,7 @@ WINDOW_ORDER = [
     "t18_bpe_train",
     "t29_ngram_novelty",
     "t30_decontamination",
-    "t22_boilerplate_removal",
+    "t31_pii_scrub",
     "t23_quality_sampling",
     # --- corpus-prep + packing layer ---
     "k9_concat_chunking",

@@ -1233,6 +1233,112 @@ GROUP BY eg.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# T31 — PII detection + redaction (the CCNet/Dolma scrub step): per
+# document, count email / phone / SSN-shaped spans, replace each with a
+# class token, and fingerprint the redacted text so downstream stages
+# can verify they consumed the SCRUBBED corpus (redacted fingerprint ≠
+# raw fingerprint exactly on the docs that had PII). The synthetic
+# corpus carries no PII, so a deterministic planted layer adds a
+# contact sentence (email + phone + SSN derived from doc_id with pure
+# arithmetic/lpad — identical on both engines) to every 5th document;
+# the other docs are the negative class.
+#
+# Patterns use only character classes, bounded quantifiers and \b so
+# Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte — the t5
+# cross-engine regex discipline. Scale: pure codegen scalar chain, no
+# exchange; at 100 TB it is an embarrassingly parallel scan.
+# ---------------------------------------------------------------------------
+
+T31_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+T31_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+T31_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def t31_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True).select(
+        "doc_id", "text"
+    )
+    did = F.col("doc_id")
+    contact = F.concat(
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((did % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn "),
+        F.lpad((did % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 90 + 10).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    planted = F.when(did % 5 == 0, F.concat(F.col("text"), contact)).otherwise(
+        F.col("text")
+    )
+    # SSN first: the phone pattern (3-3-4) can never match a 3-2-4 SSN,
+    # but redacting SSNs before phones makes the order-independence
+    # explicit rather than incidental
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, T31_SSN, "<SSN>"), T31_PHONE, "<PHONE>"
+        ),
+        T31_EMAIL,
+        "<EMAIL>",
+    )
+    n_email = F.regexp_count(planted, F.lit(T31_EMAIL))
+    n_phone = F.regexp_count(planted, F.lit(T31_PHONE))
+    n_ssn = F.regexp_count(planted, F.lit(T31_SSN))
+    total = n_email + n_phone + n_ssn
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        n_ssn.alias("n_ssns"),
+        total.alias("pii_total"),
+        (total == 0).cast("int").alias("is_clean"),
+        F.md5(redacted).alias("redacted_fingerprint"),
+        (F.md5(redacted) == F.md5(planted)).cast("int").alias("unchanged"),
+    )
+
+
+T31_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 555-'
+                || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' ssn '
+                || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS text
+  FROM documents
+),
+r AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '{T31_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(text, '{T31_PHONE}')) AS n_phones,
+         len(regexp_extract_all(text, '{T31_SSN}')) AS n_ssns,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{T31_SSN}', '<SSN>', 'g'),
+             '{T31_PHONE}', '<PHONE>', 'g'),
+           '{T31_EMAIL}', '<EMAIL>', 'g') AS redacted
+  FROM planted
+)
+SELECT doc_id, n_emails, n_phones, n_ssns,
+       n_emails + n_phones + n_ssns AS pii_total,
+       CAST(n_emails + n_phones + n_ssns = 0 AS INT) AS is_clean,
+       md5(redacted) AS redacted_fingerprint,
+       CAST(md5(redacted) = md5(text) AS INT) AS unchanged
+FROM r
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -1251,6 +1357,7 @@ QUERIES = {
     "e8_bpe_tokenize": e8_bpe_tokenize,
     "t29_ngram_novelty": t29_ngram_novelty,
     "t30_decontamination": t30_decontamination,
+    "t31_pii_scrub": t31_pii_scrub,
 }
 
 ORACLES = {
@@ -1270,4 +1377,5 @@ ORACLES = {
     "e8_bpe_tokenize": E8_SQL,
     "t29_ngram_novelty": T29_SQL,
     "t30_decontamination": _t30_sql(),
+    "t31_pii_scrub": T31_SQL,
 }
