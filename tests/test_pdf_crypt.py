@@ -86,10 +86,13 @@ def _encrypt_pdf(
     length_bits: int,
     owner_pwd: bytes = b"owner-secret",
     user_pwd: bytes = b"",
+    cfm: bytes = b"AESV2",
+    gens: dict[int, int] | None = None,
 ) -> bytes:
     objs = _scan_objects(content)
     root = _find_root(content, objs)
-    aes = v in (4, 5)
+    gens = gens or {}
+    aes = v == 5 or (v == 4 and cfm == b"AESV2")
     if v == 5:
         # AES-256: one 32-byte file key, wrapped in /UE; O/OE are
         # owner-path entries the empty-user decryptor never touches
@@ -102,7 +105,7 @@ def _encrypt_pdf(
         u = C.compute_u(key, FILE_ID0, r)
     enc_objs: dict[int, tuple[bytes, bytes | None]] = {}
     for num, (body, data) in objs.items():
-        okey = key if v == 5 else C.object_key(key, num, 0, aes)
+        okey = key if v == 5 else C.object_key(key, num, gens.get(num, 0), aes)
         iv = hashlib.md5(b"iv%d" % num).digest()
         body = _map_strings(
             body, lambda raw, k=okey, s=iv: C.encrypt_bytes(k, raw, aes, iv=s)
@@ -133,11 +136,11 @@ def _encrypt_pdf(
         )
     elif v == 4:
         enc_body = (
-            b"<< /Filter /Standard /V 4 /R 4 /Length 128"
-            b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+            b"<< /Filter /Standard /V 4 /R 4 /Length %d"
+            b" /CF << /StdCF << /CFM /%s /Length 16 >> >>"
             b" /StmF /StdCF /StrF /StdCF"
             b" /O <%s> /U <%s> /P %d >>"
-            % (o.hex().encode(), u.hex().encode(), PERMS)
+            % (length_bits, cfm, o.hex().encode(), u.hex().encode(), PERMS)
         )
     else:
         enc_body = (
@@ -152,7 +155,7 @@ def _encrypt_pdf(
     for num in sorted(enc_objs):
         body, data = enc_objs[num]
         offsets[num] = len(out)
-        out += b"%d 0 obj\n" % num + body
+        out += b"%d %d obj\n" % (num, gens.get(num, 0)) + body
         if data is not None:
             out += b"\nstream\n" + data + b"\nendstream"
         out += b"\nendobj\n"
@@ -305,3 +308,67 @@ def test_slice_pages_spark_path_decrypts(spark, tmp_path):
     assert count_pages(sliced) == 2
     assert b"PAYLOAD-PAGE-1" in sliced and b"/Encrypt" not in sliced
     assert out["2"]["slice_status"] == "passthrough:encrypted"
+
+
+# ---------------------------------------------------------------------------
+# code-review r9 regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_literal_escape_8_9_do_not_crash():
+    """\\8 and \\9 are NOT octal escapes — the spec drops the backslash
+    and keeps the digit; the old int(.., 8) raised ValueError, killing
+    the whole mapInPandas batch on real-world encrypted PDFs."""
+    from x17a5_spark.sources.pdf_mini import _parse_literal
+
+    raw, end = _parse_literal(rb"(a\8b\9)", 0)
+    assert raw == b"a8b9" and end == 8
+    # octal escapes stop at non-octal digits: \011 is tab, \08 is
+    # chr(0) followed by a literal '8'
+    assert _parse_literal(rb"(\011x)", 0)[0] == b"\tx"
+    assert _parse_literal(rb"(\08)", 0)[0] == b"\x008"
+    # end-to-end leniency: an encrypted file whose catalog contains a
+    # \8 literal still decrypts and slices
+    pdf = _plain_with_title(5).replace(b"(secret-title)", b"(se\\8cret)")
+    enc = _encrypt_pdf(pdf, v=1, r=2, length_bits=40)
+    _, status = slice_pdf(enc, 2)
+    assert status == "sliced"
+
+
+def test_cf_dict_written_before_top_level_length():
+    """The top-level /Length (key bits) must not be confused with the
+    nested /CF crypt-filter /Length (bytes) when /CF is written first —
+    the old first-match regex read 16 and declined a decryptable V4/RC4
+    file."""
+    enc = _encrypt_pdf(
+        _plain_with_title(5), v=4, r=4, length_bits=128, cfm=b"V2"
+    )
+    reordered = enc.replace(
+        b"/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /V2 /Length 16 >> >>",
+        b"/V 4 /R 4 /CF << /StdCF << /CFM /V2 /Length 16 >> >> /Length 128",
+    )
+    assert reordered != enc  # the reorder actually applied
+    _assert_slices_decrypted("v4-rc4-cf-first", reordered)
+
+
+def test_v4_rc4_crypt_filter_slices():
+    """V4 with /CFM /V2 is RC4 under crypt filters — distinct from both
+    V2 (no CF) and V4/AESV2."""
+    _assert_slices_decrypted(
+        "v4-rc4", _encrypt_pdf(_plain_with_title(5), v=4, r=4, length_bits=128, cfm=b"V2")
+    )
+
+
+def test_nonzero_generation_objects_decrypt():
+    """The per-object key folds the GENERATION in (Algorithm 1); the
+    old decryptor hardcoded gen 0 and silently emitted garbage for
+    incrementally-updated objects at gen > 0."""
+    plain = _plain_with_title(5)
+    objs = _scan_objects(plain)
+    gens = {num: (1 if num % 2 else 2) for num in objs}  # all nonzero
+    for v, r, bits, cfm in ((1, 2, 40, b"AESV2"), (4, 4, 128, b"AESV2")):
+        enc = _encrypt_pdf(plain, v=v, r=r, length_bits=bits, cfm=cfm, gens=gens)
+        sliced, status = slice_pdf(enc, 2)
+        assert status == "sliced", (v, status)
+        assert b"PAYLOAD-PAGE-1" in sliced, v
+        assert b"secret-title".hex().encode() in sliced, v

@@ -85,6 +85,14 @@ def _d3_pack_guard(
 _d3_pack_guard()
 
 
+# The augmentation convention: perturbed twin ids are original id +
+# AUG_TWIN_OFFSET, which assumes max(doc_id) < AUG_TWIN_OFFSET for
+# every shipped lake (20× tops out at 99,999; t30 carries a
+# raise_error tripwire on the assumption). ONE constant, interpolated
+# into both engines — never a repeated literal (code-review r9).
+AUG_TWIN_OFFSET = 100000
+
+
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ perturbed near-duplicate copies (deterministic)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -93,17 +101,17 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's rounds, so the truncation must be explicit on both sides.
     keep = F.greatest(F.floor(F.size(toks) * 9 / 10).cast("int"), F.lit(1))
     copies = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + AUG_TWIN_OFFSET).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, keep)).alias("text"),
     )
     return docs.unionByName(copies)
 
 
-_AUG_SQL = """
+_AUG_SQL = f"""
 aug AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000,
+  SELECT doc_id + {AUG_TWIN_OFFSET},
          array_to_string(toks[1 : greatest(CAST(floor(len(toks) * 9 / 10) AS INT), 1)], ' ')
   FROM (SELECT doc_id,
                list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
@@ -111,19 +119,29 @@ aug AS (
 )
 """
 
-def _shingles_sql(k: int = D3_SHINGLE_K) -> str:
+
+def gram_body_sql(src: str, k: int, alias: str = "shingle") -> str:
+    """The cross-engine k-gram SELECT body over CTE ``src`` (doc_id,
+    text) — ONE spelling of the token-split/list_distinct/
+    list_transform construction shared by the d2/d3 shingle CTEs and
+    t30's decontamination grams (code-review r9: two hand-maintained
+    copies of an oracle-parity-critical builder can drift apart)."""
     terms = " || ' ' || ".join(
         "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(k)
     )
-    return f"""
-shingles AS (
-  SELECT doc_id, unnest(list_distinct(
+    return f"""  SELECT doc_id, unnest(list_distinct(
            list_transform(range(1, greatest(len(toks) - {k - 1}, 0) + 1),
                           i -> {terms})))
-         AS shingle
+         AS {alias}
   FROM (SELECT doc_id,
                list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
-        FROM aug)
+        FROM {src})"""
+
+
+def _shingles_sql(k: int = D3_SHINGLE_K) -> str:
+    return f"""
+shingles AS (
+{gram_body_sql("aug", k)}
 )
 """
 

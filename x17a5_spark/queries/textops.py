@@ -1121,13 +1121,35 @@ T30_THRESHOLD = 0.2
 
 def t30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from x17a5_spark.functions.text import word_shingles
-    from x17a5_spark.queries.dedup import D3_HEX_CHARS, _augmented_docs
+    from x17a5_spark.queries.dedup import (
+        AUG_TWIN_OFFSET,
+        D3_HEX_CHARS,
+        _augmented_docs,
+    )
 
     def hash56(c):
         return F.conv(F.substring(F.md5(c), 2, D3_HEX_CHARS), 16, 10).cast("long")
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    eval_docs = docs.filter(F.col("doc_id") % T30_EVAL_MOD == 0)
+    # fails-LOUD tripwire (the e11/d15 discipline): the scrub filter
+    # below distinguishes originals from twins by the AUG_TWIN_OFFSET
+    # id split — an original doc_id past the offset would silently
+    # self-contaminate every eval doc, so it raises instead
+    guarded_id = F.when(
+        F.col("doc_id") < AUG_TWIN_OFFSET, F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("t30: original doc_id reaches the twin-id offset "),
+                F.lit(str(AUG_TWIN_OFFSET)),
+                F.lit(": "),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    eval_docs = docs.select(guarded_id.alias("doc_id"), "text").filter(
+        F.col("doc_id") % T30_EVAL_MOD == 0
+    )
     # training corpus = originals + perturbed twins, MINUS the eval docs
     # themselves. Half the eval docs' twins are scrubbed too (the
     # "benchmark authors decontaminated these" half), so the output has
@@ -1136,10 +1158,13 @@ def t30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any with a NATURAL near-copy elsewhere in the corpus, which is
     # precisely what the check exists to catch.
     corpus = _augmented_docs(spark, sf_dir).filter(
-        ~((F.col("doc_id") % T30_EVAL_MOD == 0) & (F.col("doc_id") < 100000))
+        ~(
+            (F.col("doc_id") % T30_EVAL_MOD == 0)
+            & (F.col("doc_id") < AUG_TWIN_OFFSET)
+        )
         & ~(
-            (F.col("doc_id") >= 100000)
-            & ((F.col("doc_id") - 100000) % (2 * T30_EVAL_MOD) == 0)
+            (F.col("doc_id") >= AUG_TWIN_OFFSET)
+            & ((F.col("doc_id") - AUG_TWIN_OFFSET) % (2 * T30_EVAL_MOD) == 0)
         )
     )
     eval_grams = eval_docs.select(
@@ -1180,26 +1205,16 @@ def t30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _t30_grams_sql(src: str, k: int = T30_GRAM_K) -> str:
-    """DuckDB k-gram CTE body over CTE ``src`` (doc_id, text) — the
-    same token/shingle construction as dedup._shingles_sql, scoped to
-    t30's k."""
-    terms = " || ' ' || ".join(
-        "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(k)
-    )
-    return f"""
-  SELECT doc_id, unnest(list_distinct(
-           list_transform(range(1, greatest(len(toks) - {k - 1}, 0) + 1),
-                          i -> {terms})))
-         AS gram
-  FROM (SELECT doc_id,
-               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
-        FROM {src})
-"""
-
-
 def _t30_sql() -> str:
-    from x17a5_spark.queries.dedup import _AUG_SQL, D3_HEX_CHARS
+    # ONE k-gram spelling across the engine's oracles: dedup's
+    # gram_body_sql (code-review r9 — a second hand-maintained copy of
+    # the cross-engine tokenization could drift)
+    from x17a5_spark.queries.dedup import (
+        _AUG_SQL,
+        AUG_TWIN_OFFSET,
+        D3_HEX_CHARS,
+        gram_body_sql,
+    )
 
     return f"""
 WITH {_AUG_SQL.strip()},
@@ -1208,16 +1223,17 @@ eval_docs AS (
 ),
 corpus AS (
   SELECT * FROM aug
-  WHERE NOT (doc_id % {T30_EVAL_MOD} = 0 AND doc_id < 100000)
-    AND NOT (doc_id >= 100000 AND (doc_id - 100000) % {2 * T30_EVAL_MOD} = 0)
+  WHERE NOT (doc_id % {T30_EVAL_MOD} = 0 AND doc_id < {AUG_TWIN_OFFSET})
+    AND NOT (doc_id >= {AUG_TWIN_OFFSET}
+             AND (doc_id - {AUG_TWIN_OFFSET}) % {2 * T30_EVAL_MOD} = 0)
 ),
 eval_grams AS (
   SELECT doc_id, CAST('0x' || md5(gram)[2:{1 + D3_HEX_CHARS}] AS BIGINT) AS g
-  FROM ({_t30_grams_sql("eval_docs").strip()})
+  FROM ({gram_body_sql("eval_docs", T30_GRAM_K, alias="gram").strip()})
 ),
 corpus_g AS (
   SELECT DISTINCT CAST('0x' || md5(gram)[2:{1 + D3_HEX_CHARS}] AS BIGINT) AS g
-  FROM ({_t30_grams_sql("corpus").strip()})
+  FROM ({gram_body_sql("corpus", T30_GRAM_K, alias="gram").strip()})
 ),
 hits AS (
   SELECT DISTINCT e.g FROM corpus_g c JOIN (SELECT DISTINCT g FROM eval_grams) e

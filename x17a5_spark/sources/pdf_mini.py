@@ -114,7 +114,9 @@ def _skip_ws_comments(content: bytes, i: int) -> int:
 
 
 def _scan_objects(
-    content: bytes, verify_flate: bool = True
+    content: bytes,
+    verify_flate: bool = True,
+    gens: "dict[int, int] | None" = None,
 ) -> dict[int, _Obj] | None:
     """Sequential top-level object scan. Stream payloads are skipped by
     declared /Length (or by delimiter when indirect/wrong), so binary
@@ -123,7 +125,13 @@ def _scan_objects(
 
     ``verify_flate=False`` skips the delimiter-scan inflate sanity
     check — encrypted files' Flate streams only inflate AFTER
-    decryption, which happens downstream of this scan."""
+    decryption, which happens downstream of this scan.
+
+    ``gens``: optional out-param filled with each object's GENERATION
+    number (last definition wins, matching ``objs``) — the decryptor
+    needs it because the per-object RC4/AES key folds the generation
+    in; capturing it HERE (not by re-regexing the file) keeps binary
+    payload runs from aliasing object headers."""
     objs: dict[int, _Obj] = {}
     pos = 0
     while True:
@@ -131,6 +139,8 @@ def _scan_objects(
         if m is None:
             break
         num = int(m.group(1))
+        if gens is not None:
+            gens[num] = int(m.group(2))
         body_start = m.end()
         e_obj = content.find(b"endobj", body_start)
         limit = e_obj if e_obj != -1 else len(content)
@@ -251,9 +261,12 @@ def _parse_literal(body: bytes, start: int) -> tuple[bytes, int] | None:
             if e in _LIT_ESCAPES:
                 out += _LIT_ESCAPES[e]
                 i += 2
-            elif e.isdigit():
+            elif e and e in b"01234567":
+                # octal escape: ONLY 0-7 may extend it — \08 is octal
+                # "0" followed by a literal '8', and \8 (below) is not
+                # an octal escape at all (int(.., 8) would raise)
                 j = i + 1
-                while j < min(i + 4, n) and body[j : j + 1].isdigit():
+                while j < min(i + 4, n) and body[j : j + 1] in b"01234567":
                     j += 1
                 out.append(int(body[i + 1 : j], 8) & 0xFF)
                 i = j
@@ -261,7 +274,8 @@ def _parse_literal(body: bytes, start: int) -> tuple[bytes, int] | None:
                 i += 2
                 if e == b"\r" and body[i : i + 1] == b"\n":
                     i += 1
-            else:  # lone backslash: drop it, keep the char
+            else:  # lone backslash (incl. \8 \9 per spec): drop it,
+                # keep the char
                 out += e
                 i += 2
         elif c == b"(":
@@ -371,7 +385,11 @@ def _file_id0(content: bytes) -> bytes:
     return b"" if parsed is None else parsed[0]
 
 
-def _decrypt_in_place(content: bytes, objs: dict[int, _Obj]) -> bool:
+def _decrypt_in_place(
+    content: bytes,
+    objs: dict[int, _Obj],
+    gens: "dict[int, int] | None" = None,
+) -> bool:
     """Open the standard security handler with the EMPTY user password
     and decrypt every object's strings and stream payloads in place
     (sources/pdf_crypt.py). True on success; False declines to the
@@ -398,7 +416,13 @@ def _decrypt_in_place(content: bytes, objs: dict[int, _Obj]) -> bool:
     r = int(r_m.group(1)) if r_m else 0
     if v not in (1, 2, 4, 5) or r not in (2, 3, 4, 5, 6) or p_m is None:
         return False
-    len_m = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", enc_body)
+    # the TOP-LEVEL /Length (key bits): a nested /CF crypt-filter dict
+    # carries its own /Length (in BYTES), and a first-match regex over
+    # the whole body would read that one when /CF is written first —
+    # blank the balanced /CF subtree before searching
+    cf_sub = _dict_value(enc_body, b"CF")
+    top_body = enc_body.replace(cf_sub, b"", 1) if cf_sub else enc_body
+    len_m = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", top_body)
     length_bits = int(len_m.group(1)) if len_m else 40
     aes = False
     if v in (4, 5):
@@ -446,9 +470,14 @@ def _decrypt_in_place(content: bytes, objs: dict[int, _Obj]) -> bool:
     if key is None:
         return False  # genuinely passworded
     del objs[enc_num]  # /O //U must never be decrypted; trailer drops it
+    gens = gens or {}
     for num in list(objs):
         body, data = objs[num]
-        okey = key if v == 5 else C.object_key(key, num, 0, aes)
+        # the per-object key folds the object's GENERATION in (§7.6.2
+        # Algorithm 1) — gen 0 is the overwhelming case, but an
+        # incrementally-updated object at gen > 0 would silently
+        # decrypt to garbage under a hardcoded 0
+        okey = key if v == 5 else C.object_key(key, num, gens.get(num, 0), aes)
         body = _map_strings(body, lambda raw, k=okey: C.decrypt_bytes(k, raw, aes))
         if data is not None:
             if not encrypt_metadata and re.search(
@@ -575,10 +604,11 @@ def _parse(content: bytes):
     encrypted = _ENCRYPT_RE.search(content) is not None
     # encrypted Flate payloads only inflate after decryption, so the
     # delimiter-scan sanity check defers to the post-decrypt expansion
-    objs = _scan_objects(content, verify_flate=not encrypted)
+    gens: dict[int, int] = {}
+    objs = _scan_objects(content, verify_flate=not encrypted, gens=gens)
     if objs is None:
         return None, "broken"
-    if encrypted and not _decrypt_in_place(content, objs):
+    if encrypted and not _decrypt_in_place(content, objs, gens):
         return None, "encrypted"  # out of handler subset: pass through
     skipped = _expand_objstm(objs)
     # structural resolution failing AFTER codec-unsupported ObjStm
