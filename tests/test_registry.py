@@ -7,12 +7,12 @@ from __future__ import annotations
 
 from x17a5_spark.queries import DRIVER_WINDOW, WINDOW_ORDER, registry
 
-# the only window entries without a SQL oracle (genuinely
-# non-SQL-expressible; the driver records rows-only checks)
-# s2 gained a closed-form oracle in round 4; t19 gained one in round 5
-# (explicit md5-register HLL, exact-integer harmonic denominator); t18
-# is rows-only by design (iterative BPE, golden-checked in pytest)
-ROWS_ONLY = {"t18_bpe_train"}
+# window entries without a SQL oracle (genuinely non-SQL-expressible;
+# the driver records rows-only checks). s2 gained a closed-form oracle
+# in round 4; t19 in round 5 (explicit md5-register HLL); t18 in round
+# 10 (fixed-R merge rounds unrolled into a CTE chain — the g1/s7
+# unrolled-lineage pattern). The registry is now 100% oracle-backed.
+ROWS_ONLY: set[str] = set()
 
 
 def test_window_order_is_exactly_the_driver_window():

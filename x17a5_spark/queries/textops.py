@@ -356,10 +356,25 @@ FROM pairs GROUP BY 1 HAVING sum(freq) >= {T17_MIN_COUNT}
 # (F.aggregate): greedy left-to-right non-overlapping replacement,
 # exactly BPE's rule — no Python UDF in the loop. Per round the driver
 # collects ONE row (the argmax pair — a bounded decision, same pattern
-# as j11's bitmap), and the symbol table stays distributed. Not
-# SQL-expressible as one query (iterative argmax), so the driver check
-# is rows-only; the golden test recomputes the merge table with an
-# independent pure-Python BPE on the same corpus.
+# as j11's bitmap), and the symbol table stays distributed.
+#
+# Oracle (round 10): the R rounds are FIXED, so the iterative argmax
+# unrolls into a closed-form CTE chain — the same unrolled-lineage
+# pattern g1 (five power iterations) and s7 (two Lloyd rounds) already
+# use. Per round: pair-count over the vocab, argmax with the exact
+# Spark tiebreak (n DESC, pair ASC), then the greedy left-to-right
+# non-overlapping merge expressed as a separator-bounded string
+# replace. Each vocab row is serialized as SEP||sym||SEP||...||SEP;
+# the pattern SEP||a||SEP||b||SEP only matches symbol-aligned, and
+# plain replace() is non-overlapping left-to-right — exactly BPE's
+# greedy rule. One subtlety: adjacent eligible occurrences share one
+# separator char ("a b a b" -> the 2nd occurrence's leading SEP is
+# consumed by the 1st match), so the replace is applied TWICE; the
+# skipped occurrences are mutually non-adjacent after pass 1 (each is
+# flanked by a merged symbol), and a replacement ("ab" between SEPs)
+# can never create a new SEP||a||SEP||b||SEP site, so two passes are
+# exact. The golden test independently recomputes the merge table with
+# a pure-Python BPE on the same corpus.
 
 T18_ROUNDS = 4
 T18_SEP = "\u241f"  # symbol-boundary marker for the pair key
@@ -423,6 +438,73 @@ def t18_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges, "round int, left string, right string, pair_count long"
     )
 
+
+def _t18_unrolled_sql(rounds: int) -> str:
+    """Closed-form DuckDB twin of ``rounds`` BPE merge iterations.
+
+    See the T18 block comment for why the two-pass separator-bounded
+    ``replace`` is exactly the greedy non-overlapping merge.
+    """
+    sep = T18_SEP
+    parts = [
+        f"""
+WITH words AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS word
+  FROM documents
+),
+vocab0 AS (
+  SELECT '{sep}' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substr(word, CAST(i AS INT), 1)), '{sep}')
+         || '{sep}' AS s,
+         count(*) AS freq
+  FROM words GROUP BY 1
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"vocab{r - 1}"
+        parts.append(
+            f""",
+pairs{r} AS (
+  SELECT pair, sum(freq) AS n FROM (
+    SELECT freq,
+           unnest(list_transform(
+             range(1, len(lst)),
+             i -> lst[CAST(i AS INT)] || '{sep}' || lst[CAST(i AS INT) + 1]
+           )) AS pair
+    FROM (SELECT freq,
+                 list_filter(string_split(s, '{sep}'), x -> x <> '') AS lst
+          FROM {prev})
+  ) GROUP BY pair
+),
+top{r} AS (
+  SELECT {r} AS round,
+         string_split(pair, '{sep}')[1] AS a,
+         string_split(pair, '{sep}')[2] AS b,
+         n
+  FROM pairs{r} ORDER BY n DESC, pair ASC LIMIT 1
+),
+vocab{r} AS (
+  SELECT v.freq,
+         replace(replace(v.s,
+                   '{sep}' || t.a || '{sep}' || t.b || '{sep}',
+                   '{sep}' || t.a || t.b || '{sep}'),
+                 '{sep}' || t.a || '{sep}' || t.b || '{sep}',
+                 '{sep}' || t.a || t.b || '{sep}') AS s
+  FROM {prev} v CROSS JOIN top{r} t
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f'SELECT round, a AS "left", b AS "right",'
+        f" CAST(n AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append("\n" + union + "\nORDER BY round\n")
+    return "".join(parts)
+
+
+T18_SQL = _t18_unrolled_sql(T18_ROUNDS)
 
 
 # T19 — HyperLogLog approximate distinct next to the exact count, per
@@ -1383,6 +1465,7 @@ ORACLES = {
     "t4_fingerprint": T4_SQL,
     "t5_bpe_pieces": T5_SQL,
     "t17_bpe_pair_counts": T17_SQL,
+    "t18_bpe_train": T18_SQL,
     "t12_kmv_distinct": T12_SQL,
     "t19_hll_distinct": T19_SQL,
     "t27_countmin": T27_SQL,
