@@ -699,10 +699,48 @@ def test_t30_decontamination_separates_planted_leaks(spark):
             dict(r.asDict())
         )
     assert any(r["flagged"] == 0 for r in scrubbed), "no clean eval docs"
-    # rate bookkeeping is exact
+    # rate bookkeeping is exact (sub-k docs carry a NULL rate)
     for r in rows.values():
         assert 0 <= r["n_contaminated"] <= r["n_grams"]
-        assert abs(r["contamination_rate"] - r["n_contaminated"] / r["n_grams"]) < 1e-6
+        if r["n_grams"] == 0:
+            assert r["contamination_rate"] is None and r["flagged"] == 0
+        else:
+            assert (
+                abs(r["contamination_rate"] - r["n_contaminated"] / r["n_grams"])
+                < 1e-6
+            )
+
+
+def test_t30_sub_k_eval_docs_are_reported_not_dropped(spark, tmp_path):
+    """ADVICE r9: an eval doc with fewer than T30_GRAM_K tokens has no
+    shingles; it must still appear in the report as an explicit
+    n_grams=0 / flagged=0 row (rate NULL), not vanish in the explode."""
+    from x17a5_spark.queries.textops import (
+        T30_EVAL_MOD,
+        t30_decontamination,
+    )
+
+    rows = [
+        # eval (0 % 23 == 0) but only 3 tokens -> no 7-grams
+        (0, "too short doc", "en", "s", 13),
+        # eval with 10 tokens; its 90%-prefix twin stays in the corpus
+        # (23 is odd*23 -> not scrubbed), so it must flag
+        (T30_EVAL_MOD, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9", "en", "s", 29),
+        # non-eval filler
+        (1, "f0 f1 f2 f3 f4 f5 f6 f7 f8 f9 f10", "en", "s", 40),
+    ]
+    out_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(out_dir + "/documents.parquet")
+    got = {r["doc_id"]: r for r in t30_decontamination(spark, out_dir).collect()}
+    assert set(got) == {0, T30_EVAL_MOD}
+    sub_k = got[0]
+    assert sub_k["n_grams"] == 0 and sub_k["n_contaminated"] == 0
+    assert sub_k["contamination_rate"] is None and sub_k["flagged"] == 0
+    twin_hit = got[T30_EVAL_MOD]
+    assert twin_hit["n_grams"] == 4  # 10 tokens -> 4 distinct 7-grams
+    assert twin_hit["flagged"] == 1, dict(twin_hit.asDict())
 
 
 def test_t31_pii_scrub_detects_planted_and_spares_clean(spark):

@@ -1266,7 +1266,7 @@ def t30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    return (
+    scored = (
         eval_grams.join(F.broadcast(hits), "g", "left")
         .groupBy("doc_id")
         .agg(
@@ -1283,6 +1283,24 @@ def t30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") / F.col("n_grams") >= T30_THRESHOLD)
             .cast("int")
             .alias("flagged"),
+        )
+    )
+    # ADVICE r9: an eval doc shorter than k tokens yields no shingles
+    # and would vanish in the explode, silently under-counting eval
+    # coverage — report it as an explicit n_grams=0 clean row (rate
+    # NULL, like t29's novelty on empty docs). ``scored`` is bounded by
+    # the eval-doc count, so the re-attach broadcasts.
+    return (
+        eval_docs.select("doc_id")
+        .join(F.broadcast(scored), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+                "n_contaminated"
+            ),
+            F.col("contamination_rate"),
+            F.coalesce(F.col("flagged"), F.lit(0)).alias("flagged"),
         )
     )
 
@@ -1320,14 +1338,23 @@ corpus_g AS (
 hits AS (
   SELECT DISTINCT e.g FROM corpus_g c JOIN (SELECT DISTINCT g FROM eval_grams) e
     ON c.g = e.g
+),
+scored AS (
+  SELECT eg.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(h.g) AS BIGINT) AS n_contaminated,
+         round(count(h.g) / count(*), 6) AS contamination_rate,
+         CAST(count(h.g) / count(*) >= {T30_THRESHOLD} AS INT) AS flagged
+  FROM eval_grams eg LEFT JOIN hits h ON eg.g = h.g
+  GROUP BY eg.doc_id
 )
-SELECT eg.doc_id,
-       CAST(count(*) AS BIGINT) AS n_grams,
-       CAST(count(h.g) AS BIGINT) AS n_contaminated,
-       round(count(h.g) / count(*), 6) AS contamination_rate,
-       CAST(count(h.g) / count(*) >= {T30_THRESHOLD} AS INT) AS flagged
-FROM eval_grams eg LEFT JOIN hits h ON eg.g = h.g
-GROUP BY eg.doc_id
+-- sub-k eval docs have no shingles: report them as n_grams=0 clean rows
+SELECT e.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.n_contaminated, 0) AS n_contaminated,
+       s.contamination_rate,
+       COALESCE(s.flagged, 0) AS flagged
+FROM eval_docs e LEFT JOIN scored s USING (doc_id)
 """
 
 
