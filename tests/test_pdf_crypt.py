@@ -88,10 +88,15 @@ def _encrypt_pdf(
     user_pwd: bytes = b"",
     cfm: bytes = b"AESV2",
     gens: dict[int, int] | None = None,
+    file_id: bytes | None = None,
+    id_literal: bool = False,
+    identity_streams: frozenset[int] = frozenset(),
+    crypt_name: bytes = b"Identity",
 ) -> bytes:
     objs = _scan_objects(content)
     root = _find_root(content, objs)
     gens = gens or {}
+    fid = FILE_ID0 if file_id is None else file_id
     aes = v == 5 or (v == 4 and cfm == b"AESV2")
     if v == 5:
         # AES-256: one 32-byte file key, wrapped in /UE; O/OE are
@@ -101,8 +106,8 @@ def _encrypt_pdf(
         o, oe = b"\x00" * 48, b"\x00" * 32
     else:
         o = C.compute_o(owner_pwd, user_pwd, r, length_bits)
-        key = C.compute_key(user_pwd, o, PERMS, FILE_ID0, r, length_bits)
-        u = C.compute_u(key, FILE_ID0, r)
+        key = C.compute_key(user_pwd, o, PERMS, fid, r, length_bits)
+        u = C.compute_u(key, fid, r)
     enc_objs: dict[int, tuple[bytes, bytes | None]] = {}
     for num, (body, data) in objs.items():
         okey = key if v == 5 else C.object_key(key, num, gens.get(num, 0), aes)
@@ -110,7 +115,15 @@ def _encrypt_pdf(
         body = _map_strings(
             body, lambda raw, k=okey, s=iv: C.encrypt_bytes(k, raw, aes, iv=s)
         )
-        if data is not None:
+        if data is not None and num in identity_streams:
+            # /Crypt-filtered stream: stored PLAINTEXT per §7.4.10
+            body = (
+                b"<< /Filter /Crypt /DecodeParms << /Name /"
+                + crypt_name
+                + b" >> "
+                + body[2:]
+            )
+        elif data is not None:
             data = C.encrypt_bytes(okey, data, aes, iv=iv)
             # pin /Length (direct or indirect) to the encrypted payload
             if _LEN_ANY.search(body) is not None:
@@ -163,17 +176,19 @@ def _encrypt_pdf(
     out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(enc_objs) + 1)
     for num in sorted(enc_objs):
         out += b"%010d 00000 n \n" % offsets[num]
+    if id_literal:
+        esc = (
+            fid.replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(")
+            .replace(b")", b"\\)")
+        )
+        id_tok = b"(" + esc + b")"
+    else:
+        id_tok = b"<" + fid.hex().encode() + b">"
     out += (
         b"trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R"
-        b" /ID [ <%s> <%s> ] >>\nstartxref\n%d\n%%%%EOF\n"
-        % (
-            len(enc_objs) + 1,
-            root,
-            enc_num,
-            FILE_ID0.hex().encode(),
-            FILE_ID0.hex().encode(),
-            xref_at,
-        )
+        b" /ID [ %s %s ] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(enc_objs) + 1, root, enc_num, id_tok, id_tok, xref_at)
     )
     return bytes(out)
 
@@ -257,10 +272,84 @@ def test_unknown_revision_declines_to_encrypted():
     assert (out, status) == (None, "encrypted")
 
 
-def test_short_encrypted_doc_keeps_verbatim_bytes():
+def test_short_encrypted_doc_reserializes_decrypted():
+    """ADVICE r9: an encrypted file already within the page bound used
+    to return its ORIGINAL ciphertext bytes under ``short`` — exactly
+    the small files a consumer counting "short == readable plaintext"
+    would choke on. It now re-serializes decrypted under the distinct
+    ``short-decrypted`` status (plain short files stay verbatim)."""
     enc = _encrypt_pdf(_plain_with_title(2), v=1, r=2, length_bits=40)
     out, status = slice_pdf(enc, 10)
-    assert status == "short" and out == enc  # bytes-verbatim contract
+    assert status == "short-decrypted" and out != enc
+    assert count_pages(out) == 2
+    assert b"/Encrypt" not in out and b"PAYLOAD-PAGE-1" in out
+    # plaintext short files keep the bytes-verbatim contract
+    plain = _plain_with_title(2)
+    out2, status2 = slice_pdf(plain, 10)
+    assert (out2, status2) == (plain, "short")
+
+
+def test_aes_cbc_rejects_bad_pad_bytes():
+    """ADVICE r9: a mis-keyed payload whose last plaintext byte lands
+    in 1..16 must fall back to raw bytes (None), not silently truncate
+    — every pad byte is validated, not just the count."""
+    key = hashlib.md5(b"k").digest()
+    pt = b"A" * 13 + b"\x01\x02\x03"  # last byte 3, pad bytes wrong
+    raw = C._aes_cbc_nopad(key, bytes(16), pt, encrypt=True)
+    assert C.aes_cbc_decrypt(key, bytes(16) + raw) is None
+    # a VALID pad still strips
+    good = C.aes_cbc_encrypt(key, bytes(16), b"A" * 13)
+    assert C.aes_cbc_decrypt(key, good) == b"A" * 13
+
+
+def test_file_id_literal_with_escaped_paren_decrypts():
+    """ADVICE r9: /ID written as a literal string containing an escaped
+    ')' must parse through the escape-aware literal parser; the old
+    regex truncated it, failed the /U check, and declined the file."""
+    enc = _encrypt_pdf(
+        _plain_with_title(5),
+        v=2,
+        r=3,
+        length_bits=128,
+        file_id=b"id-with-\\)-and-(parens)",
+        id_literal=True,
+    )
+    sliced, status = slice_pdf(enc, 2)
+    assert status == "sliced" and count_pages(sliced) == 2
+    assert b"PAYLOAD-PAGE-1" in sliced
+
+
+def test_crypt_identity_stream_stays_plaintext():
+    """ADVICE r9 (§7.4.10): a stream whose /Filter chain names the
+    Identity crypt filter is stored plaintext — decrypting it with
+    StdCF would shred it. Object 4 is page 1's content stream."""
+    enc = _encrypt_pdf(
+        _plain_with_title(5),
+        v=2,
+        r=3,
+        length_bits=128,
+        identity_streams=frozenset({4}),
+    )
+    assert b"PAYLOAD-PAGE-1" in enc  # stored plaintext in the fixture
+    sliced, status = slice_pdf(enc, 2)
+    assert status == "sliced" and count_pages(sliced) == 2
+    assert b"PAYLOAD-PAGE-1" in sliced  # survived un-mangled
+
+
+def test_crypt_named_filter_declines_to_encrypted():
+    """A /Crypt entry naming a NON-Identity, non-StdCF crypt filter is
+    out of handler subset: the whole file declines rather than
+    guessing."""
+    enc = _encrypt_pdf(
+        _plain_with_title(5),
+        v=2,
+        r=3,
+        length_bits=128,
+        identity_streams=frozenset({4}),
+        crypt_name=b"MyCustomCF",
+    )
+    out, status = slice_pdf(enc, 2)
+    assert (out, status) == (None, "encrypted")
 
 
 def test_endstream_to_endobj_gap_is_uncapped():

@@ -54,7 +54,10 @@ def slice_pages(
 
     ``status_col``: when set, append a string column recording what
     happened per document — ``sliced`` (truncated to ``max_pages``),
-    ``short`` (already within the bound, bytes untouched) or
+    ``short`` (already within the bound, bytes untouched),
+    ``short-decrypted`` (within the bound but the file was encrypted:
+    re-serialized as plaintext so every decryptable output is readable
+    downstream, ADVICE r9) or
     ``passthrough:<reason>`` (bytes untouched; reason ``encrypted`` =
     the standard handler could not open it with the empty user
     password — a real password or a non-Standard filter —
@@ -95,9 +98,9 @@ def slice_pages(
                 sliced, status = slice_pdf(bytes(content), max_pages)
                 if sliced is None:
                     return content, f"passthrough:{status}"
-                if status == "short":
-                    return content, "short"
-                return sliced, "sliced"
+                # "sliced" | "short" (verbatim bytes) | "short-decrypted"
+                # (within the bound but re-serialized as plaintext)
+                return sliced, status
 
         for pdf in batches:
             pairs = pdf["content"].map(subset)

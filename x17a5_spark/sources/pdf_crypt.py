@@ -209,7 +209,11 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
         out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rk, block), iv))
         iv = block
     npad = out[-1]
-    if not 1 <= npad <= 16:
+    # validate the pad BYTES, not just the count (ADVICE r9): a
+    # corrupt/mis-keyed payload whose last plaintext byte lands in
+    # 1..16 must trigger the documented raw-bytes fallback, not
+    # silently truncate up to 16 bytes
+    if not 1 <= npad <= 16 or out[-npad:] != bytes([npad]) * npad:
         return None
     return bytes(out[:-npad])
 

@@ -36,9 +36,12 @@ handler with RC4-40/128 (V1/V2, R2/R3), AES-128-CBC (V4/R4
 ``/CFM /AESV2``, PDF 32000-1 §7.6.3) and AES-256-CBC (V5/R5/R6
 ``/CFM /AESV3``, ISO 32000-2 §7.6.4 incl. the Algorithm 2.B iterated
 hash), key material verified against ``/U`` before any decryption
-(sources/pdf_crypt.py). The sliced output is re-serialized UNENCRYPTED
-(the trailer the slicer writes has no ``/Encrypt``), so downstream
-consumers see plaintext pages.
+(sources/pdf_crypt.py). Output from a decryptable file is ALWAYS
+re-serialized UNENCRYPTED (the trailer the slicer writes has no
+``/Encrypt``): truncated files as ``sliced``, within-bound encrypted
+files as ``short-decrypted`` (ADVICE r9 — they used to return the
+original ciphertext bytes under ``short``), so downstream consumers
+see plaintext pages in every non-passthrough case.
 
 Out of subset — returns ``None`` and the caller passes the document
 through untouched (the same lenient contract as before): encrypted
@@ -362,27 +365,36 @@ def _dict_string(body: bytes, key: bytes) -> bytes | None:
     return None
 
 
-_ID_RE = re.compile(rb"/ID\s*\[\s*(<[0-9A-Fa-f\s]*>|\([^)]*\))")
+_ID_HEAD_RE = re.compile(rb"/ID\s*\[\s*")
 
 
 def _file_id0(content: bytes) -> bytes:
     """First element of the trailer /ID array (LAST occurrence wins —
-    incremental updates); empty when absent, per the spec's allowance."""
-    last = None
-    for m in _ID_RE.finditer(content):
-        last = m.group(1)
-    if last is None:
-        return b""
-    if last.startswith(b"<"):
-        hexs = re.sub(rb"\s", b"", last[1:-1])
-        if len(hexs) % 2:
-            hexs += b"0"
-        try:
-            return bytes.fromhex(hexs.decode("ascii"))
-        except ValueError:
-            return b""
-    parsed = _parse_literal(last, 0)
-    return b"" if parsed is None else parsed[0]
+    incremental updates); empty when absent, per the spec's allowance.
+    Literal strings go through the escape-aware _parse_literal (ADVICE
+    r9: a regex stopping at the first ')' truncates an id containing an
+    escaped '\\)', fails the /U check, and declines a decryptable
+    file)."""
+    last = b""
+    for m in _ID_HEAD_RE.finditer(content):
+        i = m.end()
+        c = content[i : i + 1]
+        if c == b"(":
+            parsed = _parse_literal(content, i)
+            if parsed is not None:
+                last = parsed[0]
+        elif c == b"<":
+            j = content.find(b">", i)
+            if j == -1:
+                continue
+            hexs = re.sub(rb"\s", b"", content[i + 1 : j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            try:
+                last = bytes.fromhex(hexs.decode("ascii"))
+            except ValueError:
+                continue
+    return last
 
 
 def _decrypt_in_place(
@@ -469,6 +481,16 @@ def _decrypt_in_place(
         )
     if key is None:
         return False  # genuinely passworded
+    # per-stream /Crypt filters (§7.4.10, ADVICE r9): a stream naming
+    # the Identity crypt filter is stored PLAINTEXT and must not be
+    # "decrypted" into garbage; /StdCF is the default behavior; any
+    # other named filter is out of handler subset — decline the whole
+    # file BEFORE any mutation
+    for num, (body, data) in objs.items():
+        if data is None or num == enc_num:
+            continue
+        if _stream_crypt_name(body) not in (None, b"Identity", b"StdCF"):
+            return False
     del objs[enc_num]  # /O //U must never be decrypted; trailer drops it
     gens = gens or {}
     for num in list(objs):
@@ -484,10 +506,25 @@ def _decrypt_in_place(
                 rb"/Type\s*/Metadata\b", body
             ):
                 pass  # metadata stream stays plaintext by declaration
+            elif _stream_crypt_name(body) == b"Identity":
+                pass  # /Crypt Identity: stored plaintext (§7.4.10)
             else:
                 data = C.decrypt_bytes(okey, data, aes)
         objs[num] = (body, data)
     return True
+
+
+def _stream_crypt_name(body: bytes) -> bytes | None:
+    """The crypt-filter NAME a stream's /Filter chain selects via a
+    /Crypt filter entry (§7.4.10), or None when the chain carries no
+    /Crypt. An absent /DecodeParms /Name defaults to /Identity (the
+    stream is stored plaintext)."""
+    filt = _dict_value(body, b"Filter")
+    if filt is None or re.search(rb"/Crypt(?![A-Za-z0-9])", filt) is None:
+        return None
+    parms = _dict_value(body, b"DecodeParms") or b""
+    name = re.search(rb"/Name\s*/(\w+)", parms)
+    return name.group(1) if name else b"Identity"
 
 
 def _expand_objstm(objs: dict[int, _Obj]) -> int:
@@ -608,8 +645,11 @@ def _parse(content: bytes):
     objs = _scan_objects(content, verify_flate=not encrypted, gens=gens)
     if objs is None:
         return None, "broken"
-    if encrypted and not _decrypt_in_place(content, objs, gens):
-        return None, "encrypted"  # out of handler subset: pass through
+    decrypted = False
+    if encrypted:
+        if not _decrypt_in_place(content, objs, gens):
+            return None, "encrypted"  # out of handler subset: pass through
+        decrypted = True
     skipped = _expand_objstm(objs)
     # structural resolution failing AFTER codec-unsupported ObjStm
     # shells were left opaque most plausibly means the page tree (or
@@ -626,7 +666,7 @@ def _parse(content: bytes):
     leaves: list[tuple[int, dict[bytes, bytes]]] = []
     if not _walk_pages(objs, pages_num, {}, leaves, set()) or not leaves:
         return None, opaque
-    return (objs, root, pages_num, leaves), "ok"
+    return (objs, root, pages_num, leaves, decrypted), "ok"
 
 
 def slice_pdf_first_pages(content: bytes, max_pages: int) -> bytes | None:
@@ -643,17 +683,23 @@ def slice_pdf(content: bytes, max_pages: int) -> tuple["bytes | None", str]:
     byte-equality caller would silently misreport it as "sliced").
 
     Returns ``(bytes, "sliced")`` on a real truncation,
-    ``(content, "short")`` when the page count is already within the
-    bound (bytes verbatim by contract), or ``(None, reason)`` with
-    reason ``not-pdf`` / ``encrypted`` / ``objstm-filter`` / ``broken``
-    / ``max-pages`` (bad argument)."""
+    ``(content, "short")`` when a PLAINTEXT file's page count is
+    already within the bound (bytes verbatim by contract),
+    ``(bytes, "short-decrypted")`` when an ENCRYPTED file is within the
+    bound — it is re-serialized decrypted so the plaintext-output
+    guarantee holds for every decryptable file, not just truncated ones
+    (ADVICE r9; the reference's pypdf path re-writes short files too) —
+    or ``(None, reason)`` with reason ``not-pdf`` / ``encrypted`` /
+    ``objstm-filter`` / ``broken`` / ``max-pages`` (bad argument)."""
     if max_pages < 1:
         return None, "max-pages"
     parsed, reason = _parse(content)
     if parsed is None:
         return None, reason
-    objs, root, pages_num, leaves = parsed
+    objs, root, pages_num, leaves, decrypted = parsed
     if len(leaves) <= max_pages:
+        if decrypted:
+            return _serialize(objs, root), "short-decrypted"
         return content, "short"
     kept = leaves[:max_pages]
 
@@ -678,6 +724,13 @@ def slice_pdf(content: bytes, max_pages: int) -> tuple["bytes | None", str]:
                 body = b"<< /" + key + b" " + val + b" " + body[2:]
         objs[num] = (body, data)
 
+    return _serialize(objs, root), "sliced"
+
+
+def _serialize(objs: dict[int, _Obj], root: int) -> bytes:
+    """GC + renumber + re-serialize the object map as a classic
+    single-section-xref plaintext PDF (shared by the slice and the
+    short-decrypted paths)."""
     # reachability GC from the catalog: dropped pages' subtrees (content
     # streams, per-page resources) fall away; refs only live in body
     # parts, never in opaque stream payloads
@@ -731,7 +784,7 @@ def slice_pdf(content: bytes, max_pages: int) -> tuple["bytes | None", str]:
         b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (n_objs + 1, remap[root], xref_at)
     )
-    return bytes(out), "sliced"
+    return bytes(out)
 
 
 def count_pages(content: bytes) -> int | None:
