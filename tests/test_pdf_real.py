@@ -306,7 +306,7 @@ def test_slice_pages_status_taxonomy(spark, tmp_path):
         trailer_extra=b"/Encrypt 9 0 R ",
     )
     (tmp_path / "1-2020-01-01.pdf").write_bytes(enc)
-    (tmp_path / "2-2020-01-02.pdf").write_bytes(_lzw_objstm_pdf())
+    (tmp_path / "2-2020-01-02.pdf").write_bytes(_dct_objstm_pdf())
     (tmp_path / "3-2020-01-03.pdf").write_bytes(b"plain text, no header")
     df = read_document_corpus(spark, str(tmp_path))
     out = {
@@ -320,20 +320,140 @@ def test_slice_pages_status_taxonomy(spark, tmp_path):
     }
 
 
-def _lzw_objstm_pdf() -> bytes:
+def _dct_objstm_pdf() -> bytes:
     """A PDF whose page tree hides in an ObjStm with an UNSUPPORTED
-    filter (LZWDecode): structurally valid, codec-unsupported."""
-    fake_payload = b"\x80\x0b\x60\x50\x22\x0c\x0c\x85\x01"
+    filter (DCTDecode): structurally valid, codec-unsupported. (LZW
+    graduated to a supported codec in round 10.)"""
+    fake_payload = b"\xff\xd8\xff\xe0junk"
     objs = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         3: (
-            b"<< /Type /ObjStm /N 1 /First 4 /Filter /LZWDecode /Length %d >>"
+            b"<< /Type /ObjStm /N 1 /First 4 /Filter /DCTDecode /Length %d >>"
             b"\nstream\n" % len(fake_payload)
             + fake_payload
             + b"\nendstream"
         ),
     }
     return _assemble(objs, root=1)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Test-local LZW ENCODER (the independent direction; the decoder
+    under test lives in pdf_mini). Emits clear-table, data codes with
+    early-change width bumps, then EOD."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    codes: list[tuple[int, int]] = [(256, 9)]
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - early and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    acc = nacc = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc = (acc << cw) | code
+        nacc += cw
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_objstm_pdf(n_pages: int, early: int = 1) -> bytes:
+    """Page tree packed in an LZWDecode /ObjStm (the _objstm_pdf shape
+    with the 1990s-era codec), content streams as regular objects."""
+    inner: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count %d /Kids [ %s ] >>"
+        % (n_pages, b" ".join(b"%d 0 R" % (10 + i) for i in range(n_pages))),
+    }
+    objs: dict[int, bytes] = {}
+    for i in range(n_pages):
+        inner[10 + i] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R "
+            b"/MediaBox [0 0 612 792] >>" % (30 + i)
+        )
+        objs[30 + i] = _stream_obj(b"LZW-OBJSTM-PAGE-%d" % i)
+    header = b" ".join(
+        b"%d %d" % (num, off) for num, off in _objstm_offsets(inner)
+    )
+    bodies = b"".join(inner[num] + b"\n" for num in sorted(inner))
+    payload = header + b"\n" + bodies
+    first = len(header) + 1
+    comp = _lzw_encode(payload, early=early)
+    parms = b" /DecodeParms << /EarlyChange 0 >>" if early == 0 else b""
+    objs[3] = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /LZWDecode%s /Length %d >>"
+        b"\nstream\n" % (len(inner), first, parms, len(comp))
+        + comp
+        + b"\nendstream"
+    )
+    raw = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    for num in sorted(objs):
+        raw += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    raw += b"startxref\n0\n%%EOF\n"
+    return bytes(raw)
+
+
+def test_lzw_decoder_matches_published_spec_example():
+    """PDF 32000-1 §7.4.4.2's worked example: the encoded bytes
+    80 0B 60 50 22 0C 0C 85 01 decode to 45*5 65 45*3 66 — an external
+    vector the decoder AND the test-local encoder both pin to."""
+    from x17a5_spark.sources.pdf_mini import _lzw_decode
+
+    spec_encoded = bytes.fromhex("800b6050220c0c8501")
+    spec_plain = bytes([45] * 5 + [65] + [45] * 3 + [66])
+    assert _lzw_decode(spec_encoded) == spec_plain
+    assert _lzw_encode(spec_plain) == spec_encoded
+
+
+def test_lzw_roundtrip_widths_and_kwkwk():
+    """Width bumps past 9/10/11 bits, the KwKwK self-referencing code,
+    and EarlyChange=0 all round-trip through the independent pair."""
+    from x17a5_spark.sources.pdf_mini import _lzw_decode
+
+    cases = [
+        b"aaabaaabaaa",  # KwKwK territory
+        bytes(range(256)) * 8,  # grows the table past 9-bit codes
+        (b"the quick brown fox " * 400),  # 10->11-bit widths
+        b"",
+    ]
+    for early in (1, 0):
+        for data in cases:
+            enc = _lzw_encode(data, early=early)
+            assert _lzw_decode(enc, early=early) == data, (early, len(data))
+    # malformed stream: a code beyond the table declines to None
+    assert _lzw_decode(b"\xff\xff\xff\xff") is None
+
+
+def test_lzw_objstm_page_tree_slices():
+    """VERDICT r9 #7: the one remaining DECODABLE slice residue — a
+    1990s-era page tree in an LZW-coded object stream — now slices."""
+    from x17a5_spark.sources.pdf_mini import slice_pdf
+
+    pdf = _lzw_objstm_pdf(5)
+    assert count_pages(pdf) == 5
+    sliced, status = slice_pdf(pdf, 2)
+    assert status == "sliced" and count_pages(sliced) == 2
+    assert b"LZW-OBJSTM-PAGE-0" in sliced
+    # /EarlyChange 0 variant honors the DecodeParms override
+    pdf0 = _lzw_objstm_pdf(4, early=0)
+    assert count_pages(pdf0) == 4
+    sliced0, status0 = slice_pdf(pdf0, 2)
+    assert status0 == "sliced" and count_pages(sliced0) == 2
 
 
 def test_slice_pdf_explicit_status_contract():
@@ -348,7 +468,7 @@ def test_slice_pdf_explicit_status_contract():
     assert status == "short" and out == pdf  # verbatim by contract
     assert slice_pdf(pdf, 0) == (None, "max-pages")
     assert slice_pdf(b"junk", 3) == (None, "not-pdf")
-    assert slice_pdf(_lzw_objstm_pdf(), 3) == (None, "objstm-filter")
+    assert slice_pdf(_dct_objstm_pdf(), 3) == (None, "objstm-filter")
     broken = pdf.replace(b"\nendstream", b"", 1)
     assert slice_pdf(broken, 2) == (None, "broken")
 

@@ -43,12 +43,18 @@ files as ``short-decrypted`` (ADVICE r9 — they used to return the
 original ciphertext bytes under ``short``), so downstream consumers
 see plaintext pages in every non-passthrough case.
 
+Round 10 (VERDICT r9 #7): ``/Type /ObjStm`` containers also expand
+from LZWDecode (§7.4.4, incl. /EarlyChange 0) — the one decodable
+residue a 1990s-era corpus could carry; the decoder is pinned to the
+spec's own published worked example.
+
 Out of subset — returns ``None`` and the caller passes the document
 through untouched (the same lenient contract as before): encrypted
 PDFs the handler can't open (a real user password or a non-Standard
-filter), ObjStm with non-Flate filters when the page tree is inside,
-and structurally broken files. Linearization hints and
-incremental-update ordering are handled by last-definition-wins.
+filter), ObjStm behind other codecs / multi-filter chains / row
+predictors when the page tree is inside, and structurally broken
+files. Linearization hints and incremental-update ordering are
+handled by last-definition-wins.
 
 Pure bytes-in/bytes-out, so it runs unchanged inside the executors'
 ``mapInPandas`` batches.
@@ -527,6 +533,55 @@ def _stream_crypt_name(body: bytes) -> bytes | None:
     return name.group(1) if name else b"Identity"
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
+    """PDF LZWDecode (§7.4.4 — the TIFF-flavor LZW): variable 9..12-bit
+    big-endian codes, 256 = clear-table, 257 = EOD, /EarlyChange
+    default 1 (the code width bumps one entry early). Returns None on a
+    malformed stream (code beyond the table) — the caller leaves the
+    shell opaque. The one *decodable* ObjStm residue a 1990s-era corpus
+    can carry (VERDICT r9 #7)."""
+    out = bytearray()
+    fresh = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(fresh)
+    width = 9
+    prev: "bytes | None" = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = list(fresh)
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:  # first code after a clear: literal only
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            # the decoder's table lags the encoder's by ONE entry at
+            # read time (the encoder adds w+c when emitting w; the
+            # decoder only learns c with the NEXT code), so it bumps
+            # the width one entry earlier than the naive mirror
+            if len(table) + 1 >= (1 << width) - early and width < 12:
+                width += 1
+    return bytes(out)  # tolerate a missing EOD marker
+
+
 def _expand_objstm(objs: dict[int, _Obj]) -> int:
     """Inflate /Type /ObjStm containers (FlateDecode or unfiltered) and
     add their contained objects to the map; the shells are dropped
@@ -545,14 +600,31 @@ def _expand_objstm(objs: dict[int, _Obj]) -> int:
         if data is None or re.search(rb"/Type\s*/ObjStm\b", body) is None:
             continue
         filt = _dict_value(body, b"Filter")
+        parms = _dict_value(body, b"DecodeParms") or b""
+        names = re.findall(rb"/(\w+)", filt) if filt else []
+        pred_m = re.search(rb"/Predictor\s+(\d+)", parms)
         try:
-            if filt is None:
-                raw = data
-            elif b"FlateDecode" in filt:
-                raw = zlib.decompress(data)
-            else:
+            if names and pred_m and int(pred_m.group(1)) > 1:
+                # row predictors are out of subset for BOTH codecs —
+                # count as codec-unsupported rather than shredding the
+                # payload into a "broken" report
                 skipped_filters += 1
-                continue  # unsupported filter: shell stays opaque
+                continue
+            if not names:
+                raw = data
+            elif names == [b"FlateDecode"]:
+                raw = zlib.decompress(data)
+            elif names == [b"LZWDecode"]:
+                ec_m = re.search(rb"/EarlyChange\s+(\d+)", parms)
+                early = int(ec_m.group(1)) if ec_m else 1
+                lzw = _lzw_decode(data, early)
+                if lzw is None:
+                    continue  # malformed LZW: shell stays opaque
+                raw = lzw
+            else:
+                # unknown codec or a multi-filter chain: out of subset
+                skipped_filters += 1
+                continue
             n_m = re.search(rb"/N\s+(\d+)", body)
             f_m = re.search(rb"/First\s+(\d+)", body)
             if n_m is None or f_m is None:
