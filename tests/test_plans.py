@@ -312,3 +312,36 @@ def test_e11_argmax_is_hash_aggregate_not_sort(spark):
 
     plan = _plan(e11_cluster_canonical(spark, SF))
     assert "SortAggregate" not in plan, "argmax fell back to SortAggregate"
+
+
+def test_plans_md_matches_live_plans(spark):
+    """VERDICT r9 #2 (the s2 documentation-drift lesson): every plan
+    tree committed in PLANS.md must match the LIVE plan's node-type
+    skeleton — a plan-shape change cannot strand its documentation.
+    Regenerate with `python tools/dump_plans.py` when this fails."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(__file__), "..", "tools"),
+    )
+    import dump_plans as DP
+
+    from x17a5_spark.queries import registry
+
+    plans_path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(plans_path) as f:
+        documented = DP.documented_skeletons(f.read())
+    assert set(documented) == set(DP.PICKS), "PLANS.md entries != PICKS"
+    queries, _ = registry()
+    drifted = {}
+    for name, doc_skel in documented.items():
+        live = DP.node_skeleton(DP.plan_tree(spark, queries, name, SF))
+        if live != doc_skel:
+            drifted[name] = (doc_skel, live)
+    assert not drifted, (
+        "PLANS.md is stale for: "
+        + ", ".join(sorted(drifted))
+        + " — run `python tools/dump_plans.py`"
+    )
