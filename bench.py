@@ -164,6 +164,9 @@ HEADLINE = [
     # round 9: eval-set n-gram decontamination (broadcast semi-join
     # shape — the corpus gram set never shuffles)
     "t30_decontamination",
+    # round 10: cc_star chained components (the hub-safety claim now
+    # has a measured skew row in SCALE.md, not just a plan argument)
+    "d17_cc_star_chain",
 ]
 
 
@@ -184,6 +187,22 @@ def main() -> None:
     # best-of-2 contract. Regression rule (SCALE.md): flag a query
     # only when its new median moves >1.5x outside the recorded bracket.
     repeats = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # SPARK_GRAFT_BENCH_ONLY="d15,d16,st8" (short codes or full names):
+    # run a targeted slice of the headline suite — the skew-lake and
+    # 100x protocols (round 10) measure specific queries without paying
+    # for the whole suite at a big lake.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    headline = HEADLINE
+    if only_env:
+        only = {s.strip() for s in only_env.split(",") if s.strip()}
+        headline = [
+            n for n in HEADLINE if n in only or n.split("_")[0] in only
+        ]
+        missing = only - {n for n in headline} - {
+            n.split("_")[0] for n in headline
+        }
+        if missing:
+            raise SystemExit(f"BENCH_ONLY names not in HEADLINE: {missing}")
     spark = get_spark("bench")
     queries, _ = registry()
 
@@ -202,7 +221,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     brackets: dict[str, list[float]] = {}
     cold_total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         # one plan per query, reused across warmup + timed runs: queries
         # with persisted stage tables (d3, d6, e5, g1) measure their
         # steady state — a pipeline materializes stage tables once, not

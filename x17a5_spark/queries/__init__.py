@@ -200,6 +200,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # parameterization, default identical, re-verified), e1 (stage timing
 # marks only).
 #
+# Round-10 rotation (the never-ride-a-stale-row rule): NO slots move.
+# The only queries whose behavior changed this round both already hold
+# first-50 slots — t18_bpe_train (first-ever ORACLE: the fixed merge
+# rounds unrolled into a closed-form CTE chain, so its r10 driver row
+# is the registry's first full hash check — 181/181 oracle-backed) and
+# t30_decontamination (ADVICE r9: sub-k eval docs now emit explicit
+# n_grams=0 rows instead of vanishing in the explode). Everything else
+# in the window is r09-green and untouched; everything outside the
+# window is hash-green in r1∪…∪r9 and untouched.
+#
 # The driver's 50-entry correctness window, in order. Grouped by layer.
 # Round-4 rotation: IN — the 15 round-3 additions that never had a
 # driver row (a20/a21/a23/d13/f22/g2/k9/m5/st7/t17/t21/v1/w9 +
