@@ -167,6 +167,9 @@ HEADLINE = [
     # round 10: cc_star chained components (the hub-safety claim now
     # has a measured skew row in SCALE.md, not just a plan argument)
     "d17_cc_star_chain",
+    # round 10: Gopher in-document repetition gate (two hash exchanges,
+    # zero joins — within-doc repeats collapse map-side)
+    "t32_repetition_filter",
 ]
 
 

@@ -761,3 +761,50 @@ def test_t31_pii_scrub_detects_planted_and_spares_clean(spark):
             assert r["pii_total"] == 0 and r["is_clean"] == 1 and r["unchanged"] == 1, (
                 dict(r.asDict())
             )
+
+
+def test_t32_repetition_filter_flags_planted_and_short_docs_survive(spark, tmp_path):
+    """t32's planted layer appends 'click here now ' x8 to every 7th
+    doc: 8 occurrences of a 15-char 2-gram tail on a ~300-char doc
+    pushes top2/top3/dup3 well past the Gopher thresholds, so every
+    planted doc must flag. Short docs (below the 2-token gram floor)
+    must SURVIVE with zero fractions instead of vanishing in the
+    explode (the t30 sub-k lesson, ADVICE r9) — pinned on a tiny
+    synthetic lake with 0-, 1-, 2-token and repetitious docs."""
+    from x17a5_spark.queries.textops import t32_repetition_filter
+
+    rows = t32_repetition_filter(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        if r["doc_id"] % 7 == 0:
+            assert r["rep_flag"] == 1, dict(r.asDict())
+            # the plant always trips the duplicate-3-gram mass (7
+            # beyond-first copies of two 3-grams); top2 also rises but
+            # is diluted by the organic prefix's length, so it is not
+            # individually pinned
+            assert r["dup3_frac"] > 0.15, dict(r.asDict())
+        assert 0.0 <= r["top2_frac"] <= 1.0 + 1e-9
+        assert 0.0 <= r["dup3_frac"] <= r["top3_frac"] * 8  # sanity bound
+
+    # edge lake: doc_ids chosen off the %7 plant so the text is verbatim
+    lake = str(tmp_path / "edge")
+    spark.createDataFrame(
+        [
+            (1, ""),  # zero chars: fractions define to 0
+            (2, "lonely"),  # 1 token: no 2-grams at all
+            (3, "two tokens"),  # exactly one 2-gram, no 3-gram
+            (4, "spam spam spam spam spam spam"),  # pathological
+        ],
+        "doc_id long, text string",
+    ).write.parquet(f"{lake}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in t32_repetition_filter(spark, lake).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}, "short docs must not be dropped"
+    assert out[1]["rep_flag"] == 0 and out[1]["top2_frac"] == 0.0
+    assert out[2]["rep_flag"] == 0 and out[2]["dup3_frac"] == 0.0
+    # one 2-gram occurrence covering the whole doc: top2 == 1, but a
+    # single occurrence is not repetition — dup3 stays 0
+    assert out[3]["top2_frac"] == 1.0 and out[3]["dup3_frac"] == 0.0
+    assert out[4]["rep_flag"] == 1 and out[4]["dup3_frac"] > 0.5

@@ -124,7 +124,17 @@ PICKS = {
 
 def plan_tree(spark, queries, name: str, sf_dir: str) -> str:
     """The formatted-explain TREE section (header + node list) for one
-    registry query — the exact text PLANS.md embeds."""
+    registry query — the exact text PLANS.md embeds.
+
+    Cache state is the ONE piece of session state that can swap plan
+    nodes (CacheManager substitutes InMemoryRelation for any logical
+    fragment some earlier query persisted — e.g. d3's shingle stage
+    appearing inside e5/e10's tree when they run after it), so every
+    dump starts from a clean cache: the documented skeleton is the
+    fresh-session plan, independent of what ran before it (the r10
+    full-suite flake: test_plan_audit's registry sweep left persisted
+    stages that drifted the live skeletons under pytest ordering)."""
+    spark.catalog.clearCache()
     df = queries[name](spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

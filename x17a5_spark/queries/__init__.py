@@ -200,15 +200,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # parameterization, default identical, re-verified), e1 (stage timing
 # marks only).
 #
-# Round-10 rotation (the never-ride-a-stale-row rule): NO slots move.
-# The only queries whose behavior changed this round both already hold
-# first-50 slots — t18_bpe_train (first-ever ORACLE: the fixed merge
-# rounds unrolled into a closed-form CTE chain, so its r10 driver row
-# is the registry's first full hash check — 181/181 oracle-backed) and
-# t30_decontamination (ADVICE r9: sub-k eval docs now emit explicit
-# n_grams=0 rows instead of vanishing in the explode). Everything else
-# in the window is r09-green and untouched; everything outside the
-# window is hash-green in r1∪…∪r9 and untouched.
+# Round-10 rotation (the never-ride-a-stale-row rule): IN —
+# t32_repetition_filter (NEW this round: the Gopher in-document
+# repetition gate — top-2/3-gram char fraction + duplicate-3-gram char
+# mass, planted positives every 7th doc; takes a22_robust_outliers'
+# slot). OUT — a22_robust_outliers: hash-green in CORRECTNESS_r09 and
+# unchanged since. The two other queries whose behavior changed this
+# round already hold first-50 slots — t18_bpe_train (first-ever
+# ORACLE: the fixed merge rounds unrolled into a closed-form CTE
+# chain, so its r10 driver row is the registry's first full hash
+# check — 182/182 oracle-backed) and t30_decontamination (ADVICE r9:
+# sub-k eval docs now emit explicit n_grams=0 rows instead of
+# vanishing in the explode). Everything else in the window is
+# r09-green and untouched; everything outside the window is hash-green
+# in r1∪…∪r9 and untouched.
 #
 # The driver's 50-entry correctness window, in order. Grouped by layer.
 # Round-4 rotation: IN — the 15 round-3 additions that never had a
@@ -264,6 +269,7 @@ WINDOW_ORDER = [
     "t29_ngram_novelty",
     "t30_decontamination",
     "t31_pii_scrub",
+    "t32_repetition_filter",
     "t23_quality_sampling",
     # --- corpus-prep + packing layer ---
     "k9_concat_chunking",
@@ -282,7 +288,6 @@ WINDOW_ORDER = [
     "j12_scd2_intervals",
     "j14_pit_join",
     # --- analytics / joins / graph / maintenance ---
-    "a22_robust_outliers",
     "g1_pagerank",
     "g2_triangle_count",
     "v1_constraint_checks",

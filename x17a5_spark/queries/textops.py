@@ -1464,6 +1464,178 @@ FROM r
 """
 
 
+# --- t32: repetition filter (Gopher quality gate) -------------------
+#
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", Table A1)
+# gate training documents on REPETITION: the fraction of characters
+# inside the most frequent word n-gram, and the char mass of n-grams
+# that occur more than once. Repetitious documents (scraper loops,
+# keyword-stuffed spam, templated boilerplate) are the single most
+# common garbage class LLM curation removes that plain dedup cannot
+# see (the repetition is WITHIN one doc, so no cross-doc fingerprint
+# fires). Reference parity: the reference has no in-document
+# repetition gate — this is part of the beyond-reference LLM-pipeline
+# surface (SURVEY §2 "text analysis / quality scoring").
+#
+# Metrics (char accounting is deterministic and engine-identical:
+# an n-gram's char length INCLUDES its separating spaces; fractions
+# divide by length(text) and round to 6):
+#   top2_frac — occurrences x chars of the most frequent word 2-gram
+#   top3_frac — same for 3-grams
+#   dup3_frac — char mass of beyond-first occurrences of repeated
+#               3-grams (the "duplicate n-gram char fraction" family)
+# Thresholds are Gopher's published ones for the implemented trio
+# (top-2 0.20, top-3 0.18, dup-n 0.15); rep_flag = any exceeded.
+#
+# Scale shape (the whole point): ONE scan -> gram explode ->
+# HashAggregate(doc_id, gram) -> HashAggregate(doc_id). Two hash
+# exchanges, zero joins, zero windows, zero Python. A doc's grams are
+# contiguous within its input partition, so the first partial
+# aggregate collapses within-doc repeats MAP-SIDE — the shuffle ships
+# ~unique grams per doc, and a pathologically repetitious doc (the
+# exact target class) gets CHEAPER, not hotter. Short docs (< k
+# tokens) survive via explode_outer + null-gram grouping and report
+# zero fractions (the t30 sub-k lesson, ADVICE r9).
+T32_TOP2 = 0.20
+T32_TOP3 = 0.18
+T32_DUP3 = 0.15
+T32_PHRASE = "click here now "  # planted positive: every 7th doc
+T32_REPEATS = 8
+
+
+def t32_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fanout=True).select(
+        "doc_id", "text"
+    )
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" " + T32_PHRASE * T32_REPEATS)),
+    ).otherwise(F.col("text"))
+    # token split STAGED into a real column (CollapseProject
+    # protection, SPARK-36718 — the d15 lesson): inlined, the regex
+    # split would re-execute inside every element_at of both gram
+    # lambdas
+    staged = (
+        docs.select("doc_id", planted.alias("text"))
+        .withColumn("n_chars", F.length("text"))
+        .withColumn("_toks", tokens(F.col("text")))
+    )
+    toks = F.col("_toks")
+    n = F.size("_toks")
+    empty = F.array().cast("array<struct<k:int,gram:string>>")
+
+    def _grams(k: int):
+        # word k-grams as (k, gram) structs; empty (not null!) below k
+        # tokens so concat() keeps the other arity's grams alive
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.struct(
+                    F.lit(k).alias("k"),
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(k)]
+                    ).alias("gram"),
+                ),
+            ),
+        ).otherwise(empty)
+
+    exploded = staged.select(
+        "doc_id",
+        "n_chars",
+        F.explode_outer(F.concat(_grams(2), _grams(3))).alias("g"),
+    )
+    counts = exploded.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("n_chars").alias("n_chars")
+    )
+    gram_chars = F.col("cnt") * F.length("g.gram")
+    stats = counts.groupBy("doc_id").agg(
+        F.min("n_chars").alias("n_chars"),
+        F.max(F.when(F.col("g.k") == 2, gram_chars)).alias("top2_chars"),
+        F.max(F.when(F.col("g.k") == 3, gram_chars)).alias("top3_chars"),
+        F.sum(
+            F.when(
+                (F.col("g.k") == 3) & (F.col("cnt") > 1),
+                (F.col("cnt") - 1) * F.length("g.gram"),
+            ).otherwise(F.lit(0))
+        ).alias("dup3_chars"),
+    )
+
+    def _frac(c) -> F.Column:
+        return F.round(
+            F.when(
+                F.col("n_chars") > 0,
+                F.coalesce(c, F.lit(0)) / F.col("n_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    top2 = _frac(F.col("top2_chars"))
+    top3 = _frac(F.col("top3_chars"))
+    dup3 = _frac(F.col("dup3_chars"))
+    return stats.select(
+        "doc_id",
+        top2.alias("top2_frac"),
+        top3.alias("top3_frac"),
+        dup3.alias("dup3_frac"),
+        (
+            (top2 > T32_TOP2) | (top3 > T32_TOP3) | (dup3 > T32_DUP3)
+        ).cast("int").alias("rep_flag"),
+    )
+
+
+T32_SQL = f"""
+WITH planted32 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' ' || repeat('{T32_PHRASE}', {T32_REPEATS})
+              ELSE text END AS text
+  FROM documents
+),
+tok32 AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')
+             AS toks
+  FROM planted32
+),
+g32 AS (
+  SELECT doc_id, 2 AS k, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM tok32, unnest(range(1, len(toks))) AS u(i)
+  UNION ALL
+  SELECT doc_id, 3, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+  FROM tok32, unnest(range(1, len(toks) - 1)) AS u(i)
+),
+c32 AS (
+  SELECT doc_id, k, gram, count(*) AS cnt FROM g32 GROUP BY 1, 2, 3
+),
+p32 AS (
+  SELECT doc_id,
+         max(CASE WHEN k = 2 THEN cnt * length(gram) END) AS top2_chars,
+         max(CASE WHEN k = 3 THEN cnt * length(gram) END) AS top3_chars,
+         sum(CASE WHEN k = 3 AND cnt > 1 THEN (cnt - 1) * length(gram)
+                  ELSE 0 END) AS dup3_chars
+  FROM c32 GROUP BY 1
+),
+f32 AS (
+  SELECT t.doc_id,
+         round(CASE WHEN t.n_chars > 0
+                    THEN coalesce(p.top2_chars, 0) / t.n_chars
+                    ELSE 0.0 END, 6) AS top2_frac,
+         round(CASE WHEN t.n_chars > 0
+                    THEN coalesce(p.top3_chars, 0) / t.n_chars
+                    ELSE 0.0 END, 6) AS top3_frac,
+         round(CASE WHEN t.n_chars > 0
+                    THEN coalesce(p.dup3_chars, 0) / t.n_chars
+                    ELSE 0.0 END, 6) AS dup3_frac
+  FROM tok32 t LEFT JOIN p32 p USING (doc_id)
+)
+SELECT doc_id, top2_frac, top3_frac, dup3_frac,
+       CAST(top2_frac > {T32_TOP2} OR top3_frac > {T32_TOP3}
+            OR dup3_frac > {T32_DUP3} AS INT) AS rep_flag
+FROM f32
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -1483,6 +1655,7 @@ QUERIES = {
     "t29_ngram_novelty": t29_ngram_novelty,
     "t30_decontamination": t30_decontamination,
     "t31_pii_scrub": t31_pii_scrub,
+    "t32_repetition_filter": t32_repetition_filter,
 }
 
 ORACLES = {
@@ -1504,4 +1677,5 @@ ORACLES = {
     "t29_ngram_novelty": T29_SQL,
     "t30_decontamination": _t30_sql(),
     "t31_pii_scrub": T31_SQL,
+    "t32_repetition_filter": T32_SQL,
 }
