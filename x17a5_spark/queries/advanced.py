@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from x17a5_spark.functions.compat import dec_sql, to_dec
 from x17a5_spark.functions.text import tokens
 from x17a5_spark.operators.skew import salted_aggregate, salted_join
+from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET
 from x17a5_spark.queries.similarity import (
     _as_double,
     _dot,
@@ -245,7 +246,7 @@ FROM ranked WHERE vr IN ({", ".join(str(r) for r in _A17_RANKS)})
 # corpus (k ~ N/target_cell_size), keeping the within-cell quadratic
 # term bounded, and the staged assignment keeps the assign pass at
 # N*2*sqrt(k) under that same recipe; the planted exact copies
-# (vec_id + 100000) get identical staged scores by construction, land
+# (vec_id + AUG_TWIN_OFFSET) get identical staged scores by construction,
 # in the same cell, and must all be dropped.
 # ---------------------------------------------------------------------------
 
@@ -275,7 +276,9 @@ D8_CELLS, D8_SUPERS = _d8_params()
 def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     aug = emb.select("vec_id", "embedding").unionByName(
-        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        emb.select(
+            (F.col("vec_id") + AUG_TWIN_OFFSET).alias("vec_id"), "embedding"
+        )
     )
     vecs = aug.select(
         "vec_id", _as_double(F.col("embedding")).alias("vec")
@@ -327,7 +330,7 @@ D8_SQL = f"""
 WITH aug AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+  SELECT vec_id + {AUG_TWIN_OFFSET}, CAST(embedding AS DOUBLE[]) FROM embeddings
 ),
 v AS (
   SELECT vec_id, vec,

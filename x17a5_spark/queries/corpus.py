@@ -29,6 +29,7 @@ from x17a5_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET
 from x17a5_spark.queries.textops import STOPWORDS, _hits_sql
 from x17a5_spark.tables import load_table
 
@@ -387,7 +388,8 @@ FROM hashed
 #   3. everything else ingests.
 # The batch is synthesized deterministically: genuinely-new docs
 # (doc_id % 3 == 0 held out of "existing"), exact copies
-# (+300000 ids), and 90%-token near-copies (+200000 ids) — so every
+# (+3*AUG_TWIN_OFFSET ids), and 90%-token near-copies
+# (+2*AUG_TWIN_OFFSET ids; defaults 300000/200000) — so every
 # verdict class is exercised and the oracle mirrors it closed-form.
 # Only BATCH-side shingle mass plus a bounded candidate set ever
 # shuffles; the existing index is probe-only (df stats + semi-joined
@@ -444,13 +446,13 @@ def e5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(
             existing.filter(F.col("doc_id") % 5 == 0).select(
-                (F.col("doc_id") + 200000).alias("doc_id"),
+                (F.col("doc_id") + 2 * AUG_TWIN_OFFSET).alias("doc_id"),
                 F.concat_ws(" ", F.slice(toks, 1, keep)).alias("text"),
             )
         )
         .unionByName(
             existing.filter(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 300000).alias("doc_id"), "text"
+                (F.col("doc_id") + 3 * AUG_TWIN_OFFSET).alias("doc_id"), "text"
             )
         )
     )
@@ -523,11 +525,11 @@ existing AS (SELECT * FROM docs WHERE doc_id % 3 <> 0),
 batch AS (
   SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0
   UNION ALL
-  SELECT doc_id + 200000,
+  SELECT doc_id + {2 * AUG_TWIN_OFFSET},
          array_to_string(toks[1 : greatest(CAST(floor(len(toks) * 9 / 10) AS INT), 1)], ' ')
   FROM (SELECT doc_id, {_E5_TOKS} AS toks, text FROM existing) WHERE doc_id % 5 = 0
   UNION ALL
-  SELECT doc_id + 300000, text FROM existing WHERE doc_id % 7 = 0
+  SELECT doc_id + {3 * AUG_TWIN_OFFSET}, text FROM existing WHERE doc_id % 7 = 0
 ),
 efp AS (SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
         FROM existing),

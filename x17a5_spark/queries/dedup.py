@@ -17,6 +17,8 @@ is md5-derived so results are engine-independent and reshuffle-stable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -90,7 +92,17 @@ _d3_pack_guard()
 # every shipped lake (20× tops out at 99,999; t30 carries a
 # raise_error tripwire on the assumption). ONE constant, interpolated
 # into both engines — never a repeated literal (code-review r9).
-AUG_TWIN_OFFSET = 100000
+#
+# Round 10: the 100× lake (500,000 docs) exceeds the historical
+# 100,000 default — t30's tripwire fired exactly as designed — so the
+# constant is env-parameterized like X17A5_D8_CELLS: the default keeps
+# the registry byte-identical (same plans, same driver rows), and the
+# 100×-scale protocol sets X17A5_AUG_OFFSET=2000000 (copies land at
+# 2M/4M/6M — d15's 2^43/2^20 packing bound holds to ~8.3M, fails LOUD
+# beyond). Every derived offset (e5's near/exact copies at 2×/3×,
+# d15's boilerplate copies at 3×) scales with it, and the SQL oracles
+# interpolate the same constant, so the hash gate holds at any offset.
+AUG_TWIN_OFFSET = int(os.environ.get("X17A5_AUG_OFFSET", "100000"))
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,9 +899,11 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM dots WHERE cos >= {D13_TAU}
 def e7_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d3_minhash_lsh(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    # copies (doc_id + 100000) belong to their base doc's source
+    # copies (doc_id + AUG_TWIN_OFFSET) belong to their base doc's source
     aug_src = src.unionByName(
-        src.select((F.col("doc_id") + 100000).alias("doc_id"), "source")
+        src.select(
+            (F.col("doc_id") + AUG_TWIN_OFFSET).alias("doc_id"), "source"
+        )
     )
     n_docs = aug_src.groupBy("source").agg(F.count("*").alias("n_docs"))
     involved = (
@@ -930,7 +944,7 @@ def e7_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-E7_SQL = "WITH " + _D3_CHAIN + """
+E7_SQL = "WITH " + _D3_CHAIN + f"""
 , pairs AS (
   SELECT id_a, id_b,
          round(n_common / (za.n_shingles + zb.n_shingles - n_common), 6)
@@ -943,7 +957,7 @@ E7_SQL = "WITH " + _D3_CHAIN + """
 aug_src AS (
   SELECT doc_id, source FROM documents
   UNION ALL
-  SELECT doc_id + 100000, source FROM documents
+  SELECT doc_id + {AUG_TWIN_OFFSET}, source FROM documents
 ),
 nd AS (SELECT source, count(*) AS n_docs FROM aug_src GROUP BY 1),
 involved AS (
@@ -990,8 +1004,9 @@ LEFT JOIN per_pair p USING (source)
 # and the split assignment is a window over CLUSTERS (one row per
 # cluster, not per doc) — the per-doc work is two hash joins.
 #
-# Fixture bound: the demo corpus is d3's augmentation (+100000 copy
-# ids, the corpus-wide convention), which assumes max(doc_id) < 100000
+# Fixture bound: the demo corpus is d3's augmentation (AUG_TWIN_OFFSET
+# copy ids, the corpus-wide env-parameterized convention), which
+# assumes max(doc_id) < AUG_TWIN_OFFSET
 # — true for every shipped lake (20x tops out at 99,999). A production
 # caller supplies real pair tables and real doc ids; the cluster-grain
 # guarantee itself has no id-arithmetic in it.
@@ -1005,7 +1020,9 @@ def e10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, "id_a", "id_b", on_exhausted="star")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     aug = docs.unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "lang")
+        docs.select(
+            (F.col("doc_id") + AUG_TWIN_OFFSET).alias("doc_id"), "lang"
+        )
     )
     labeled = (
         aug.join(comp, aug["doc_id"] == comp["id"], "left")
@@ -1039,7 +1056,7 @@ def e10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-E10_SQL = "WITH RECURSIVE " + _D3_CHAIN + """
+E10_SQL = "WITH RECURSIVE " + _D3_CHAIN + f"""
 , pairs AS (
   SELECT id_a, id_b
   FROM common
@@ -1063,7 +1080,7 @@ comp AS (
 aug_docs AS (
   SELECT doc_id, lang FROM documents
   UNION ALL
-  SELECT doc_id + 100000, lang FROM documents
+  SELECT doc_id + {AUG_TWIN_OFFSET}, lang FROM documents
 ),
 labeled AS (
   SELECT d.doc_id, d.lang, coalesce(c.comp, d.doc_id) AS cluster_id
@@ -1259,7 +1276,7 @@ FROM labeled l JOIN best b USING (cluster_id)
 # bounded by prefix_len × df_cap INDEPENDENT of corpus size. Like
 # d3/d13, the df cap is a recall heuristic for hot shingles; the oracle
 # implements the identical pipeline so the decision is hash-checked.
-# Fixture: 40%-token fragments planted at doc_id+200000 — high
+# Fixture: 40%-token fragments planted at doc_id + 2*AUG_TWIN_OFFSET — high
 # containment in their originals, Jaccard ~0.4 (below every Jaccard
 # query's threshold), demonstrating exactly the asymmetric case.
 # ---------------------------------------------------------------------------
@@ -1276,7 +1293,7 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     keep = F.greatest(F.floor(F.size(toks) * 2 / 5).cast("int"), F.lit(1))
     frags = docs.select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + 2 * AUG_TWIN_OFFSET).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, keep)).alias("text"),
     )
     aug = docs.unionByName(frags)
@@ -1384,7 +1401,7 @@ D14_SQL = f"""
 WITH aug14 AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 200000,
+  SELECT doc_id + {2 * AUG_TWIN_OFFSET},
          array_to_string(toks[1 : greatest(CAST(floor(len(toks) * 2 / 5) AS INT), 1)], ' ')
   FROM (SELECT doc_id,
                list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
@@ -1464,7 +1481,7 @@ WHERE z.n >= {D14_MIN_SHINGLES}
 # total (winner agg, doc reassembly agg, totals join); candidate state
 # per key is O(1).
 #
-# Fixture: every 10th doc gets a copy (doc_id+300000) with a fixed
+# Fixture: every 10th doc gets a copy (doc_id + 3*AUG_TWIN_OFFSET) with a fixed
 # 12-token boilerplate paragraph PREPENDED — the copy's later
 # paragraphs then shift-align with the original's, so the op must strip
 # the copy down to (at most) the single corpus-wide boilerplate keeper
@@ -1488,16 +1505,18 @@ def d15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture wrapper over operators/paragraphs.py::dedup_paragraphs
     (the reusable core — see its docstring for the scale decisions).
 
-    Fixture bound (the corpus-wide +offset convention, same as
-    d2/d3/e7's +100000): copy ids assume max(doc_id) < 300000 — valid
-    for every shipped lake (20x tops out at 99,999); a production
-    caller feeds real documents and no augmentation runs at all.
+    Fixture bound (the corpus-wide offset convention, same as
+    d2/d3/e7's AUG_TWIN_OFFSET): copy ids land at 3*AUG_TWIN_OFFSET, so
+    max(doc_id) < 3*AUG_TWIN_OFFSET must hold (default 300000 covers
+    the 20x lake's 99,999; the 100x protocol raises X17A5_AUG_OFFSET —
+    the paragraphs packing bound fails LOUD past 2^43/2^20). A
+    production caller feeds real documents and no augmentation runs.
     """
     from x17a5_spark.operators.paragraphs import dedup_paragraphs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
+        (F.col("doc_id") + 3 * AUG_TWIN_OFFSET).alias("doc_id"),
         F.concat_ws(" ", F.lit(D15_BOILERPLATE), F.col("text")).alias("text"),
     )
     return dedup_paragraphs(docs.unionByName(copies))
@@ -1507,7 +1526,7 @@ D15_SQL = f"""
 WITH aug15 AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 300000, '{D15_BOILERPLATE}' || ' ' || text
+  SELECT doc_id + {3 * AUG_TWIN_OFFSET}, '{D15_BOILERPLATE}' || ' ' || text
   FROM documents WHERE doc_id % 10 = 0
 ),
 tok15 AS (
@@ -1581,7 +1600,7 @@ def d16_paragraph_dedup_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.regexp_replace("text", "table", "\n\n").alias("text")
     )
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 400000).alias("doc_id"),
+        (F.col("doc_id") + 4 * AUG_TWIN_OFFSET).alias("doc_id"),
         F.concat_ws("\n\n", F.lit(D15_BOILERPLATE), F.col("text")).alias("text"),
     )
     return dedup_paragraphs(docs.unionByName(copies), delimiter=D16_DELIM)
@@ -1592,7 +1611,7 @@ WITH aug16 AS (
   SELECT doc_id, regexp_replace(text, 'table', chr(10) || chr(10), 'g') AS text
   FROM documents
   UNION ALL
-  SELECT doc_id + 400000,
+  SELECT doc_id + {4 * AUG_TWIN_OFFSET},
          '{D15_BOILERPLATE}' || chr(10) || chr(10)
            || regexp_replace(text, 'table', chr(10) || chr(10), 'g')
   FROM documents WHERE doc_id % 10 = 0

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET
 from x17a5_spark.sources.multimodal import decode_metadata, extract_features
 from x17a5_spark.tables import load_table
 
@@ -314,8 +315,9 @@ FROM documents WHERE doc_id % 13 = 0
 # float), and near-duplicate pairs are found by d4's banded-Hamming
 # pattern: 4 x 16-bit bands, pigeonhole guarantees hamming <= 3 pairs
 # share >= 1 exact band, confirm computes true Hamming on candidates
-# only. Planted: one-pixel perturbations (media_id + 400000, hamming
-# small but > 0) and exact copies (media_id + 500000, hamming 0);
+# only. Planted: one-pixel perturbations (media_id + 4*AUG_TWIN_OFFSET,
+# hamming small but > 0) and exact copies (media_id +
+# 5*AUG_TWIN_OFFSET, hamming 0; defaults 400000/500000);
 # corrupt blobs (doc_id % 13 == 0) decode to NULL and can never pair.
 #
 # What the hash match proves: the ENTIRE encode -> PNG bytes -> Arrow
@@ -360,12 +362,12 @@ def m6_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("doc_id").alias("doc"),
                        F.lit(False).alias("perturbed"))
     near = docs.filter(F.col("doc_id") % 6 == 0).select(
-        (F.col("doc_id") + 400000).alias("media_id"),
+        (F.col("doc_id") + 4 * AUG_TWIN_OFFSET).alias("media_id"),
         F.col("doc_id").alias("doc"),
         F.lit(True).alias("perturbed"),
     )
     exact = docs.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 500000).alias("media_id"),
+        (F.col("doc_id") + 5 * AUG_TWIN_OFFSET).alias("media_id"),
         F.col("doc_id").alias("doc"),
         F.lit(False).alias("perturbed"),
     )
@@ -464,9 +466,9 @@ M6_SQL = f"""
 WITH imgs AS (
   SELECT doc_id AS media_id, doc_id AS doc, false AS perturbed FROM documents
   UNION ALL
-  SELECT doc_id + 400000, doc_id, true FROM documents WHERE doc_id % 6 = 0
+  SELECT doc_id + {4 * AUG_TWIN_OFFSET}, doc_id, true FROM documents WHERE doc_id % 6 = 0
   UNION ALL
-  SELECT doc_id + 500000, doc_id, false FROM documents WHERE doc_id % 9 = 0
+  SELECT doc_id + {5 * AUG_TWIN_OFFSET}, doc_id, false FROM documents WHERE doc_id % 9 = 0
 ),
 ok AS (SELECT * FROM imgs WHERE doc % 13 <> 0),
 px AS (

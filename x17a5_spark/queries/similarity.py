@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET
 from x17a5_spark.tables import load_table
 
 N_QUERIES = 10
@@ -229,7 +230,7 @@ SELECT q_id, rank, c_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 
 
 # D5 — embedding-cosine near-duplicate detection: pairs above a cosine
-# threshold, with planted exact copies (vec_id + 100000) the pipeline
+# threshold, with planted exact copies (vec_id + AUG_TWIN_OFFSET) the pipeline
 # must recover. Scale disciplines:
 #   1. the 96-hyperplane signature (8 tables × 12 bits) is ONE Arrow-
 #      batched matmul per vector batch (`_bucket_signature`) — this is
@@ -270,7 +271,9 @@ def _bucket_signature_udf():
 def d5_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     aug = emb.select("vec_id", "embedding").unionByName(
-        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        emb.select(
+            (F.col("vec_id") + AUG_TWIN_OFFSET).alias("vec_id"), "embedding"
+        )
     )
     vecs = aug.select(
         "vec_id", _as_double(F.col("embedding")).alias("vec")
@@ -315,11 +318,11 @@ def d5_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-D5_SQL = """
+D5_SQL = f"""
 WITH aug AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+  SELECT vec_id + {AUG_TWIN_OFFSET}, CAST(embedding AS DOUBLE[]) FROM embeddings
 ),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
