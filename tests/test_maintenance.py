@@ -808,3 +808,36 @@ def test_t32_repetition_filter_flags_planted_and_short_docs_survive(spark, tmp_p
     # single occurrence is not repetition — dup3 stays 0
     assert out[3]["top2_frac"] == 1.0 and out[3]["dup3_frac"] == 0.0
     assert out[4]["rep_flag"] == 1 and out[4]["dup3_frac"] > 0.5
+
+
+def test_t18_oracle_matches_engine_on_self_pair_runs(spark, tmp_path):
+    """Code-review r10 regression pin: the original replace()-based
+    oracle diverged from the engine's greedy fold when the argmax pair
+    is a SELF-pair (a, a) applied to a run of 5+ identical symbols
+    ('aaaaa' -> engine [aa, aa, a], two-pass replace [aa, a, aa]) —
+    downstream pair counts then differ and the merge tables drift.
+    The list_reduce oracle must match the engine VALUE-for-value on
+    exactly that corpus."""
+    import duckdb
+
+    from x17a5_spark.queries.textops import T18_SQL, t18_bpe_train
+
+    lake = str(tmp_path / "runs")
+    spark.createDataFrame(
+        [(1, "aaaaa aaaaa aaaaa"), (2, "aaaaa bb"), (3, "zzzzzz zzzzzz")],
+        "doc_id long, text string",
+    ).write.parquet(f"{lake}/documents.parquet")
+
+    got = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in t18_bpe_train(spark, lake).orderBy("round").collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{lake}/documents.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(T18_SQL).fetchall()]
+    assert got == want, (got, want)
+    # and the first merge IS the self-pair the old oracle broke on
+    assert got[0][1] == got[0][2], got[0]

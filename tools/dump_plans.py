@@ -143,12 +143,22 @@ def plan_tree(spark, queries, name: str, sf_dir: str) -> str:
 
 
 def node_skeleton(tree: str) -> list[str]:
-    """Node-type sequence of a formatted-explain tree ('HashAggregate',
-    'Exchange', ...) — the shape signature the drift check compares.
-    Ids, indentation and codegen stars are layout, not shape."""
+    """Node sequence of a formatted-explain tree — the shape signature
+    the drift check compares. Each entry is the FULL node phrase
+    ('BroadcastHashJoin Inner BuildRight', 'HashAggregate', ...), not
+    just the last word: the first cut's regex captured only the token
+    before '(id)', which collapsed every join flavor to its build-side
+    modifier and made the check blind to exactly the join-strategy
+    drift it exists for (code-review r10). Ids, tree indentation and
+    codegen stars are layout, not shape, and are stripped."""
     import re
 
-    return re.findall(r"([A-Za-z][A-Za-z0-9]*)\s+\(\d+\)", tree)
+    out: list[str] = []
+    for line in tree.splitlines():
+        m = re.match(r"^[\s:+|-]*(?:\*\s*)?(\S.*?)\s+\(\d+\)\s*$", line)
+        if m:
+            out.append(m.group(1))
+    return out
 
 
 def documented_skeletons(plans_md: str) -> dict[str, list[str]]:

@@ -89,11 +89,15 @@ def _uniquify(name: str, c, i: int):
 # ~30% of docs carry this up-front paragraph: exactly 24 tokens = two
 # d15 fixed-width chunks, so the organic text behind it stays
 # chunk-aligned, and a blank-line break makes it a real d16 span
+# exactly 24 tokens = two 12-token d15 chunks (asserted below — the
+# first cut was 27 tokens and silently broke the chunk-alignment
+# premise the docstring promises; code-review r10)
 SKEW_BOILERPLATE = (
     "standard forward looking statement disclaimer the information "
     "contained herein is provided without warranty of any kind and "
-    "past performance does not guarantee future results in any way"
+    "past performance does not guarantee future results"
 )
+assert len(SKEW_BOILERPLATE.split()) == 24, len(SKEW_BOILERPLATE.split())
 # the giant near-identical cluster: one 60-token body, 5 tail variants
 SKEW_HUB_TEXT = " ".join(f"hubword{i}" for i in range(60))
 

@@ -98,8 +98,8 @@ _d3_pack_guard()
 # constant is env-parameterized like X17A5_D8_CELLS: the default keeps
 # the registry byte-identical (same plans, same driver rows), and the
 # 100×-scale protocol sets X17A5_AUG_OFFSET=2000000 (copies land at
-# 2M/4M/6M — d15's 2^43/2^20 packing bound holds to ~8.3M, fails LOUD
-# beyond). Every derived offset (e5's near/exact copies at 2×/3×,
+# 2M-10M — far inside d15's doc_id < 2^43 packing bound, which fails
+# LOUD if ever exceeded). Every derived offset (e5's copies at 2×/3×,
 # d15's boilerplate copies at 3×) scales with it, and the SQL oracles
 # interpolate the same constant, so the hash gate holds at any offset.
 AUG_TWIN_OFFSET = int(os.environ.get("X17A5_AUG_OFFSET", "100000"))
@@ -1509,8 +1509,9 @@ def d15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2/d3/e7's AUG_TWIN_OFFSET): copy ids land at 3*AUG_TWIN_OFFSET, so
     max(doc_id) < 3*AUG_TWIN_OFFSET must hold (default 300000 covers
     the 20x lake's 99,999; the 100x protocol raises X17A5_AUG_OFFSET —
-    the paragraphs packing bound fails LOUD past 2^43/2^20). A
-    production caller feeds real documents and no augmentation runs.
+    the paragraphs packing guard (doc_id < 2^43) fails LOUD if a
+    configuration ever exceeds it). A production caller feeds real
+    documents and no augmentation runs.
     """
     from x17a5_spark.operators.paragraphs import dedup_paragraphs
 

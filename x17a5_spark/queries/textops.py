@@ -362,19 +362,20 @@ FROM pairs GROUP BY 1 HAVING sum(freq) >= {T17_MIN_COUNT}
 # unrolls into a closed-form CTE chain — the same unrolled-lineage
 # pattern g1 (five power iterations) and s7 (two Lloyd rounds) already
 # use. Per round: pair-count over the vocab, argmax with the exact
-# Spark tiebreak (n DESC, pair ASC), then the greedy left-to-right
-# non-overlapping merge expressed as a separator-bounded string
-# replace. Each vocab row is serialized as SEP||sym||SEP||...||SEP;
-# the pattern SEP||a||SEP||b||SEP only matches symbol-aligned, and
-# plain replace() is non-overlapping left-to-right — exactly BPE's
-# greedy rule. One subtlety: adjacent eligible occurrences share one
-# separator char ("a b a b" -> the 2nd occurrence's leading SEP is
-# consumed by the 1st match), so the replace is applied TWICE; the
-# skipped occurrences are mutually non-adjacent after pass 1 (each is
-# flanked by a merged symbol), and a replacement ("ab" between SEPs)
-# can never create a new SEP||a||SEP||b||SEP site, so two passes are
-# exact. The golden test independently recomputes the merge table with
-# a pure-Python BPE on the same corpus.
+# Spark tiebreak (n DESC, pair ASC), then the merge applied as a
+# list_reduce fold that REPLICATES the engine's greedy left-to-right
+# rule verbatim: append x to the accumulator unless the accumulator's
+# last symbol is a and x is b, in which case rewrite the tail to the
+# merged symbol. (The first cut expressed the merge as a two-pass
+# separator-bounded replace(); code-review r10 refuted the "two passes
+# are exact" argument with a counter-example — a SELF-pair (a,a) over
+# a run of 5+ identical symbols merges (1,2),(4,5) under replace but
+# (1,2),(3,4) under BPE's greedy scan, and no fixed number of passes
+# converges to the greedy result — so the oracle now folds exactly the
+# semantics the engine folds.) The golden test independently
+# recomputes the merge table with a pure-Python BPE on the same
+# corpus, and a regression test pins the self-pair run corpus the
+# review used to break the old oracle.
 
 T18_ROUNDS = 4
 T18_SEP = "\u241f"  # symbol-boundary marker for the pair key
@@ -442,8 +443,9 @@ def t18_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _t18_unrolled_sql(rounds: int) -> str:
     """Closed-form DuckDB twin of ``rounds`` BPE merge iterations.
 
-    See the T18 block comment for why the two-pass separator-bounded
-    ``replace`` is exactly the greedy non-overlapping merge.
+    The per-round merge is a ``list_reduce`` fold with the engine's
+    exact greedy rule (see the T18 block comment — the earlier
+    replace()-based form diverged on self-pair runs).
     """
     sep = T18_SEP
     parts = [
@@ -487,11 +489,14 @@ top{r} AS (
 ),
 vocab{r} AS (
   SELECT v.freq,
-         replace(replace(v.s,
-                   '{sep}' || t.a || '{sep}' || t.b || '{sep}',
-                   '{sep}' || t.a || t.b || '{sep}'),
-                 '{sep}' || t.a || '{sep}' || t.b || '{sep}',
-                 '{sep}' || t.a || t.b || '{sep}') AS s
+         '{sep}' || list_reduce(
+           list_filter(string_split(v.s, '{sep}'), x -> x <> ''),
+           (acc, x) -> CASE
+             WHEN x = t.b
+                  AND reverse(split_part(reverse(acc), '{sep}', 1)) = t.a
+             THEN substr(acc, 1, length(acc) - length(t.a)) || t.a || t.b
+             ELSE acc || '{sep}' || x END
+         ) || '{sep}' AS s
   FROM {prev} v CROSS JOIN top{r} t
 )"""
         )
@@ -1499,6 +1504,8 @@ FROM r
 T32_TOP2 = 0.20
 T32_TOP3 = 0.18
 T32_DUP3 = 0.15
+T32_PACK_BITS = 20  # (count, gram_len) packed argmax: cnt*2^20 + len
+T32_PACK = 1 << T32_PACK_BITS
 T32_PHRASE = "click here now "  # planted positive: every 7th doc
 T32_REPEATS = 8
 
@@ -1548,17 +1555,39 @@ def t32_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = exploded.groupBy("doc_id", "g").agg(
         F.count(F.lit(1)).alias("cnt"), F.min("n_chars").alias("n_chars")
     )
-    gram_chars = F.col("cnt") * F.length("g.gram")
+    # Gopher's top-n-gram stat is the char mass of the MOST FREQUENT
+    # gram (argmax by count), not max(count*chars) — a long singleton
+    # gram must never beat a short frequent one (code-review r10). The
+    # argmax rides ONE order-preserving long, cnt·2^20 + len (len <
+    # 2^20 by construction — a gram is 2-3 whitespace tokens of a
+    # finite doc), so the aggregate stays a codegen HashAggregate (the
+    # d15 packed-winner discipline; struct max falls to SortAggregate).
+    # Tie on count -> longer gram wins; residual ties have equal char
+    # mass, so the decoded product is deterministic either way.
+    packed = F.col("cnt") * F.lit(T32_PACK) + F.length("g.gram")
     stats = counts.groupBy("doc_id").agg(
         F.min("n_chars").alias("n_chars"),
-        F.max(F.when(F.col("g.k") == 2, gram_chars)).alias("top2_chars"),
-        F.max(F.when(F.col("g.k") == 3, gram_chars)).alias("top3_chars"),
+        F.max(F.when(F.col("g.k") == 2, packed)).alias("top2_packed"),
+        F.max(F.when(F.col("g.k") == 3, packed)).alias("top3_packed"),
         F.sum(
             F.when(
                 (F.col("g.k") == 3) & (F.col("cnt") > 1),
                 (F.col("cnt") - 1) * F.length("g.gram"),
             ).otherwise(F.lit(0))
         ).alias("dup3_chars"),
+    )
+
+    def _unpack(c) -> F.Column:
+        # exact integer decode: count = packed >> 20, len = packed mod
+        # 2^20 (shiftright, not float division — packed reaches 2^40)
+        return F.shiftright(c, T32_PACK_BITS) * F.pmod(c, F.lit(T32_PACK))
+
+    stats = stats.select(
+        "doc_id",
+        "n_chars",
+        _unpack(F.col("top2_packed")).alias("top2_chars"),
+        _unpack(F.col("top3_packed")).alias("top3_chars"),
+        "dup3_chars",
     )
 
     def _frac(c) -> F.Column:
@@ -1610,11 +1639,22 @@ c32 AS (
 ),
 p32 AS (
   SELECT doc_id,
-         max(CASE WHEN k = 2 THEN cnt * length(gram) END) AS top2_chars,
-         max(CASE WHEN k = 3 THEN cnt * length(gram) END) AS top3_chars,
+         max(CASE WHEN k = 2 THEN cnt * {T32_PACK} + length(gram) END)
+             AS top2_packed,
+         max(CASE WHEN k = 3 THEN cnt * {T32_PACK} + length(gram) END)
+             AS top3_packed,
          sum(CASE WHEN k = 3 AND cnt > 1 THEN (cnt - 1) * length(gram)
                   ELSE 0 END) AS dup3_chars
   FROM c32 GROUP BY 1
+),
+u32 AS (
+  SELECT doc_id,
+         (top2_packed // {T32_PACK}) * (top2_packed % {T32_PACK})
+             AS top2_chars,
+         (top3_packed // {T32_PACK}) * (top3_packed % {T32_PACK})
+             AS top3_chars,
+         dup3_chars
+  FROM p32
 ),
 f32 AS (
   SELECT t.doc_id,
@@ -1627,7 +1667,7 @@ f32 AS (
          round(CASE WHEN t.n_chars > 0
                     THEN coalesce(p.dup3_chars, 0) / t.n_chars
                     ELSE 0.0 END, 6) AS dup3_frac
-  FROM tok32 t LEFT JOIN p32 p USING (doc_id)
+  FROM tok32 t LEFT JOIN u32 p USING (doc_id)
 )
 SELECT doc_id, top2_frac, top3_frac, dup3_frac,
        CAST(top2_frac > {T32_TOP2} OR top3_frac > {T32_TOP3}
