@@ -202,16 +202,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # Round-10 rotation (the never-ride-a-stale-row rule): IN —
 # t32_repetition_filter (NEW this round: the Gopher in-document
-# repetition gate — top-2/3-gram char fraction + duplicate-3-gram char
-# mass, planted positives every 7th doc; takes a22_robust_outliers'
-# slot). OUT — a22_robust_outliers: hash-green in CORRECTNESS_r09 and
-# unchanged since. The two other queries whose behavior changed this
-# round already hold first-50 slots — t18_bpe_train (first-ever
-# ORACLE: the fixed merge rounds unrolled into a closed-form CTE
-# chain, so its r10 driver row is the registry's first full hash
-# check — 182/182 oracle-backed) and t30_decontamination (ADVICE r9:
-# sub-k eval docs now emit explicit n_grams=0 rows instead of
-# vanishing in the explode). Everything else in the window is
+# repetition gate — most-frequent-2/3-gram char fraction via a packed
+# (cnt, len) argmax + duplicate-3-gram char mass, planted positives
+# every 7th doc; takes a22_robust_outliers' slot). OUT —
+# a22_robust_outliers: hash-green in CORRECTNESS_r09 and unchanged
+# since. Two other changed queries already hold first-50 slots —
+# t18_bpe_train (first-ever ORACLE: the fixed merge rounds unrolled
+# into a closed-form CTE chain whose per-round merge is a list_reduce
+# fold of the engine's exact greedy rule — the registry is now
+# 182/182 oracle-backed) and t30_decontamination (ADVICE r9: sub-k
+# eval docs now emit explicit n_grams=0 rows instead of vanishing in
+# the explode). The fixture-offset parameterization (X17A5_AUG_OFFSET,
+# default 100000) touched d2/d3/d5/d8/d14/d15/d16/e5/e7/e10/m6/t30 but
+# is BYTE-IDENTICAL at the default (every touched query re-verified
+# hash-exact at sf0.01 under both the default and the raised offset),
+# so the out-of-window members (d5, m6) ride their standing rows under
+# the r4 value-identical convention. Everything else in the window is
 # r09-green and untouched; everything outside the window is hash-green
 # in r1∪…∪r9 and untouched.
 #
