@@ -1234,8 +1234,16 @@ def t30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    eval_docs = docs.select(guarded_id.alias("doc_id"), "text").filter(
-        F.col("doc_id") % T30_EVAL_MOD == 0
+    from pyspark import StorageLevel
+
+    # persisted: the eval slice (1/23 of docs) feeds BOTH the gram
+    # explode and the final full-coverage re-attach (ADVICE r9) —
+    # without the persist the re-attach re-scans documents through the
+    # guard projection (the d3 cand_sh stage-table lesson)
+    eval_docs = (
+        docs.select(guarded_id.alias("doc_id"), "text")
+        .filter(F.col("doc_id") % T30_EVAL_MOD == 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # training corpus = originals + perturbed twins, MINUS the eval docs
     # themselves. Half the eval docs' twins are scrubbed too (the
