@@ -301,12 +301,17 @@ def main() -> None:
             "flag only if a query's new median moves >1.5x outside the "
             "recorded [min,max] bracket"
         )
+    # a BENCH_ONLY slice must never overwrite the committed full-suite
+    # artifact (round 10: a t30-only probe was accidentally committed
+    # as BENCH_FULL.json) — slices write to BENCH_SLICE.json
+    artifact = "BENCH_SLICE.json" if only_env else "BENCH_FULL.json"
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        os.path.dirname(os.path.abspath(__file__)), artifact
     )
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    full["queries_file"] = artifact
 
     # the per-query bracket map lives in BENCH_FULL.json only — the
     # stdout line's ~2 KB capture budget carries the medians
@@ -340,7 +345,7 @@ def compose_stdout_line(
         kept = {codes[n]: timings[n] for n in by_cost[:n_keep]}
         out = dict(full)
         out["queries"] = kept
-        out["queries_file"] = "BENCH_FULL.json"
+        out["queries_file"] = full.get("queries_file", "BENCH_FULL.json")
         if n_keep < len(timings):
             out["queries_truncated_to"] = n_keep
         return json.dumps(out, separators=(",", ":"))
@@ -365,7 +370,7 @@ def compose_stdout_line(
                 for k in ("metric", "value", "unit", "sf", "n_queries")
                 if k in full
             }
-            | {"queries_file": "BENCH_FULL.json"},
+            | {"queries_file": full.get("queries_file", "BENCH_FULL.json")},
             separators=(",", ":"),
         )
     return line
