@@ -303,15 +303,22 @@ def main() -> None:
         )
     # a BENCH_ONLY slice must never overwrite the committed full-suite
     # artifact (round 10: a t30-only probe was accidentally committed
-    # as BENCH_FULL.json) — slices write to BENCH_SLICE.json
+    # as BENCH_FULL.json) — slices write to BENCH_SLICE.json. The
+    # artifact name and (for slices) the query list go INTO the file
+    # before it is dumped, so the on-disk record is self-describing —
+    # a committed slice can never masquerade as a full run (ADVICE r10).
     artifact = "BENCH_SLICE.json" if only_env else "BENCH_FULL.json"
+    full["queries_file"] = artifact
+    if only_env:
+        full["bench_only"] = sorted(
+            s.strip() for s in only_env.split(",") if s.strip()
+        )
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), artifact
     )
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    full["queries_file"] = artifact
 
     # the per-query bracket map lives in BENCH_FULL.json only — the
     # stdout line's ~2 KB capture budget carries the medians

@@ -157,7 +157,15 @@ def node_skeleton(tree: str) -> list[str]:
     for line in tree.splitlines():
         m = re.match(r"^[\s:+|-]*(?:\*\s*)?(\S.*?)\s+\(\d+\)\s*$", line)
         if m:
-            out.append(m.group(1))
+            phrase = m.group(1)
+            # Attribute lists and expression ids are run-dependent
+            # ('ReusedExchange [doc_id#123L]' changes per session) —
+            # strip them so the skeleton stays a pure shape signature
+            # (ADVICE r10: the full-phrase capture made any such node
+            # flaky; the old regex had silently skipped those lines).
+            phrase = re.sub(r"\s*\[[^\]]*\]", "", phrase)
+            phrase = re.sub(r"#\d+L?", "", phrase)
+            out.append(phrase.strip())
     return out
 
 

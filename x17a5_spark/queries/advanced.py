@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from x17a5_spark.functions.compat import dec_sql, to_dec
 from x17a5_spark.functions.text import tokens
 from x17a5_spark.operators.skew import salted_aggregate, salted_join
-from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET
+from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET, guarded_twin_id
 from x17a5_spark.queries.similarity import (
     _as_double,
     _dot,
@@ -277,7 +277,8 @@ def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     aug = emb.select("vec_id", "embedding").unionByName(
         emb.select(
-            (F.col("vec_id") + AUG_TWIN_OFFSET).alias("vec_id"), "embedding"
+            guarded_twin_id(F.col("vec_id"), 1, "d8").alias("vec_id"),
+            "embedding",
         )
     )
     vecs = aug.select(

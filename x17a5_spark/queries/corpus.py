@@ -29,7 +29,7 @@ from x17a5_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET
+from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET, guarded_twin_id
 from x17a5_spark.queries.textops import STOPWORDS, _hits_sql
 from x17a5_spark.tables import load_table
 
@@ -446,13 +446,14 @@ def e5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionByName(
             existing.filter(F.col("doc_id") % 5 == 0).select(
-                (F.col("doc_id") + 2 * AUG_TWIN_OFFSET).alias("doc_id"),
+                guarded_twin_id(F.col("doc_id"), 2, "e5").alias("doc_id"),
                 F.concat_ws(" ", F.slice(toks, 1, keep)).alias("text"),
             )
         )
         .unionByName(
             existing.filter(F.col("doc_id") % 7 == 0).select(
-                (F.col("doc_id") + 3 * AUG_TWIN_OFFSET).alias("doc_id"), "text"
+                guarded_twin_id(F.col("doc_id"), 3, "e5").alias("doc_id"),
+                "text",
             )
         )
     )

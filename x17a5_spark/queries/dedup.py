@@ -105,6 +105,33 @@ _d3_pack_guard()
 AUG_TWIN_OFFSET = int(os.environ.get("X17A5_AUG_OFFSET", "100000"))
 
 
+def guarded_twin_id(id_col, mult: int, qname: str):
+    """``id + mult * AUG_TWIN_OFFSET``, failing LOUD when the original
+    id already reaches the offset. ADVICE r10: the max(id) <
+    AUG_TWIN_OFFSET fixture bound was enforced only inside t30, so any
+    OTHER offset-dependent query run alone against a larger lake
+    (e.g. ``SPARK_GRAFT_BENCH_ONLY=d15`` at 100× without
+    ``X17A5_AUG_OFFSET``) silently planted COLLIDING ids. The guard
+    lives on the copies branch, so the original branch keeps its scan
+    pushdown, while any evaluation of a planted row (even under a
+    pushed-through filter, which Catalyst rewrites to contain this
+    CASE) raises before a colliding id can leave the stage. No-op on
+    valid data — the DuckDB oracle twins stay hash-exact."""
+    return F.when(id_col < AUG_TWIN_OFFSET, id_col + mult * AUG_TWIN_OFFSET).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{qname}: original id reaches the twin-id offset "
+                    f"X17A5_AUG_OFFSET={AUG_TWIN_OFFSET} (copies at "
+                    f"{mult}x would collide); raise X17A5_AUG_OFFSET "
+                    "for this lake: "
+                ),
+                id_col.cast("string"),
+            )
+        )
+    )
+
+
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ perturbed near-duplicate copies (deterministic)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -113,7 +140,7 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's rounds, so the truncation must be explicit on both sides.
     keep = F.greatest(F.floor(F.size(toks) * 9 / 10).cast("int"), F.lit(1))
     copies = docs.select(
-        (F.col("doc_id") + AUG_TWIN_OFFSET).alias("doc_id"),
+        guarded_twin_id(F.col("doc_id"), 1, "augmented_docs").alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, keep)).alias("text"),
     )
     return docs.unionByName(copies)
@@ -902,7 +929,8 @@ def e7_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copies (doc_id + AUG_TWIN_OFFSET) belong to their base doc's source
     aug_src = src.unionByName(
         src.select(
-            (F.col("doc_id") + AUG_TWIN_OFFSET).alias("doc_id"), "source"
+            guarded_twin_id(F.col("doc_id"), 1, "e7").alias("doc_id"),
+            "source",
         )
     )
     n_docs = aug_src.groupBy("source").agg(F.count("*").alias("n_docs"))
@@ -1021,7 +1049,8 @@ def e10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     aug = docs.unionByName(
         docs.select(
-            (F.col("doc_id") + AUG_TWIN_OFFSET).alias("doc_id"), "lang"
+            guarded_twin_id(F.col("doc_id"), 1, "d8").alias("doc_id"),
+            "lang",
         )
     )
     labeled = (
@@ -1293,7 +1322,7 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     keep = F.greatest(F.floor(F.size(toks) * 2 / 5).cast("int"), F.lit(1))
     frags = docs.select(
-        (F.col("doc_id") + 2 * AUG_TWIN_OFFSET).alias("doc_id"),
+        guarded_twin_id(F.col("doc_id"), 2, "d14").alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, keep)).alias("text"),
     )
     aug = docs.unionByName(frags)
@@ -1517,7 +1546,7 @@ def d15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 3 * AUG_TWIN_OFFSET).alias("doc_id"),
+        guarded_twin_id(F.col("doc_id"), 3, "d15").alias("doc_id"),
         F.concat_ws(" ", F.lit(D15_BOILERPLATE), F.col("text")).alias("text"),
     )
     return dedup_paragraphs(docs.unionByName(copies))
@@ -1601,7 +1630,7 @@ def d16_paragraph_dedup_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.regexp_replace("text", "table", "\n\n").alias("text")
     )
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 4 * AUG_TWIN_OFFSET).alias("doc_id"),
+        guarded_twin_id(F.col("doc_id"), 4, "d16").alias("doc_id"),
         F.concat_ws("\n\n", F.lit(D15_BOILERPLATE), F.col("text")).alias("text"),
     )
     return dedup_paragraphs(docs.unionByName(copies), delimiter=D16_DELIM)

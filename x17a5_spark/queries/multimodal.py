@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET
+from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET, guarded_twin_id
 from x17a5_spark.sources.multimodal import decode_metadata, extract_features
 from x17a5_spark.tables import load_table
 
@@ -362,12 +362,12 @@ def m6_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("doc_id").alias("doc"),
                        F.lit(False).alias("perturbed"))
     near = docs.filter(F.col("doc_id") % 6 == 0).select(
-        (F.col("doc_id") + 4 * AUG_TWIN_OFFSET).alias("media_id"),
+        guarded_twin_id(F.col("doc_id"), 4, "m6").alias("media_id"),
         F.col("doc_id").alias("doc"),
         F.lit(True).alias("perturbed"),
     )
     exact = docs.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 5 * AUG_TWIN_OFFSET).alias("media_id"),
+        guarded_twin_id(F.col("doc_id"), 5, "m6").alias("media_id"),
         F.col("doc_id").alias("doc"),
         F.lit(False).alias("perturbed"),
     )

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET
+from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET, guarded_twin_id
 from x17a5_spark.tables import load_table
 
 N_QUERIES = 10
@@ -272,7 +272,8 @@ def d5_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     aug = emb.select("vec_id", "embedding").unionByName(
         emb.select(
-            (F.col("vec_id") + AUG_TWIN_OFFSET).alias("vec_id"), "embedding"
+            guarded_twin_id(F.col("vec_id"), 1, "d5").alias("vec_id"),
+            "embedding",
         )
     )
     vecs = aug.select(

@@ -1202,6 +1202,10 @@ LEFT JOIN novel29 v USING (doc_id)
 # ---------------------------------------------------------------------------
 
 T30_GRAM_K = 7
+# single-slot holder for t30's persisted eval slice (ADVICE r10: the
+# construction-time persist leaked once per invocation across registry
+# sweeps) — see the comment at the persist site
+_T30_PERSISTED: list = []
 T30_EVAL_MOD = 23  # doc_id % 23 == 0 -> the held-out "benchmark" docs
 T30_THRESHOLD = 0.2
 
@@ -1239,12 +1243,21 @@ def t30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the eval slice (1/23 of docs) feeds BOTH the gram
     # explode and the final full-coverage re-attach (ADVICE r9) —
     # without the persist the re-attach re-scans documents through the
-    # guard projection (the d3 cand_sh stage-table lesson)
+    # guard projection (the d3 cand_sh stage-table lesson).
+    # ADVICE r10: the cache registers in the session CacheManager at
+    # query-CONSTRUCTION time and the returned DataFrame is lazy, so
+    # this function cannot know when to unpersist. Bound the leak to
+    # at most ONE live slice instead: re-invoking t30 (registry
+    # sweeps, bench repeats) unpersists the previous slice first, and
+    # bench.py/dump_plans.py clearCache defensively between queries.
+    while _T30_PERSISTED:
+        _T30_PERSISTED.pop().unpersist(blocking=False)
     eval_docs = (
         docs.select(guarded_id.alias("doc_id"), "text")
         .filter(F.col("doc_id") % T30_EVAL_MOD == 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _T30_PERSISTED.append(eval_docs)
     # training corpus = originals + perturbed twins, MINUS the eval docs
     # themselves. Half the eval docs' twins are scrubbed too (the
     # "benchmark authors decontaminated these" half), so the output has
