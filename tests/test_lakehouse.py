@@ -211,3 +211,76 @@ def test_pit_join_is_leak_free_and_self_consistent(spark):
         rows.sort()
         versions = [v for _, _, v in rows]
         assert versions == sorted(versions), f"user {user} version regressed"
+
+
+def test_j17_stage_tables_survive_a_second_session_and_fail_loud(spark):
+    """VERDICT r10 'What's wrong #1': a second Spark session whose
+    in-memory catalog didn't know the j17 stage table used to rmtree
+    the warehouse directory while the first session's already-resolved
+    scan read it — 0 rows, silently. The build protocol is now
+    immutable-dir + atomic rename + external re-attach, so (a) a fresh
+    PROCESS re-attaches to the existing build without touching the
+    files, and (b) any external interference with the directory raises
+    at the next read instead of serving an empty scan."""
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+
+    from x17a5_spark.queries.lakehouse import (
+        _j17_tag,
+        _j17_warehouse_path,
+        j17_bucketed_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        (r["o_orderpriority"], r["n_items"], str(r["revenue"]))
+        for r in j17_bucketed_join(spark, sf).collect()
+    }
+    assert want
+    wh = _j17_warehouse_path(spark)
+    table_dir = os.path.join(wh, f"j17_orders_{_j17_tag(sf)}")
+    before = sorted(os.listdir(table_dir))
+    inode = os.stat(table_dir).st_ino
+
+    # fresh process = fresh in-memory catalog, SAME warehouse dir
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from x17a5_spark.session import get_spark\n"
+        "from x17a5_spark.queries.lakehouse import j17_bucketed_join\n"
+        "spark = get_spark('j17_second_session', shuffle_partitions=8)\n"
+        f"rows = j17_bucketed_join(spark, {sf!r}).collect()\n"
+        "print('J17_SECOND', sorted((r['o_orderpriority'], r['n_items'],"
+        " str(r['revenue'])) for r in rows))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "J17_SECOND" in out.stdout, out.stderr[-2000:]
+    got_line = next(
+        line for line in out.stdout.splitlines() if line.startswith("J17_SECOND")
+    )
+    assert got_line == f"J17_SECOND {sorted(want)}"
+    # the first session's directory was never deleted or rebuilt
+    assert sorted(os.listdir(table_dir)) == before
+    assert os.stat(table_dir).st_ino == inode
+
+    # interference fails LOUD: hide one data file -> next read raises
+    datafile = next(f for f in before if not f.startswith(("_", ".")))
+    src = os.path.join(table_dir, datafile)
+    os.rename(src, src + ".hidden")
+    try:
+        with pytest.raises(RuntimeError, match="missing or incomplete"):
+            j17_bucketed_join(spark, sf)
+    finally:
+        os.rename(src + ".hidden", src)
+    assert {
+        (r["o_orderpriority"], r["n_items"], str(r["revenue"]))
+        for r in j17_bucketed_join(spark, sf).collect()
+    } == want
