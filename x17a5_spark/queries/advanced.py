@@ -253,10 +253,35 @@ FROM ranked WHERE vr IN ({", ".join(str(r) for r in _A17_RANKS)})
 D8_THRESHOLD = 0.99
 
 # SemDeDup's own recipe scales the cell count with the corpus
-# (k ~ N / target_cell_size); X17A5_D8_CELLS applies that recipe to the
-# scaled-lake runs (SCALE.md) with the ORACLE TRACKING the same k —
-# staged_assign_sql is parameterized, so the hash gate still holds at
-# any k. Default 16 keeps the registry query byte-identical to r3/r4.
+# (k ~ N / target_cell_size); since round 11 the DEFAULT path derives
+# k from a cheap corpus count with that recipe (VERDICT r10 #3: an
+# operator advertised as 100-TB-ready must not need a hand-set env
+# knob to avoid a 20 GB per-cell matmul at 100×). X17A5_D8_CELLS still
+# overrides for the measured-protocol runs, with the ORACLE TRACKING
+# the same k — staged_assign_sql is parameterized, so the hash gate
+# holds at any k. Every shipped gate lake (sf0.001/0.01/0.1: ≤4,000
+# augmented vectors) derives EXACTLY the historic 16, so the registry
+# query and its static oracle stay byte-identical.
+
+# SCALE.md's measured recipe point: ~250 augmented vectors per cell at
+# every scale (16 cells @ 4k aug, 320 @ 80k, 1600 @ 400k)
+D8_TARGET_CELL = 250
+
+
+def _d8_derive(n_aug_vecs: int) -> tuple[int, int]:
+    """Cell count + super-cell count from the augmented corpus size.
+
+    k is shaped as s×⌈raw/s⌉ with s=⌈√raw⌉ so the two-level staged
+    assignment always gets a true divisor near √k (an arbitrary ⌈N/250⌉
+    can be prime, which would collapse the super-level to width 1 and
+    degenerate assignment to flat N·k). k ≥ raw keeps every cell AT OR
+    UNDER the 250-vector target — the safe direction for the per-cell
+    matmul — and n/k ≤ 250 holds for ANY corpus size by construction."""
+    import math
+
+    raw = max(16, -(-n_aug_vecs // D8_TARGET_CELL))
+    s = math.isqrt(raw - 1) + 1  # ceil(sqrt(raw))
+    return s * (-(-raw // s)), s
 
 
 def _d8_params() -> tuple[int, int]:
@@ -284,12 +309,22 @@ def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = aug.select(
         "vec_id", _as_double(F.col("embedding")).alias("vec")
     ).withColumn("norm", _norm(F.col("vec")))
+    # cell count: env override for the measured protocols, else DERIVED
+    # from the corpus (one parquet-metadata count at construction time)
+    # so the default path cannot OOM a worker when the lake grows — at
+    # the gate lakes the derivation lands exactly on the historic 16
+    import os
+
+    if os.environ.get("X17A5_D8_CELLS") is not None:
+        cells, supers = D8_CELLS, D8_SUPERS
+    else:
+        cells, supers = _d8_derive(2 * emb.count())
     # two-level coarse assignment (similarity.staged_assignment): the
     # per-vector explode is 2*sqrt(k) wide, so assignment stays
     # N*2*sqrt(k) under SemDeDup's corpus-scaled k — never N*k.
-    cents, sups = ivf_tables(spark, D8_CELLS, D8_SUPERS)
+    cents, sups = ivf_tables(spark, cells, supers)
     assigned = staged_assignment(
-        vecs, cents, sups, D8_SUPERS, D8_CELLS // D8_SUPERS
+        vecs, cents, sups, supers, cells // supers
     ).join(vecs, "vec_id")
     # within-cell pairwise cosine as ONE Arrow-batched numpy matmul per
     # cell (BLAS beats 3M per-pair JVM folds ~6x at sf0.1). Safe for the
