@@ -84,7 +84,20 @@ def split_conjoined_rows(
     ``text`` holds (group_cols..., line_text). The map rides into the
     kernel via a cogroup on the filing key — no driver-side dict, so the
     text corpus can be arbitrarily large.
-    """
+
+    SELECTIVE ROUTING (round 11, VERDICT r10 #4): fused rows are rare —
+    most filings have none — yet every filing used to round-trip the
+    Python kernel (Arrow out, pandas sort, list-of-tuples rebuild,
+    Arrow back) only to come out unchanged. The declarative F3 detector
+    (an exact Column mirror of ``_is_conjoined``) now flags fused rows
+    JVM-side; filings with zero fused rows take a pure window
+    passthrough (renumber + split_flag=0 — exactly what the kernel
+    emits for them), and ONLY filings containing a fused row pay the
+    kernel and its TEXT-map join. At e1's corpus shape (no fused rows)
+    this converts the whole stage to JVM window work; at a corpus where
+    every filing is fused (k4's fixture) it degrades gracefully to the
+    old shape plus one cheap window pass."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F  # local: keep module header lean
 
     group_cols = list(group_cols)
@@ -93,10 +106,42 @@ def split_conjoined_rows(
         [f"{c} {key_t[c]}" for c in group_cols]
         + ["row_idx int", f"{item_col} string", f"{raw_col} string", "split_flag int"]
     )
+    # declarative _is_conjoined: split on single spaces (empty tokens
+    # from runs of spaces survive, as in Python's str.split(" ")),
+    # drop '$'/'S' OCR artifacts, fused iff >1 token remains
+    is_fused = (
+        F.size(
+            F.filter(
+                F.split(F.col(raw_col), " ", -1),
+                lambda t: ~t.isin("$", "S"),
+            )
+        )
+        > 1
+    ) & F.col(raw_col).isNotNull()
+    wp = Window.partitionBy(*group_cols)
+    flagged = df.withColumn(
+        "_has_fused", F.max(is_fused.cast("int")).over(wp)
+    )
+    clean = (
+        flagged.filter(F.col("_has_fused") == 0)
+        .withColumn(
+            "_rn",
+            F.row_number().over(wp.orderBy(order_col)) - 1,
+        )
+        .select(
+            *group_cols,
+            F.col("_rn").cast("int").alias("row_idx"),
+            item_col,
+            raw_col,
+            F.lit(0).alias("split_flag"),
+        )
+    )
+    fused = flagged.filter(F.col("_has_fused") == 1).drop("_has_fused")
+
     # The TEXT map rides in as one ordered array column per filing (a
     # pre-aggregated left join) rather than a cogroup — one extra small
     # shuffle, but robust to shared-lineage inputs and keeps exactly one
-    # grouped kernel.
+    # grouped kernel. Only the fused branch pays it.
     text_arrays = text.groupBy(*group_cols).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("line_idx"), F.col("line_text")))
@@ -106,7 +151,7 @@ def split_conjoined_rows(
 
     # full-width kernel execution (AQE would serialize this CPU-bound
     # stage on a byte-small corpus; see kernel_part.py)
-    joined = df.join(text_arrays, group_cols, "left")
+    joined = fused.join(text_arrays, group_cols, "left")
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
@@ -124,4 +169,5 @@ def split_conjoined_rows(
         out["split_flag"] = flag
         return out[group_cols + ["row_idx", item_col, raw_col, "split_flag"]]
 
-    return grouped_kernel(joined, group_cols, fn, schema, with_key=True)
+    kernelled = grouped_kernel(joined, group_cols, fn, schema, with_key=True)
+    return clean.unionByName(kernelled)

@@ -1336,15 +1336,30 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    sh = canon.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias(
-            "shingle"
-        ),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # 56-bit shingle hashes from the explode onward (VERDICT r10 #1:
+    # the verify join rode full sorted STRING arrays per candidate
+    # pair — ~25-30 bytes per 3-word shingle — and those per-task
+    # structures stopped fitting memory at the 100× lake; an 8-byte
+    # long is the d3 packing discipline). The oracle hashes with the
+    # IDENTICAL md5-derived conv, so df counts, prefix tie-breaks and
+    # intersections stay value-exact cross-engine; 56-bit collisions
+    # are mirrored (birthday bound ~7·10^16, not a real regime).
+    hash56 = F.conv(
+        F.substring(F.md5("shingle"), 2, D3_HEX_CHARS), 16, 10
+    ).cast("long")
+    sh = (
+        canon.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text"), 3))
+            ).alias("shingle"),
+        )
+        .select("doc_id", hash56.alias("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    shdf = sh.join(dfc, "shingle").filter(
+    dfc = sh.groupBy("g").agg(F.count("*").alias("df"))
+    shdf = sh.join(dfc, "g").filter(
         (F.col("df") >= 2) & (F.col("df") <= D14_DF_CAP)
     )
     # prefix length floor(n/5)+1 == floor((1-tau)·n)+1 at tau=0.8,
@@ -1352,7 +1367,7 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One windowed pass serves BOTH the prefix (contained side) and the
     # postings (container side) — shdf⋈sizes is built once, persisted,
     # and filtered two ways, instead of two independent join subtrees.
-    pw = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle"))
+    pw = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g"))
     shsz = (
         shdf.join(sizes, "doc_id")
         .withColumn("_pk", F.row_number().over(pw))
@@ -1360,7 +1375,7 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = shsz.filter(
         F.col("_pk") <= F.floor(F.col("n") / 5).cast("int") + 1
-    ).select("doc_id", "shingle", F.col("n").alias("n_a"))
+    ).select("doc_id", "g", F.col("n").alias("n_a"))
     # PPJoin size filter, pushed BEFORE the pair-distinct: containment
     # >= tau forces n_common >= tau*n_a, and n_common <= n_b, so any
     # pair with 5*n_b < 4*n_a (exact integer form of n_b < 0.8*n_a)
@@ -1371,12 +1386,12 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verification join's width.
     postings = shsz.select(
         F.col("doc_id").alias("container_id"),
-        "shingle",
+        "g",
         F.col("n").alias("n_b"),
     )
     cands = (
-        prefix.select(F.col("doc_id").alias("contained_id"), "shingle", "n_a")
-        .join(postings, "shingle")
+        prefix.select(F.col("doc_id").alias("contained_id"), "g", "n_a")
+        .join(postings, "g")
         .filter(
             (F.col("contained_id") != F.col("container_id"))
             & (F.col("n_b") * 5 >= F.col("n_a") * 4)
@@ -1401,7 +1416,7 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     arrs = sh.join(cand_docs, "doc_id", "left_semi").groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("shingles"),
+        F.sort_array(F.collect_list("g")).alias("shingles"),
         F.count("*").alias("n"),
     )
     aa = arrs.select(
@@ -1443,37 +1458,43 @@ canon AS (
     ORDER BY doc_id) = 1
 ),
 sh AS (
+  -- 56-bit md5-derived shingle hashes from the explode onward (the
+  -- d3 packing discipline, mirrored in the engine): df counts,
+  -- prefix tie-breaks and the verify intersection all ride 8-byte
+  -- longs in BOTH engines, so the decision stays value-exact
+  SELECT doc_id, CAST('0x' || md5(shingle)[2:{1 + D3_HEX_CHARS}] AS BIGINT) AS g
+  FROM (
   SELECT doc_id, unnest(list_distinct(
            list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
          AS shingle
   FROM (SELECT doc_id,
                list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
-        FROM canon)
+        FROM canon))
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
-shdf AS (SELECT s.doc_id, s.shingle, d.df
-         FROM sh s JOIN dfc d USING (shingle)
+dfc AS (SELECT g, count(*) AS df FROM sh GROUP BY 1),
+shdf AS (SELECT s.doc_id, s.g, d.df
+         FROM sh s JOIN dfc d USING (g)
          WHERE d.df >= 2 AND d.df <= {D14_DF_CAP}),
 prefix AS (
-  SELECT doc_id, shingle FROM (
-    SELECT s.doc_id, s.shingle, z.n,
+  SELECT doc_id, g FROM (
+    SELECT s.doc_id, s.g, z.n,
            row_number() OVER (PARTITION BY s.doc_id
-                              ORDER BY s.df ASC, s.shingle) AS pk
+                              ORDER BY s.df ASC, s.g) AS pk
     FROM shdf s JOIN sizes z USING (doc_id))
   WHERE pk <= CAST(floor(n / 5) AS INT) + 1
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS contained_id, b.doc_id AS container_id
-  FROM prefix a JOIN shdf b USING (shingle)
+  FROM prefix a JOIN shdf b USING (g)
   WHERE a.doc_id <> b.doc_id
 ),
 common AS (
   SELECT c.contained_id, c.container_id, count(*) AS n_common
   FROM cands c
   JOIN sh sa ON sa.doc_id = c.contained_id
-  JOIN sh sb ON sb.doc_id = c.container_id AND sb.shingle = sa.shingle
+  JOIN sh sb ON sb.doc_id = c.container_id AND sb.g = sa.g
   GROUP BY 1, 2
 )
 SELECT contained_id, container_id,
