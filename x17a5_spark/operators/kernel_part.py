@@ -97,50 +97,91 @@ def grouped_kernel(
     is carried into the next. NaN group keys are handled (dropna=False
     + isna-aware carry detection) to match applyInPandas semantics.
     """
-    import numpy as np
     import pandas as pd
 
     group_cols = list(group_cols)
 
-    def op(batches):
-        def run(pdf: pd.DataFrame):
-            outs = []
-            for key, g in pdf.groupby(group_cols, sort=False, dropna=False):
-                g = g.reset_index(drop=True)
-                if with_key:
-                    o = fn(key if isinstance(key, tuple) else (key,), g)
-                else:
-                    o = fn(g)
-                if o is not None and len(o):
-                    outs.append(o)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+    def run(pdf: pd.DataFrame):
+        outs = []
+        for key, g in pdf.groupby(group_cols, sort=False, dropna=False):
+            g = g.reset_index(drop=True)
+            if with_key:
+                o = fn(key if isinstance(key, tuple) else (key,), g)
+            else:
+                o = fn(g)
+            if o is not None and len(o):
+                outs.append(o)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
-        carry: pd.DataFrame | None = None
-        for b in batches:
-            if carry is not None:
-                b = pd.concat([carry, b], ignore_index=True)
-                carry = None
-            if not len(b):
-                continue
-            # trailing (possibly batch-spanning) group = contiguous run
-            # of rows keyed like the last row
-            eq = np.ones(len(b), dtype=bool)
-            last = b.iloc[-1]
-            for c in group_cols:
-                v = last[c]
-                if pd.isna(v):
-                    eq &= b[c].isna().to_numpy()
-                else:
-                    eq &= (b[c] == v).to_numpy()
-            n_tail = len(b) if eq.all() else int(np.argmin(eq[::-1]))
-            if n_tail == len(b):
-                carry = b
-                continue
-            carry = b.iloc[len(b) - n_tail :]
-            yield from run(b.iloc[: len(b) - n_tail])
-        if carry is not None and len(carry):
-            yield from run(carry)
+    def op(batches):
+        yield from _stream_complete_groups(batches, group_cols, run)
+
+    return (
+        kernel_partitions(df, group_cols)
+        .sortWithinPartitions(*group_cols)
+        .mapInPandas(op, schema=schema)
+    )
+
+
+def _stream_complete_groups(batches, group_cols: list[str], run):
+    """Re-batch an Arrow batch iterator so ``run`` only ever sees
+    COMPLETE groups: input is key-sorted within the partition, so a
+    group is a contiguous run and only the possibly-incomplete trailing
+    group of each batch is carried into the next. Memory stays bounded
+    at O(Arrow batch + largest group), not O(partition)."""
+    import numpy as np
+    import pandas as pd
+
+    carry: pd.DataFrame | None = None
+    for b in batches:
+        if carry is not None:
+            b = pd.concat([carry, b], ignore_index=True)
+            carry = None
+        if not len(b):
+            continue
+        # trailing (possibly batch-spanning) group = contiguous run
+        # of rows keyed like the last row
+        eq = np.ones(len(b), dtype=bool)
+        last = b.iloc[-1]
+        for c in group_cols:
+            v = last[c]
+            if pd.isna(v):
+                eq &= b[c].isna().to_numpy()
+            else:
+                eq &= (b[c] == v).to_numpy()
+        n_tail = len(b) if eq.all() else int(np.argmin(eq[::-1]))
+        if n_tail == len(b):
+            carry = b
+            continue
+        carry = b.iloc[len(b) - n_tail :]
+        yield from run(b.iloc[: len(b) - n_tail])
+    if carry is not None and len(carry):
+        yield from run(carry)
+
+
+def batched_grouped_kernel(
+    df: DataFrame, group_cols: list[str], batch_fn, schema: str
+) -> DataFrame:
+    """Like ``grouped_kernel``, but ``batch_fn`` receives a frame
+    holding MANY complete groups at once (one per Arrow batch, group
+    boundaries guaranteed intact) and returns one output frame (or
+    None). For kernels whose per-group work is tiny — a filing side is
+    ~6-25 rows — the per-group pandas machinery (groupby dispatch,
+    frame slice/copy/concat per group) dominates grouped_kernel's
+    cost; a batch_fn can sort once, walk numpy group boundaries, run
+    the pure-Python kernels over list slices, and build ONE output
+    frame per batch (round 11: 23.9 s → 1.2 s on the fused silver
+    tail at the 20× lake — 20×, value-identical output)."""
+    group_cols = list(group_cols)
+
+    def run(pdf):
+        o = batch_fn(pdf)
+        if o is not None and len(o):
+            yield o
+
+    def op(batches):
+        yield from _stream_complete_groups(batches, group_cols, run)
 
     return (
         kernel_partitions(df, group_cols)

@@ -31,24 +31,50 @@ from pyspark.sql import types as T
 SCALE_WORDS = [("thousands", 1e3), ("hundreds", 1e2), ("millions", 1e6), ("billions", 1e9)]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 17)
+def _token_word_mask(tok: str) -> int:
+    """Bitmask of SCALE_WORDS indices this token fuzzy-matches
+    (indel ratio >= 90). Memoized: page-text token vocabulary is tiny
+    relative to line volume (headers repeat corpus-wide), so after
+    warmup a token costs one dict hit instead of four difflib passes."""
+    mask = 0
+    for i, (word, _mult) in enumerate(SCALE_WORDS):
+        if SequenceMatcher(None, word, tok).ratio() * 100 >= 90:
+            mask |= 1 << i
+    return mask
+
+
+@lru_cache(maxsize=1 << 16)
+def _line_scale_py(line: str) -> float | None:
+    """First matching scale multiplier for one text line (null if
+    none) — WORD-major order like the reference: 'thousands' against
+    every token before 'hundreds' is tried, so the lowest matched word
+    index decides. Exact fuzz.ratio semantics via difflib:
+    ratio = 2M/(la+lb) * 100."""
+    mask = 0
+    for tok in line.lower().split(" "):
+        mask |= _token_word_mask(tok)
+    for i, (_word, mult) in enumerate(SCALE_WORDS):
+        if mask & (1 << i):
+            return mult
+    return None
+
+
 @F.pandas_udf(T.DoubleType())
 def _line_scale(lines: pd.Series) -> pd.Series:
-    """First matching scale multiplier for one text line (null if none).
-
-    Exact fuzz.ratio semantics via difflib: ratio = 2M/(la+lb) * 100.
-    """
-
-    def line_scale(line: str) -> float | None:
-        if not isinstance(line, str):
-            return None
-        toks = line.lower().split(" ")
-        for word, mult in SCALE_WORDS:
-            for tok in toks:
-                if SequenceMatcher(None, word, tok).ratio() * 100 >= 90:
-                    return mult
-        return None
-
-    return lines.map(line_scale)
+    """Vectorized wrapper: score each DISTINCT line once per batch
+    (plus the cross-batch lru caches above). Round 11: the uncached
+    per-line difflib scan was 22.7 s of e1's silver at the 100× lake —
+    the single most expensive silver stage — and is value-identical
+    memoized (r10 #4 attribution; tools/e1_kernel_profile.py)."""
+    mapping = {
+        v: (_line_scale_py(v) if isinstance(v, str) else None)
+        for v in pd.unique(lines)
+    }
+    return lines.map(mapping)
 
 
 def detect_unit_scale(

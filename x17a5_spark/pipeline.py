@@ -33,14 +33,8 @@ from x17a5_spark.operators.scaler import detect_unit_scale
 from x17a5_spark.operators.splits import bisect_and_remove_subtotals
 
 
-def clean_filings(raw: DataFrame, text: DataFrame) -> DataFrame:
-    """Silver-stage cleaning: raw OCR cells + page-text table -> clean
-    long balance-sheet rows.
-
-    ``raw``:  cik, filing_date, row_idx, col0, col1, col2 (dirty strings)
-    ``text``: cik, filing_date, line_idx, line_text
-    """
-    purged = raw.filter(
+def _silver_purge(raw: DataFrame) -> DataFrame:
+    return raw.filter(
         F.col("col0").isNotNull() & (F.trim(F.col("col0")) != "")
     ).select(
         "cik",
@@ -50,29 +44,73 @@ def clean_filings(raw: DataFrame, text: DataFrame) -> DataFrame:
         "col1",
         "col2",
     )
-    merged = merge_three_columns(
-        purged, group_cols=["cik", "filing_date"], col1="col1", col2="col2"
-    )
-    split = split_conjoined_rows(merged, text, group_cols=["cik", "filing_date"])
-    parsed = stage_parse_accounting_number(
+
+
+def _silver_parse(split: DataFrame) -> DataFrame:
+    return stage_parse_accounting_number(
         split, "raw_value", "value_unscaled"
     ).filter(F.col("value_unscaled").isNotNull())
+
+
+def _silver_scale(parsed: DataFrame, text: DataFrame) -> DataFrame:
     scales = detect_unit_scale(text, group_cols=["cik", "filing_date"])
-    scaled = parsed.join(scales, ["cik", "filing_date"], "left").withColumn(
+    return parsed.join(scales, ["cik", "filing_date"], "left").withColumn(
         "value", F.col("value_unscaled") * F.coalesce(F.col("scale"), F.lit(1.0))
     )
+
+
+def _silver_dense(scaled: DataFrame) -> DataFrame:
     # re-number after the drop/expand stages so downstream kernels see a
     # dense per-filing order
     w = Window.partitionBy("cik", "filing_date").orderBy("row_idx")
-    dense = scaled.withColumn("row_idx", F.row_number().over(w) - 1).select(
+    return scaled.withColumn("row_idx", F.row_number().over(w) - 1).select(
         "cik", "filing_date", "row_idx", "lineitem", "value"
     )
-    # fused tail: bisection + subtotal removal in one kernel pass (one
-    # filing-key exchange instead of two; see bisect_and_remove_subtotals)
-    no_subtotals = bisect_and_remove_subtotals(
-        dense, group_cols=["cik", "filing_date"]
-    )
-    return no_subtotals.select(
+
+
+def silver_stages(text: DataFrame) -> list[tuple[str, object]]:
+    """The silver chain as an ORDERED list of (name, transform) — the
+    single source of truth composed by ``clean_filings`` and timed
+    stage-by-stage by ``tools/e1_kernel_profile.py`` (VERDICT r10 #4:
+    the per-kernel attribution must profile the shipped composition,
+    not a copy that can drift)."""
+    return [
+        ("purge", _silver_purge),
+        (
+            "merge3",
+            lambda df: merge_three_columns(
+                df, group_cols=["cik", "filing_date"], col1="col1", col2="col2"
+            ),
+        ),
+        (
+            "row_split",
+            lambda df: split_conjoined_rows(
+                df, text, group_cols=["cik", "filing_date"]
+            ),
+        ),
+        ("parse", _silver_parse),
+        ("scale", lambda df: _silver_scale(df, text)),
+        ("dense", _silver_dense),
+        (
+            "bisect_subtotals",
+            lambda df: bisect_and_remove_subtotals(
+                df, group_cols=["cik", "filing_date"]
+            ),
+        ),
+    ]
+
+
+def clean_filings(raw: DataFrame, text: DataFrame) -> DataFrame:
+    """Silver-stage cleaning: raw OCR cells + page-text table -> clean
+    long balance-sheet rows.
+
+    ``raw``:  cik, filing_date, row_idx, col0, col1, col2 (dirty strings)
+    ``text``: cik, filing_date, line_idx, line_text
+    """
+    df = raw
+    for _, fn in silver_stages(text):
+        df = fn(df)
+    return df.select(
         "cik", "filing_date", "side", "row_idx", "lineitem", "value",
         "total_flag", "total_amt",
     )

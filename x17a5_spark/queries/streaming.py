@@ -421,13 +421,27 @@ WHERE n_hist >= 12
 # Round 9 (VERDICT r8 #3): the per-burst rollup used to be a
 # groupBy(..., burst).agg(min(struct(us, event_id)), count(*)) — min
 # over a STRUCT plans as SortAggregate, a second per-partition sort of
-# the full event stream. But the burst's kept event IS the burst-start
-# row the gap marker already tags (first in (us, event_id) order by
-# construction), so the rollup is a filter, and the suppressed count
-# falls out of row positions (next burst start's row_number minus this
-# one's, minus 1). Same exchange, same per-key sort, zero aggregates —
-# the j12/j14 run-start rewrite applied to bursts.
+# the full event stream; rewritten to run-start filtering.
+#
+# Round 11 (VERDICT r10 #5) — CHUNKED sessionization: the per-key
+# window meant one task sorted a hot user's ENTIRE stream (skew lake:
+# a 30%-hot user serialized 30% of the window scan, 1.65×). The gap
+# scan is a segmented scan, so it decomposes: sessionize WITHIN
+# (user, type, time-chunk) partitions, then stitch bursts across chunk
+# edges with a per-chunk summary pass whose row count is #chunks, not
+# #events. Per-task work is now bounded by (event rate × chunk width)
+# — a retention contract a hot key cannot break. Correctness of the
+# stitch: with CHUNK ≥ TTL (build-time assert), an event whose
+# PRECEDING event is not in the same or adjacent chunk is always a
+# burst start (the empty chunk between them is itself > TTL of gap),
+# so only adjacent-chunk edges need the summary join; the burst ids,
+# kept events and suppressed counts are value-identical to the flat
+# form — and the DuckDB oracle still runs the FLAT sessionization, so
+# the hash gate itself proves the rewrite at every offset.
 ST8_TTL_US = 600 * 1_000_000  # 10 minutes
+ST8_CHUNK_US = 6 * ST8_TTL_US  # 1 h; any value >= TTL is correct
+
+assert ST8_CHUNK_US >= ST8_TTL_US, "st8 chunk must cover the TTL"
 
 
 def st8_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,45 +452,70 @@ def st8_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).withColumn("chunk", F.floor(F.col("us") / ST8_CHUNK_US))
+
+    key = ["user_id", "event_type"]
+    wc = Window.partitionBy(*key, "chunk").orderBy("us", "event_id")
+
+    # level 1: within-chunk gap scan (hot-key work bounded by chunk)
+    evb = ev.withColumn("prev_us", F.lag("us").over(wc))
+    # adjacent-chunk edge: the previous event of a chunk's FIRST row is
+    # the previous chunk's last event (or nothing — see the CHUNK>=TTL
+    # argument above for skipped chunks)
+    last_per_chunk = ev.groupBy(*key, "chunk").agg(
+        F.max("us").alias("_prev_chunk_last_us")
     )
-    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
-    gap_new = (
-        F.lag("us").over(w).isNull()
-        | (F.col("us") - F.lag("us").over(w) > ST8_TTL_US)
+    shifted = last_per_chunk.select(
+        *key,
+        (F.col("chunk") + 1).alias("chunk"),
+        "_prev_chunk_last_us",
     )
-    bursts = (
-        ev.withColumn("is_new", gap_new.cast("long"))
-        .withColumn(
-            "burst",
-            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            # per-key event total: same hash partitioning, unordered
-            # frame — no additional sort or exchange
-            "n_key",
-            F.count("*").over(Window.partitionBy("user_id", "event_type")),
-        )
+    evj = evb.join(shifted, [*key, "chunk"], "left")
+    is_new = F.when(
+        F.col("prev_us").isNotNull(),
+        (F.col("us") - F.col("prev_us") > ST8_TTL_US).cast("long"),
+    ).otherwise(
+        (
+            F.col("_prev_chunk_last_us").isNull()
+            | (F.col("us") - F.col("_prev_chunk_last_us") > ST8_TTL_US)
+        ).cast("long")
     )
-    bw = Window.partitionBy("user_id", "event_type").orderBy("burst_id")
+    flagged = evj.withColumn("is_new", is_new).withColumn(
+        "local_cum",
+        F.sum("is_new").over(wc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    # level 2: stitch — burst-id offsets from per-chunk new-burst
+    # totals (one row per chunk, not per event)
+    chunk_news = flagged.groupBy(*key, "chunk").agg(
+        F.sum("is_new").alias("_n_new")
+    )
+    ow = (
+        Window.partitionBy(*key)
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = chunk_news.select(
+        *key,
+        "chunk",
+        F.coalesce(F.sum("_n_new").over(ow), F.lit(0)).alias("_offset"),
+    )
+    numbered = flagged.join(offsets, [*key, "chunk"]).withColumn(
+        "burst_id", (F.col("_offset") + F.col("local_cum")).cast("long")
+    )
+
+    # per-burst rollup: each global burst holds EXACTLY ONE is_new row
+    # (its true start), so kept-event extraction is a conditional max,
+    # not a struct-min — partial aggregation combines map-side and the
+    # only full-data exchange after the chunk window is this one.
     return (
-        bursts.filter(F.col("is_new") == 1)
-        .select(
-            "user_id",
-            "event_type",
-            F.col("burst").alias("burst_id"),
-            F.col("event_id").alias("kept_event_id"),
-            F.col("us").alias("kept_us"),
-            "rn",
-            "n_key",
-        )
-        .withColumn(
-            "n_suppressed",
-            (
-                F.coalesce(F.lead("rn").over(bw), F.col("n_key") + 1)
-                - F.col("rn")
-                - 1
-            ).cast("long"),
+        numbered.groupBy(*key, "burst_id")
+        .agg(
+            F.max(F.when(F.col("is_new") == 1, F.col("event_id"))).alias(
+                "kept_event_id"
+            ),
+            F.max(F.when(F.col("is_new") == 1, F.col("us"))).alias("kept_us"),
+            (F.count("*") - 1).cast("long").alias("n_suppressed"),
         )
         .select(
             "user_id",
