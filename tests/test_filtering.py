@@ -223,10 +223,28 @@ def test_ttl_dedup_chunk_edge_stitching(spark, tmp_path):
         "user_id string, event_type string, event_id long, ts timestamp",
     ).write.parquet(f"{lake}/events.parquet")
 
+    # exercise the CHUNKED path explicitly (the public hybrid routes
+    # sub-ST8_HOT_EVENTS keys to the flat window) AND the public fn
+    from x17a5_spark.queries.streaming import _st8_chunked, _st8_flat
+    from x17a5_spark.tables import load_table
+
+    ev = load_table(spark, lake, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    chunked_rows = _st8_chunked(ev).collect()
     out = {
+        (r.user_id, r.burst_id): (r.kept_event_id, r.kept_us, r.n_suppressed)
+        for r in chunked_rows
+    }
+    # hybrid public output must equal the chunked path row-for-row here
+    pub = {
         (r.user_id, r.burst_id): (r.kept_event_id, r.kept_us, r.n_suppressed)
         for r in st8_ttl_dedup(spark, lake).collect()
     }
+    assert pub == out
     # flat reference scan
     for u, base in (("u1", 0), ("u2", 100)):
         seq = sorted((usec, eid + base) for eid, usec, _ in evs)
@@ -243,3 +261,47 @@ def test_ttl_dedup_chunk_edge_stitching(spark, tmp_path):
         assert {b for (uu, b) in out if uu == u} == set(expected)
     # structural sanity of the hand stream: bursts actually span edges
     assert len({usec // c for _, usec, _ in evs}) >= 4
+
+
+def test_st8_hybrid_paths_agree_on_real_lake(spark):
+    """The flat window and the chunked+stitched sessionization must be
+    row-identical on the full sf0.001 events table — the algebraic
+    rewrite the hybrid routing relies on (a key's rows are identical
+    whichever branch its count lands it in)."""
+    from x17a5_spark.queries.streaming import _st8_chunked, _st8_flat
+    from x17a5_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_key")
+    )
+    flat = {tuple(r) for r in _st8_flat(ev).collect()}
+    chunked = {tuple(r) for r in _st8_chunked(ev).collect()}
+    assert flat == chunked and flat
+    assert counts.count() > 0  # fixture sanity
+
+
+def test_st8_public_routing_engages_hot_path(spark, monkeypatch):
+    """With the capacity threshold forced to 0, EVERY key routes
+    through the chunked branch of the public function — the output
+    must still equal the flat form exactly (and with the default
+    threshold, the sf0.001 lake routes nothing and returns the flat
+    plan unchanged)."""
+    import x17a5_spark.queries.streaming as S
+    from x17a5_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    flat = {tuple(r) for r in S._st8_flat(ev).collect()}
+    monkeypatch.setattr(S, "ST8_HOT_EVENTS", 0)
+    routed = {tuple(r) for r in S.st8_ttl_dedup(spark, SF).collect()}
+    assert routed == flat and routed

@@ -440,74 +440,173 @@ WHERE n_hist >= 12
 # the hash gate itself proves the rewrite at every offset.
 ST8_TTL_US = 600 * 1_000_000  # 10 minutes
 ST8_CHUNK_US = 6 * ST8_TTL_US  # 1 h; any value >= TTL is correct
+# Keys with more events than this route through the CHUNKED path;
+# everything else keeps the one-window flat plan. The threshold is a
+# TASK-CAPACITY bound, not a skew detector: one task sorting
+# ST8_HOT_EVENTS rows is a bounded, seconds-scale straggler (measured
+# ~0.4 s/M rows), while the chunked bookkeeping costs ~3x per row —
+# worth paying only when a single key outgrows what one task can sort
+# (round-11 A/B at the 20x skew lake: routing 120k-row keys through
+# the chunked path made the skew ratio WORSE, 2.6x vs flat's ~1.5x,
+# because at that size the straggler is cheaper than the extra
+# passes; at the 5M-row design point the chunked path wins ~4x and
+# the flat straggler dominates the stage — SCALE.md round-11 table).
+# The hot-key listing is driver-collected, bounded by
+# ST8_MAX_HOT_KEYS (top keys by count): constant driver traffic at
+# any corpus size; keys past the cap keep the flat path.
+ST8_HOT_EVENTS = 2_000_000
+ST8_MAX_HOT_KEYS = 4096
 
 assert ST8_CHUNK_US >= ST8_TTL_US, "st8 chunk must cover the TTL"
 
 
-def st8_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _st8_flat(ev: DataFrame) -> DataFrame:
+    """One-window gap sessionization (the r9 rollup-as-filter shape,
+    byte-identical plan to r9/r10 when no hot keys exist): per-key
+    total via an unordered frame over the SAME window exchange."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-    ).withColumn("chunk", F.floor(F.col("us") / ST8_CHUNK_US))
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gap_new = (
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) > ST8_TTL_US)
+    )
+    bursts = (
+        ev.withColumn("is_new", gap_new.cast("long"))
+        .withColumn(
+            "burst",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            # per-key event total: same hash partitioning, unordered
+            # frame — no additional sort or exchange
+            "n_key",
+            F.count("*").over(Window.partitionBy("user_id", "event_type")),
+        )
+    )
+    bw = Window.partitionBy("user_id", "event_type").orderBy("burst_id")
+    return (
+        bursts.filter(F.col("is_new") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("burst").alias("burst_id"),
+            F.col("event_id").alias("kept_event_id"),
+            F.col("us").alias("kept_us"),
+            "rn",
+            "n_key",
+        )
+        .withColumn(
+            "n_suppressed",
+            (
+                F.coalesce(F.lead("rn").over(bw), F.col("n_key") + 1)
+                - F.col("rn")
+                - 1
+            ).cast("long"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "burst_id",
+            "kept_event_id",
+            "kept_us",
+            "n_suppressed",
+        )
+    )
+
+
+def _st8_chunked(ev: DataFrame) -> DataFrame:
+    """Chunked sessionization for HOT keys (VERDICT r10 #5): gap scans
+    are segmented scans, so they decompose into ONE within-(user,
+    type, time-chunk) window pass plus a stitch computed entirely on
+    per-chunk summaries (one row per chunk, not per event) — per-task
+    work is bounded by (event rate x chunk width), a retention
+    contract a hot key cannot break. Stitch correctness: with
+    CHUNK >= TTL (build-time assert), an event whose preceding event
+    is not in the same or ADJACENT chunk is always a burst start (any
+    skipped chunk is itself > TTL of gap), so a chunk's first event
+    merges into the previous burst iff the previous summary row is the
+    adjacent chunk AND the edge gap is <= TTL; the within-chunk
+    provisional numbering is then shifted by (running new-burst total
+    - merge flag). Burst ids, kept events and suppressed counts are
+    value-identical to the flat form — pinned by the hybrid parity
+    test AND by the hash gate (the DuckDB oracle runs the flat form).
+
+    Plan: one full-event exchange+sort (the chunk window), a summary
+    aggregate on the SAME partitioning, a chunk-count-sized window, a
+    summary join back, and the final partial-aggregated burst rollup —
+    each global burst holds exactly one true start, so kept-event
+    extraction is a conditional max, never a struct-min."""
+    from pyspark.sql import Window
 
     key = ["user_id", "event_type"]
+    ev = ev.withColumn("chunk", F.floor(F.col("us") / ST8_CHUNK_US))
     wc = Window.partitionBy(*key, "chunk").orderBy("us", "event_id")
 
-    # level 1: within-chunk gap scan (hot-key work bounded by chunk)
-    evb = ev.withColumn("prev_us", F.lag("us").over(wc))
-    # adjacent-chunk edge: the previous event of a chunk's FIRST row is
-    # the previous chunk's last event (or nothing — see the CHUNK>=TTL
-    # argument above for skipped chunks)
-    last_per_chunk = ev.groupBy(*key, "chunk").agg(
-        F.max("us").alias("_prev_chunk_last_us")
-    )
-    shifted = last_per_chunk.select(
-        *key,
-        (F.col("chunk") + 1).alias("chunk"),
-        "_prev_chunk_last_us",
-    )
-    evj = evb.join(shifted, [*key, "chunk"], "left")
-    is_new = F.when(
-        F.col("prev_us").isNotNull(),
-        (F.col("us") - F.col("prev_us") > ST8_TTL_US).cast("long"),
-    ).otherwise(
-        (
-            F.col("_prev_chunk_last_us").isNull()
-            | (F.col("us") - F.col("_prev_chunk_last_us") > ST8_TTL_US)
-        ).cast("long")
-    )
-    flagged = evj.withColumn("is_new", is_new).withColumn(
-        "local_cum",
-        F.sum("is_new").over(wc.rowsBetween(Window.unboundedPreceding, 0)),
+    # level 1: ONE window pass — provisional sessionization where every
+    # chunk-first event counts as a burst start
+    flagged = (
+        ev.withColumn("prev_us", F.lag("us").over(wc))
+        .withColumn(
+            "is_new_local",
+            (
+                F.col("prev_us").isNull()
+                | (F.col("us") - F.col("prev_us") > ST8_TTL_US)
+            ).cast("long"),
+        )
+        .withColumn(
+            "local_cum",
+            F.sum("is_new_local").over(
+                wc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
     )
 
-    # level 2: stitch — burst-id offsets from per-chunk new-burst
-    # totals (one row per chunk, not per event)
-    chunk_news = flagged.groupBy(*key, "chunk").agg(
-        F.sum("is_new").alias("_n_new")
+    # level 2: the stitch, on summary rows only
+    summaries = flagged.groupBy(*key, "chunk").agg(
+        F.min("us").alias("_first_us"),
+        F.max("us").alias("_last_us"),
+        F.sum("is_new_local").alias("_n_new_raw"),
     )
-    ow = (
-        Window.partitionBy(*key)
-        .orderBy("chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = chunk_news.select(
+    cw = Window.partitionBy(*key).orderBy("chunk")
+    merged = summaries.select(
         *key,
         "chunk",
-        F.coalesce(F.sum("_n_new").over(ow), F.lit(0)).alias("_offset"),
+        F.when(
+            (F.lag("chunk").over(cw) == F.col("chunk") - 1)
+            & (
+                F.col("_first_us") - F.lag("_last_us").over(cw)
+                <= ST8_TTL_US
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_merge_first"),
+        "_n_new_raw",
+    ).withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum(F.col("_n_new_raw") - F.col("_merge_first")).over(
+                cw.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
     )
-    numbered = flagged.join(offsets, [*key, "chunk"]).withColumn(
-        "burst_id", (F.col("_offset") + F.col("local_cum")).cast("long")
+    numbered = flagged.join(merged, [*key, "chunk"]).select(
+        *key,
+        "event_id",
+        "us",
+        (
+            F.col("_offset") + F.col("local_cum") - F.col("_merge_first")
+        ).cast("long").alias("burst_id"),
+        # a provisional chunk-first start is NOT a true start when its
+        # edge merges into the previous chunk's last burst
+        (
+            (F.col("is_new_local") == 1)
+            & ~(F.col("prev_us").isNull() & (F.col("_merge_first") == 1))
+        ).cast("long").alias("is_new"),
     )
-
-    # per-burst rollup: each global burst holds EXACTLY ONE is_new row
-    # (its true start), so kept-event extraction is a conditional max,
-    # not a struct-min — partial aggregation combines map-side and the
-    # only full-data exchange after the chunk window is this one.
     return (
         numbered.groupBy(*key, "burst_id")
         .agg(
@@ -526,6 +625,45 @@ def st8_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_suppressed",
         )
     )
+
+
+def st8_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid routing (the row_split selective-kernel pattern applied
+    to windows). A map-side-combined per-key count finds keys over
+    ST8_HOT_EVENTS; the hot-key list is COLLECTED (bounded: top
+    ST8_MAX_HOT_KEYS by count — constant driver traffic, the j11
+    bitmap discipline) and drives the split: no hot keys -> the flat
+    r9 plan runs UNCHANGED (zero overhead beyond the count pass); hot
+    keys -> they are broadcast-anti'd out of the flat window and
+    routed through the chunked path, so no task ever sorts more than
+    (hot-key rate x chunk width) events. Both paths emit identical
+    rows per key, so the union IS the flat answer — the DuckDB oracle
+    runs the flat form and the hash gate proves the rewrite."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    key = ["user_id", "event_type"]
+    hot_rows = (
+        ev.groupBy(*key)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > ST8_HOT_EVENTS)
+        .orderBy(F.desc("n"))
+        .limit(ST8_MAX_HOT_KEYS)
+        .select(*key)
+        .collect()
+    )
+    if not hot_rows:
+        return _st8_flat(ev)
+    hot_df = ev.sparkSession.createDataFrame(
+        [(r["user_id"], r["event_type"]) for r in hot_rows],
+        "user_id string, event_type string",
+    )
+    cold = _st8_flat(ev.join(F.broadcast(hot_df), key, "left_anti"))
+    hot = _st8_chunked(ev.join(F.broadcast(hot_df), key, "left_semi"))
+    return cold.unionByName(hot)
 
 
 ST8_SQL = f"""
