@@ -200,6 +200,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # parameterization, default identical, re-verified), e1 (stage timing
 # marks only).
 #
+# Round-11 rotation (the never-ride-a-stale-row rule): every query
+# whose engine code changed this round ALREADY holds a first-50 slot —
+# d14_containment_join (verify join slimmed to 56-bit shingle-hash
+# longs, VERDICT r10 #1), d8_semdedup (cell count derived from the
+# corpus when X17A5_D8_CELLS is unset, r10 #3), st8_ttl_dedup
+# (capacity-thresholded hybrid: flat window below ST8_HOT_EVENTS,
+# chunked+stitched sessionization above, r10 #5), e1/e2 + k1/k2/k4
+# (silver chain: selective row_split routing, batched fused-tail
+# dispatch, silver_stages refactor, r10 #4), j17_bucketed_join
+# (immutable stage-table protocol + read-side manifest guard, r10 #2),
+# and t30_decontamination (single-slot persist holder, ADVICE r10).
+# IN — k5_unit_scale (the scaler's token/line memoization is
+# value-identical and locally hash-verified, but it is the one changed
+# query without a slot; takes j7_special_merge's slot). OUT —
+# j7_special_merge: hash-green in CORRECTNESS_r10 and its
+# special_merge kernel is untouched this round (merge_three_columns
+# is also untouched; only row_split/splits/scaler/pipeline changed).
+# The shared guarded_twin_id tripwire (ADVICE r10) touched the
+# augmentation projections of d2/d3/d5/d8/d14/d15/d16/e5/e7/e10/m6 and
+# the s-family vec fixtures, but is a no-op on valid lakes — every
+# touched query re-verified hash-exact at sf0.01 — so out-of-window
+# members (d5, m6, s-family) ride standing rows under the r4
+# value-identical convention.
+#
 # Round-10 rotation (the never-ride-a-stale-row rule): IN —
 # t32_repetition_filter (NEW this round: the Gopher in-document
 # repetition gate — most-frequent-2/3-gram char fraction via a packed
@@ -307,7 +331,7 @@ WINDOW_ORDER = [
     "k2_balance_split",
     "k3_merge_columns",
     "k4_row_split",
-    "j7_special_merge",
+    "k5_unit_scale",
     "k6_table_select",
 ]
 
