@@ -786,11 +786,23 @@ def d13_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dimensions are 3-word shingles, not words: the corpus vocabulary
     # is tiny (every word is a stop-word-frequency term), so blocking
     # needs the higher-order features — the same reason d2/d3 shingle
+    # terms ride as 56-bit md5-derived longs from the explode onward
+    # (round 11, the d14 lesson applied to the sparse-vector family):
+    # the tf/df/prefix/confirm joins and both persisted stage tables
+    # carry 8-byte longs instead of ~25-byte 3-word strings; the
+    # oracle hashes identically so tf merges on collision, prefix
+    # tie-breaks and the cosine are value-exact cross-engine
+    hash56 = F.conv(
+        F.substring(F.md5("shingle"), 2, D3_HEX_CHARS), 16, 10
+    ).cast("long")
     tf = (
         canon.select(
             "doc_id",
-            F.explode(word_shingles(F.lower(F.col("text")), 3)).alias("term"),
+            F.explode(word_shingles(F.lower(F.col("text")), 3)).alias(
+                "shingle"
+            ),
         )
+        .select("doc_id", hash56.alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -867,7 +879,9 @@ canon AS (
     ORDER BY doc_id) = 1
 ),
 tf AS (
-  SELECT doc_id, term, count(*) AS tf
+  -- 56-bit md5-derived term hashes (the engine's packing, mirrored)
+  SELECT doc_id, CAST('0x' || md5(term)[2:{1 + D3_HEX_CHARS}] AS BIGINT) AS term,
+         count(*) AS tf
   FROM (SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS term
