@@ -305,3 +305,54 @@ def test_st8_public_routing_engages_hot_path(spark, monkeypatch):
     monkeypatch.setattr(S, "ST8_HOT_EVENTS", 0)
     routed = {tuple(r) for r in S.st8_ttl_dedup(spark, SF).collect()}
     assert routed == flat and routed
+
+
+def test_st8_chunked_matches_flat_on_random_streams(spark):
+    """Breadth companion to the crafted edge test: a seeded random
+    stream (200 keys x geometric gaps straddling TTL and chunk
+    boundaries, duplicate timestamps included) must sessionize
+    identically through the flat window and the chunked+stitched
+    path — burst ids, kept events and suppressed counts all equal."""
+    import datetime
+    import random
+
+    from x17a5_spark.queries.streaming import (
+        ST8_CHUNK_US,
+        ST8_TTL_US,
+        _st8_chunked,
+        _st8_flat,
+    )
+    from x17a5_spark.tables import load_table  # noqa: F401 (parity of imports)
+
+    rng = random.Random(0xD14)
+    rows = []
+    eid = 0
+    for k in range(200):
+        user, etype = f"u{k % 50}", ("click", "view", "buy", "err")[k % 4]
+        us = rng.randrange(0, 2 * ST8_CHUNK_US)
+        for _ in range(rng.randrange(1, 40)):
+            eid += 1
+            rows.append((user, etype, eid, us))
+            # gaps: mostly sub-TTL chains, some exactly-TTL, some just
+            # over, some whole-chunk jumps, some zero (ties)
+            gap = rng.choice(
+                [0, 1, ST8_TTL_US // 3, ST8_TTL_US, ST8_TTL_US + 1,
+                 ST8_CHUNK_US - 1, ST8_CHUNK_US + 7, 3 * ST8_CHUNK_US]
+            )
+            us += gap
+    ev = spark.createDataFrame(
+        [
+            (u, t, e, datetime.datetime.utcfromtimestamp(us / 1e6))
+            for u, t, e, us in rows
+        ],
+        "user_id string, event_type string, event_id long, ts timestamp",
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    flat = {tuple(r) for r in _st8_flat(ev).collect()}
+    chunked = {tuple(r) for r in _st8_chunked(ev).collect()}
+    assert flat == chunked
+    assert len(flat) > 500  # the stream really fragments into bursts
