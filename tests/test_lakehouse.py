@@ -284,3 +284,40 @@ def test_j17_stage_tables_survive_a_second_session_and_fail_loud(spark):
         (r["o_orderpriority"], r["n_items"], str(r["revenue"]))
         for r in j17_bucketed_join(spark, sf).collect()
     } == want
+
+
+def test_j17_replaces_unmanifested_legacy_directory(spark, tmp_path):
+    """A pre-manifest leftover (or crashed pre-protocol writer) at the
+    final warehouse path must be REPLACED by the next build, not brick
+    j17 with a false 'another builder won' validation failure."""
+    import os
+    import shutil
+
+    from x17a5_spark.queries.lakehouse import (
+        _J17_MANIFEST,
+        _j17_tag,
+        _j17_warehouse_path,
+        j17_bucketed_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = {tuple(r) for r in j17_bucketed_join(spark, sf).collect()}
+    wh = _j17_warehouse_path(spark)
+    table = f"j17_orders_{_j17_tag(sf)}"
+    table_dir = os.path.join(wh, table)
+    # simulate the legacy state: files present, NO manifest, and the
+    # session catalog has forgotten the table
+    os.remove(os.path.join(table_dir, _J17_MANIFEST))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    got = {tuple(r) for r in j17_bucketed_join(spark, sf).collect()}
+    assert got == want
+    assert os.path.exists(os.path.join(table_dir, _J17_MANIFEST))
+    # and a corrupted legacy dir (garbage data file, no manifest) is
+    # also replaced wholesale
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(table_dir)
+    os.makedirs(table_dir)
+    with open(os.path.join(table_dir, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    got = {tuple(r) for r in j17_bucketed_join(spark, sf).collect()}
+    assert got == want

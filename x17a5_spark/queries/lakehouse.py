@@ -1136,9 +1136,23 @@ def _j17_bucketed(spark: SparkSession, sf_dir: str, name: str, key: str, cols):
             try:
                 os.rename(tmp_dir, final_dir)
             except OSError:
-                # a concurrent builder won the rename — use its build
-                shutil.rmtree(tmp_dir, ignore_errors=True)
-                _j17_validate_loud(final_dir, table)
+                if _j17_manifest_ok(final_dir):
+                    # a concurrent builder won the rename — use its build
+                    shutil.rmtree(tmp_dir, ignore_errors=True)
+                else:
+                    # an UNMANIFESTED leftover occupies the final path
+                    # (pre-round-11 build, or a crashed writer from
+                    # before the temp-dir protocol). It was never valid
+                    # under the manifest contract — no reader can
+                    # validate against it — so replace it; if a second
+                    # new-protocol builder slips in between, fall back
+                    # to its (manifested) build or fail loud.
+                    shutil.rmtree(final_dir, ignore_errors=True)
+                    try:
+                        os.rename(tmp_dir, final_dir)
+                    except OSError:
+                        shutil.rmtree(tmp_dir, ignore_errors=True)
+                        _j17_validate_loud(final_dir, table)
         # re-attach THIS session's catalog to the on-disk build:
         # external DDL over the existing bucketed files (bucket ids
         # ride the part-file names, so the metadata round-trips)
