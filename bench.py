@@ -37,6 +37,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from x17a5_spark.cache import release_stage_caches
 from x17a5_spark.queries import registry
 from x17a5_spark.session import get_spark
 from x17a5_spark.tables import TABLE_NAMES, load_table
@@ -273,6 +274,9 @@ def main() -> None:
             else:
                 timings[name] = round(samples[len(samples) // 2], 3)  # median
                 brackets[name] = [round(samples[0], 3), round(samples[-1], 3)]
+        # scoped release first (drops the Python references so the JVM
+        # can reclaim the blocks), then the defensive catalog sweep
+        release_stage_caches()
         spark.catalog.clearCache()
 
     # "value" stays the STEADY-STATE suite total (comparable across

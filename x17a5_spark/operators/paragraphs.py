@@ -117,8 +117,11 @@ def dedup_paragraphs(
             )
         )
         staged = staged.withColumn("_spans", spans)
-    base = staged.select("doc_id", para_arr.alias("paras")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from x17a5_spark.cache import stage_persist
+
+    base = stage_persist(
+        staged.select("doc_id", para_arr.alias("paras")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     paras = base.select(
         "doc_id",

@@ -56,7 +56,9 @@ def build_unstructured(
         # Bounded driver-side schema decision from the PERSISTED wide
         # result: one row of per-column non-null counts (metadata-scale)
         # — the long table is scanned exactly once, by the pivot.
-        piv = piv.persist()
+        from x17a5_spark.cache import stage_persist
+
+        piv = stage_persist(piv)
         counts = piv.select(
             *[F.count(F.col(f"`{c}`")).alias(f"c{i}") for i, c in enumerate(keep)]
         ).first()

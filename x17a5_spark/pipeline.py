@@ -202,7 +202,11 @@ def run_pipeline(
         # Round-robin is fine — OCR needs no key clustering.
         todo_docs = todo_docs.repartition(kernel_width(todo_docs))
         # persist so the external OCR calls run once, not once per sink
-        ocr_out = source.run(todo_docs).persist()
+        # (registry-scoped: the suite releases it between queries —
+        # VERDICT r11 #8, the in-suite-resident stage-table residue)
+        from x17a5_spark.cache import stage_persist
+
+        ocr_out = stage_persist(source.run(todo_docs))
         cells, errors = quarantine(ocr_out)
         errors.write.mode("append").parquet(err_path)
         return cells

@@ -5,14 +5,18 @@ and ``ORACLES`` (name -> DuckDB SQL string) dicts; this package merges
 them for ``__spark_entry__``. Queries without an oracle entry are the
 genuinely non-SQL-expressible kernels (driver records a rows-only check).
 
-Caching contract (round-4 advice #2): a handful of queries persist()
-stage tables their returned plan references more than once (d3/d13
-candidate tables, e5's shingle indexes, s7/s8 trained codebooks, g1's
-edge list — each a stand-in for a pre-materialized production stage
-table). Those relations must outlive this builder call, so they are
-NOT unpersisted here; a long-lived session that keeps constructing
-queries should ``spark.catalog.clearCache()`` between them (bench.py
-does, per query) — otherwise Spark's LRU eviction is the backstop.
+Caching contract (round 12, VERDICT r11 #2): a handful of queries
+persist() stage tables their returned plan references more than once
+(d3/d13 candidate tables, e5's shingle indexes, s7/s8 trained
+codebooks, g1's edge list — each a stand-in for a pre-materialized
+production stage table). Those relations must outlive the builder
+call, so every such persist routes through
+``x17a5_spark.cache.stage_persist`` and sweep consumers (bench.py per
+query, tools/check_correctness.py, tools/dump_plans.py) call
+``x17a5_spark.cache.release_stage_caches()`` when done with a query —
+single ownership instead of the old clearCache()-and-LRU backstop;
+tests/test_registry.py asserts the CacheManager ends empty after a
+full construct-and-release sweep.
 
 Ordering matters: the grading driver hash-checks exactly the FIRST 50
 registry entries, so ``WINDOW_ORDER`` pins the window to the queries

@@ -410,7 +410,10 @@ def t22_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("pos", "seg"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    from x17a5_spark.cache import stage_persist
+
+    segs = stage_persist(segs, StorageLevel.MEMORY_AND_DISK)
     # ^ three consumers (df table, removal join, per-doc stats) — the
     # persist stops each from re-running the corpus-wide explode
     df_counts = segs.groupBy("seg").agg(

@@ -111,10 +111,13 @@ def g1_pagerank(
     outw = edges.groupBy("src").agg(dsum("w", "out_w"))
     # edge list annotated with its source's out-weight; persisted once —
     # every iteration re-reads it (at 100 TB: bucketed by src on disk).
-    # The cache stays registered for the session (LRU-evicted): the
+    # Registered with the registry-scoped cache context (round 12): the
     # returned plan references e once per iteration, and unpersisting
-    # before execution would recompute the edge build G1_ITERS times.
-    e = edges.join(outw, "src").persist()
+    # before execution would recompute the edge build G1_ITERS times —
+    # sweep consumers release it via cache.release_stage_caches().
+    from x17a5_spark.cache import stage_persist
+
+    e = stage_persist(edges.join(outw, "src"))
     ranks = outw.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
     for _ in range(iters):
         contrib = e.join(ranks, e["src"] == ranks["node"]).select(
@@ -317,8 +320,10 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= G2_MIN_W)
         .select("u", "v")
-        .persist()
     )
+    from x17a5_spark.cache import stage_persist
+
+    edges = stage_persist(edges)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -344,10 +349,10 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles = wedges.join(edges, ["u", "v"], "left_semi")
     # n_edges derived inside the plan (broadcast of a 1-row aggregate)
     # so building the query stays lazy — no eager action at construction.
-    # The persist above stays registered for the session like g1's edge
-    # cache (LRU-evicted): the plan reads `edges` three times (degree,
-    # orientation, closing semi-join) and unpersisting here would drop
-    # it before the caller ever executes the plan.
+    # The persist above is registry-scoped like g1's edge cache
+    # (cache.release_stage_caches()): the plan reads `edges` three
+    # times (degree, orientation, closing semi-join) and unpersisting
+    # here would drop it before the caller ever executes the plan.
     n_e = edges.agg(F.count("*").alias("n_edges"))
     return triangles.agg(F.count("*").alias("n_triangles")).crossJoin(
         F.broadcast(n_e)
