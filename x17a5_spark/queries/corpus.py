@@ -32,6 +32,11 @@ from x17a5_spark.functions.text import (
 from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET, guarded_twin_id
 from x17a5_spark.queries.textops import STOPWORDS, _hits_sql
 from x17a5_spark.tables import load_table
+from x17a5_spark.functions.unicode_fold import norm_fp_sql
+
+# the ONE oracle spelling of text.normalized_fingerprint (round 12:
+# Unicode-folded; identity on the ASCII gate lakes)
+_NFP = norm_fp_sql("text")
 
 CHUNK_SIZE = 200
 CHUNK_STRIDE = 150
@@ -202,7 +207,7 @@ WITH scored AS (
                                  '\\s+'), x -> x <> '')) END), 6) AS quality,
          len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
              AS n_tokens,
-         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+         {_NFP} AS fingerprint
   FROM documents
 ),
 gated AS (
@@ -478,8 +483,10 @@ def e5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table; this persist is its bench-scale stand-in.
     from pyspark import StorageLevel
 
-    shb = shingle(novel, "b_id").persist(StorageLevel.MEMORY_AND_DISK)
-    she = shingle(existing, "e_id").persist(StorageLevel.MEMORY_AND_DISK)
+    from x17a5_spark.cache import stage_persist
+
+    shb = stage_persist(shingle(novel, "b_id"), StorageLevel.MEMORY_AND_DISK)
+    she = stage_persist(shingle(existing, "e_id"), StorageLevel.MEMORY_AND_DISK)
     n_sh = shb.groupBy("b_id").agg(F.count("*").alias("n_sh"))
     # Bounded candidate generation (d13's prefix-blocking discipline,
     # dedup.py): raw `shb JOIN she ON shingle` is quadratic on a hot
@@ -532,10 +539,10 @@ batch AS (
   UNION ALL
   SELECT doc_id + {3 * AUG_TWIN_OFFSET}, text FROM existing WHERE doc_id % 7 = 0
 ),
-efp AS (SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+efp AS (SELECT DISTINCT {_NFP} AS fp
         FROM existing),
 bfp AS (SELECT doc_id, text,
-               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+               {_NFP} AS fp
         FROM batch),
 exact_dup AS (SELECT doc_id FROM bfp WHERE fp IN (SELECT fp FROM efp)),
 novel AS (SELECT doc_id, text FROM bfp WHERE fp NOT IN (SELECT fp FROM efp)),
@@ -730,7 +737,10 @@ def e6_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalized_fingerprint(F.col("text")).alias("fp"),
         (F.col("doc_id") % 97 == 0).alias("is_eval"),
         F.md5(F.concat(F.lit("quota:"), F.col("doc_id"))).alias("h"),
-    ).persist()
+    )
+    from x17a5_spark.cache import stage_persist
+
+    base = stage_persist(base)
 
     s1 = base.filter(F.col("pred_lang") != "unknown")
     s2 = s1.filter(F.col("quality") >= QUALITY_GATE)
@@ -822,7 +832,7 @@ WITH scored AS (
          CASE WHEN length(text) = 0 THEN 0.0
               ELSE length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / length(text)
          END AS pr,
-         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         {_NFP} AS fp,
          (doc_id % 97 = 0) AS is_eval,
          md5('quota:' || doc_id) AS h
   FROM documents

@@ -17,6 +17,11 @@ from x17a5_spark.functions.text import (
     tokens,
 )
 from x17a5_spark.tables import load_table
+from x17a5_spark.functions.unicode_fold import norm_fp_sql
+
+# the ONE oracle spelling of text.normalized_fingerprint (round 12:
+# Unicode-folded; identity on the ASCII gate lakes)
+_NFP = norm_fp_sql("text")
 
 # Tiny per-language stopword lists for the n-gram/stopword lang-ID
 # heuristic. Deterministic, embedded (no model files).
@@ -160,10 +165,10 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-T4_SQL = """
+T4_SQL = f"""
 SELECT doc_id,
-       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
-       CAST('0x' || md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))[1:15]
+       {_NFP} AS fingerprint,
+       CAST('0x' || {_NFP}[1:15]
             AS BIGINT) AS fp_bucket60
 FROM documents
 """
@@ -265,7 +270,7 @@ def t12_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 T12_SQL = f"""
 WITH d AS (
   SELECT DISTINCT source,
-         CAST('0x' || md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))[1:15]
+         CAST('0x' || {_NFP}[1:15]
               AS BIGINT) / {_TWO60} AS u
   FROM documents
 ),
@@ -1127,13 +1132,18 @@ def t29_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from x17a5_spark.functions.text import word_shingles
 
+    from x17a5_spark.cache import stage_persist
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(F.col("text"), T29_GRAM_K))
-        ).alias("gram"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    grams = stage_persist(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("text"), T29_GRAM_K))
+            ).alias("gram"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     novel = firsts.groupBy("first_doc").agg(F.count("*").alias("n_novel"))
     totals = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
@@ -1202,10 +1212,6 @@ LEFT JOIN novel29 v USING (doc_id)
 # ---------------------------------------------------------------------------
 
 T30_GRAM_K = 7
-# single-slot holder for t30's persisted eval slice (ADVICE r10: the
-# construction-time persist leaked once per invocation across registry
-# sweeps) — see the comment at the persist site
-_T30_PERSISTED: list = []
 T30_EVAL_MOD = 23  # doc_id % 23 == 0 -> the held-out "benchmark" docs
 T30_THRESHOLD = 0.2
 
@@ -1240,24 +1246,24 @@ def t30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark import StorageLevel
 
+    from x17a5_spark.cache import stage_persist
+
     # persisted: the eval slice (1/23 of docs) feeds BOTH the gram
     # explode and the final full-coverage re-attach (ADVICE r9) —
     # without the persist the re-attach re-scans documents through the
     # guard projection (the d3 cand_sh stage-table lesson).
-    # ADVICE r10: the cache registers in the session CacheManager at
-    # query-CONSTRUCTION time and the returned DataFrame is lazy, so
-    # this function cannot know when to unpersist. Bound the leak to
-    # at most ONE live slice instead: re-invoking t30 (registry
-    # sweeps, bench repeats) unpersists the previous slice first, and
-    # bench.py/dump_plans.py clearCache defensively between queries.
-    while _T30_PERSISTED:
-        _T30_PERSISTED.pop().unpersist(blocking=False)
-    eval_docs = (
-        docs.select(guarded_id.alias("doc_id"), "text")
-        .filter(F.col("doc_id") % T30_EVAL_MOD == 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # VERDICT r11 #2: ownership moved to the registry-scoped cache
+    # context (x17a5_spark.cache) — this replaces the r10 single-slot
+    # module global, so a sweep that constructs t30 and never
+    # materializes it releases the registration like every other
+    # stage cache (tests/test_registry.py asserts the CacheManager is
+    # empty after a full-registry construct-and-release sweep).
+    eval_docs = stage_persist(
+        docs.select(guarded_id.alias("doc_id"), "text").filter(
+            F.col("doc_id") % T30_EVAL_MOD == 0
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
-    _T30_PERSISTED.append(eval_docs)
     # training corpus = originals + perturbed twins, MINUS the eval docs
     # themselves. Half the eval docs' twins are scrubbed too (the
     # "benchmark authors decontaminated these" half), so the output has
