@@ -19,11 +19,18 @@ from __future__ import annotations
 
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from x17a5_spark.cache import stage_persist
 from x17a5_spark.functions.text import normalized_fingerprint, tokens, word_shingles
 from x17a5_spark.tables import load_table
+from x17a5_spark.functions.unicode_fold import norm_fp_sql
+
+# the ONE oracle spelling of text.normalized_fingerprint (round 12:
+# Unicode-folded; identity on the ASCII gate lakes)
+_NFP = norm_fp_sql("text")
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
@@ -209,8 +216,8 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-D1_SQL = """
-SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+D1_SQL = f"""
+SELECT {_NFP} AS fingerprint,
        min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
@@ -287,7 +294,7 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OOMs) — both the minhash pass and the candidate-confirm pass read
     # it, and a production dedup pipeline would write it as a stage
     # table anyway. Measured 1.8x vs recomputing the explode per pass.
-    sh = _shingle_table(aug).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = stage_persist(_shingle_table(aug), StorageLevel.MEMORY_AND_DISK)
     rows_per_band = N_MINHASH // N_BANDS
     # One-permutation minhashing (Li/Owen/Zhang, NIPS'12): hash each
     # shingle ONCE, partition the hash space into N_MINHASH buckets by
@@ -345,11 +352,11 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
-    sigs = (
+    sigs = stage_persist(
         hashed.groupBy("doc_id")
         .agg(*minhash_cols, F.count("*").alias("n_shingles"))
-        .select("doc_id", *dens_cols, "n_shingles")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("doc_id", *dens_cols, "n_shingles"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     # the band index is folded INTO the signature md5, so band
     # collision is a SINGLE-key equi-join (one narrow string compare
@@ -389,7 +396,7 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs with a BROADCAST semi join (cand_docs is bounded by the
     # duplicate rate, tiny next to the corpus) — a narrow pass, so the
     # confirm's hash exchanges move only the candidates' shingles.
-    candidates = candidates.persist()
+    candidates = stage_persist(candidates)
     cand_docs = (
         candidates.select(F.col("id_a").alias("doc_id"))
         .union(candidates.select(F.col("id_b").alias("doc_id")))
@@ -401,8 +408,9 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle mass through the semi join — measured 0.73-0.89 s steady
     # at sf0.1 vs 1.0-1.3 s without (round-3 verdict Next #5; the r1
     # 0.763 s level, with the array-free confirm retained).
-    cand_sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
+    cand_sh = stage_persist(
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     sh_a = cand_sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sh_b = cand_sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -754,9 +762,13 @@ WHERE nid IS NOT NULL AND substr(k, 1, 24) = substr(nk, 1, 24)
 # selective (2 <= df <= D13_DF_MAX) — the hot-term quadratic blowup
 # ("the" joining everything to everything) is structurally excluded,
 # which is the entire scale story of sparse-similarity joins. The
-# confirm pass re-joins the full weight table on the candidate pairs
-# and computes the exact cosine (per-term products rounded to 1e-12
-# then DECIMAL-summed — order-independent). Like LSH, the blocking is
+# confirm pass (round 12) joins each candidate pair to ONE packed
+# term->weight map per doc and computes the exact cosine inline with
+# map_zip_with + a decimal fold (per-term products rounded to 1e-12
+# then DECIMAL-summed — exact addition, so order-independent under any
+# map entry order) — the r11 shape shuffled |pairs|x|terms| exploded
+# rows through two joins and a wide groupBy, which was the measured
+# 100x residual (52.4 s isolated, 1.25x/byte). Like LSH, the blocking is
 # a recall heuristic (pairs sharing only stop-words are unseen — by
 # design); the oracle implements the identical pipeline so the
 # decision is hash-checked, not hidden.
@@ -823,7 +835,7 @@ def d13_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = tf.join(stats, "doc_id").select(
         "doc_id", "term", (F.col("tf") / F.sqrt(F.col("N2"))).alias("w")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # Blocking prefix (the PPJoin idea proper): each doc blocks on its
     # P globally-RAREST shingles only, so candidate volume is bounded by
     # P * df(prefix term) per doc INDEPENDENT of corpus size — a global
@@ -860,12 +872,17 @@ def d13_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (D13_TAU * D13_TAU)
         * (1.0 - 1e-9)
     )
-    cands = (
+    # (A per-pair complement Cauchy–Schwarz bound over the MATCHED
+    # prefix weights — dot_M + sqrt(1−Σ_M w_a²)·sqrt(1−Σ_M w_b²) ≥ τ —
+    # was built and measured here in round 12: it pruned 0 of 5.44M
+    # candidate pairs on the 100× lake, because near-uniform TF
+    # vectors give every spurious pair a bound ≈ 1. Removed; the
+    # length bound above is the one that bites (34% of matched rows).)
+    cands = stage_persist(
         a.join(b, "term")
         .filter((F.col("id_a") < F.col("id_b")) & length_ok)
         .select("id_a", "id_b")
         .distinct()
-        .persist()
     )
     # confirm only over candidate docs' weights (broadcast semi-join
     # pruning, same shape as d3's confirm) — the full weight table
@@ -875,24 +892,58 @@ def d13_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cands.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    # persist the candidate-pruned weights (bounded by the duplicate
-    # rate): the two confirm joins each probe this table — without the
-    # persist every execution re-scans the FULL cached weight table
-    # through the semi join (the d3 cand_sh lesson; measured ~2.1 s ->
-    # ~0.9 s steady at sf0.1)
-    wc = w.join(F.broadcast(cand_docs), "doc_id", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    wa = wc.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
-    wb = wc.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
-    dots = (
-        cands.join(wa, "id_a")
-        .join(wb, ["id_b", "term"])
-        .groupBy("id_a", "id_b")
+    # Round 12 (VERDICT r11 #1): the confirm rides ONE packed
+    # term->weight map per candidate doc instead of the exploded
+    # per-term weight table. The r11 shape joined cands to wa (one
+    # shuffle of |pairs| rows), EXPLODED to |pairs|×|terms(a)| rows,
+    # shuffled THOSE into the (id_b, term) join, then paid a wide
+    # groupBy back down to |pairs| — the measured 100× residual. Here
+    # each pair pulls two 8-byte-keyed maps and the dot product folds
+    # inline over ONLY the key intersection (array_intersect is a
+    # linear hash-set pass; a map_zip_with union-merge was measured
+    # 33.7 s at 100× because spurious pairs — 90% of candidates —
+    # still paid the full O(|union|·lookup) merge, vs near-zero for
+    # their 1-2-term intersections), so the heaviest exchange is
+    # |pairs| rows wide and the groupBy disappears. The decimal fold
+    # is EXACT addition (scale-12, magnitudes ≤ 1), hence independent
+    # of intersection order — same cross-engine discipline as before.
+    dec0 = F.lit(0).cast("decimal(27,12)")
+    wmap = stage_persist(
+        w.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
         .agg(
-            F.sum(
-                F.round(F.col("wa") * F.col("wb"), 12).cast("decimal(27,12)")
-            ).cast("double").alias("cos")
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "w"))
+            ).alias("wm")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    dots = (
+        cands.join(
+            wmap.select(F.col("doc_id").alias("id_a"), F.col("wm").alias("ma")),
+            "id_a",
+        )
+        .join(
+            wmap.select(F.col("doc_id").alias("id_b"), F.col("wm").alias("mb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.array_intersect(F.map_keys("ma"), F.map_keys("mb")),
+                dec0,
+                lambda acc, t: (
+                    acc
+                    + F.round(
+                        F.element_at(F.col("ma"), t)
+                        * F.element_at(F.col("mb"), t),
+                        12,
+                    ).cast("decimal(27,12)")
+                ).cast("decimal(27,12)"),
+            )
+            .cast("double")
+            .alias("cos"),
         )
     )
     return dots.filter(F.col("cos") >= D13_TAU).select(
@@ -905,7 +956,7 @@ WITH {_AUG_SQL.strip()},
 canon AS (
   SELECT doc_id, text FROM aug
   QUALIFY row_number() OVER (
-    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    PARTITION BY {_NFP}
     ORDER BY doc_id) = 1
 ),
 tf AS (
@@ -1391,15 +1442,14 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash56 = F.conv(
         F.substring(F.md5("shingle"), 2, D3_HEX_CHARS), 16, 10
     ).cast("long")
-    sh = (
+    sh = stage_persist(
         canon.select(
             "doc_id",
             F.explode(
                 F.array_distinct(word_shingles(F.col("text"), 3))
             ).alias("shingle"),
-        )
-        .select("doc_id", hash56.alias("g"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).select("doc_id", hash56.alias("g")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfc = sh.groupBy("g").agg(F.count("*").alias("df"))
@@ -1412,10 +1462,9 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # postings (container side) — shdf⋈sizes is built once, persisted,
     # and filtered two ways, instead of two independent join subtrees.
     pw = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g"))
-    shsz = (
-        shdf.join(sizes, "doc_id")
-        .withColumn("_pk", F.row_number().over(pw))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    shsz = stage_persist(
+        shdf.join(sizes, "doc_id").withColumn("_pk", F.row_number().over(pw)),
+        StorageLevel.MEMORY_AND_DISK,
     )
     prefix = shsz.filter(
         F.col("_pk") <= F.floor(F.col("n") / 5).cast("int") + 1
@@ -1442,8 +1491,8 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("contained_id", "container_id")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cands = stage_persist(cands, StorageLevel.MEMORY_AND_DISK)
     # Verification via per-doc sorted shingle arrays + array_intersect:
     # one row per candidate pair instead of exploding to |pair|x|doc|
     # shingle rows and re-aggregating. Row width is bounded by the
@@ -1498,7 +1547,7 @@ WITH aug14 AS (
 canon AS (
   SELECT doc_id, text FROM aug14
   QUALIFY row_number() OVER (
-    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    PARTITION BY {_NFP}
     ORDER BY doc_id) = 1
 ),
 sh AS (
