@@ -483,3 +483,65 @@ def test_d3_packing_tripwire_fails_loud_on_widened_substring():
     # no silent drift: the oracle chain interpolates the SAME constant
     assert f"[2:{1 + D.D3_HEX_CHARS}]" in D._D3_CHAIN
     assert str(D.D3_SENTINEL) in D._D3_CHAIN
+
+
+def test_d18_near_dedup_catches_drifted_boilerplate_exact_misses(spark):
+    """The d18 motivation, pinned end-to-end (round 12): boilerplate
+    whose 7th token drifts per copy survives EXACT paragraph dedup
+    (d15/d16 keep one instance per distinct drift value — 5 here) but
+    must collapse to the single corpus-first keeper under d18's
+    paragraph-grain minhash banding + Jaccard confirm. The copies'
+    body spans are exact duplicates of their originals and must die
+    at J = 1 through the same near-dup path."""
+    from pyspark.sql import functions as F
+
+    from x17a5_spark.operators.paragraphs import dedup_paragraphs
+    from x17a5_spark.queries.dedup import (
+        AUG_TWIN_OFFSET,
+        D16_DELIM,
+        D18_BOILER_PRE,
+        D18_BOILER_POST,
+        d18_paragraph_near_dedup,
+        guarded_twin_id,
+    )
+    from x17a5_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = d18_paragraph_near_dedup(spark, sf).collect()
+    copies = [r for r in rows if r["doc_id"] >= 6 * AUG_TWIN_OFFSET]
+    assert len(copies) == 50
+    near_kept = [
+        r["doc_id"] for r in copies if D18_BOILER_PRE in r["text_dedup"]
+    ]
+    # ONE keeper: the corpus-first boilerplate span; every drifted
+    # variant band-collides with an earlier one and confirms >= tau
+    assert near_kept == [6 * AUG_TWIN_OFFSET]
+    # body spans are exact dups of the originals -> most copies strip
+    # to (at most) noise tails
+    assert sum(r["n_kept"] for r in copies) < sum(r["n_para"] for r in copies) / 2
+
+    # the SAME fixture through the EXACT machinery keeps one instance
+    # per drift value — the one-token-drift escape d18 exists to close
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.regexp_replace("text", "table", "\n\n").alias("text")
+    )
+    boiler = F.concat_ws(
+        " ",
+        F.lit(D18_BOILER_PRE),
+        (F.col("doc_id") % 50 / 10).cast("long").cast("string"),
+        F.lit(D18_BOILER_POST),
+    )
+    cps = docs.filter(F.col("doc_id") % 10 == 0).select(
+        guarded_twin_id(F.col("doc_id"), 6, "t").alias("doc_id"),
+        F.concat_ws("\n\n", boiler, F.col("text")).alias("text"),
+    )
+    exact = dedup_paragraphs(
+        docs.unionByName(cps), delimiter=D16_DELIM
+    ).collect()
+    exact_kept = [
+        r["doc_id"]
+        for r in exact
+        if r["doc_id"] >= 6 * AUG_TWIN_OFFSET
+        and D18_BOILER_PRE in r["text_dedup"]
+    ]
+    assert len(exact_kept) == 5  # one per drift value: the missed class

@@ -165,3 +165,69 @@ def test_math_log10_power_identity():
     # the engine's F10 relies on exact log10 for powers of ten
     for k in range(0, 12):
         assert math.log10(10.0**k).is_integer()
+
+
+# --- round 12: Unicode fold + t33 gate ------------------------------------
+
+
+def test_unicode_fold_tables_are_translate_safe():
+    """The 1:1 translate contract: no duplicate source chars, every
+    mapped char single-width, deletions strictly after mappings."""
+    from x17a5_spark.functions import unicode_fold as U
+
+    assert len(set(U.TRANSLATE_FROM)) == len(U.TRANSLATE_FROM)
+    assert len(U.TRANSLATE_FROM) == len(U.TRANSLATE_TO) + len(U._DELETE)
+    assert all(len(k) == 1 and len(v) == 1 for k, v in U._FOLD_1TO1.items())
+
+
+def test_unicode_fold_cross_engine_parity(spark):
+    """Spark and DuckDB must fold the corrupted classes identically —
+    the exact parity the oracle hash gate depends on."""
+    import unicodedata
+
+    import duckdb
+
+    from x17a5_spark.functions.unicode_fold import unicode_fold, unicode_fold_sql
+
+    probes = [
+        "café test",
+        unicodedata.normalize("NFD", "café test"),
+        "cafÃ© test",  # mojibake
+        "ａｂｃ １２",  # fullwidth
+        "ﬁnancial ‘ok’",  # ligature + curly quotes
+        "a​b c",  # zero-width + NBSP
+        "donâ€™t â€œquote",  # cp1252 punctuation mojibake
+        "plain ascii stays",
+    ]
+    df = spark.createDataFrame([(s,) for s in probes], ["t"])
+    got_spark = [r["f"] for r in df.select(unicode_fold("t").alias("f")).collect()]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {unicode_fold_sql('t')} FROM (SELECT ? AS t)", [s]).fetchone()[0]
+        for s in probes
+    ]
+    assert got_spark == got_duck
+    assert got_spark[0] == got_spark[1] == got_spark[2] == "cafe test"
+    assert got_spark[3] == "abc 12"
+    assert got_spark[-1] == "plain ascii stays"
+
+
+def test_t33_planted_twins_all_resolve_to_their_original(spark):
+    """The gate's whole point: every fullwidth/mojibake/NFD twin must
+    collapse onto its original's folded fingerprint (rep_id == base id),
+    and only the mojibake class trips the double-encoding detector."""
+    from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET
+    from x17a5_spark.queries.textops import t33_unicode_normalize
+
+    out = t33_unicode_normalize(spark, "/root/testdata/sf0.001").collect()
+    twins = [r for r in out if r["doc_id"] >= AUG_TWIN_OFFSET]
+    assert twins, "no planted twins in the output"
+    for r in twins:
+        base = r["doc_id"] - AUG_TWIN_OFFSET
+        assert r["is_dup"] == 1, r
+        assert r["rep_id"] <= base, r  # original (or an earlier natural dup)
+        # the corrupted text must actually have been folded
+        assert r["n_folded"] >= 0
+        assert r["had_mojibake"] == (1 if base % 3 == 1 else 0), r
+    originals = [r for r in out if r["doc_id"] < AUG_TWIN_OFFSET]
+    assert all(r["had_mojibake"] == 0 and r["n_folded"] == 0 for r in originals)

@@ -52,7 +52,14 @@ PICKS = {
     ),
     "d13_sparse_cosine_join": (
         "Canonicalize exact dups, per-doc rarest-shingle prefix "
-        "blocking, candidate-pruned DECIMAL cosine confirm."
+        "blocking; the confirm joins packed per-doc weight maps and "
+        "folds the DECIMAL cosine inline over the key intersection — "
+        "no per-term pair explode, no confirm groupBy."
+    ),
+    "d18_paragraph_near_dedup": (
+        "Paragraph-grain minhash banding: map-side-combined bucket "
+        "keepers (no window over hot fingerprints), <= 8 exact-Jaccard "
+        "confirms per paragraph riding sorted 56-bit shingle arrays."
     ),
     "e6_curation_funnel": (
         "Six curation stages over one cached scored base; quota stage "

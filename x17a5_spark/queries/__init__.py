@@ -279,6 +279,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # their standing r3 rows without a slot, both value-identical and
 # locally hash-verified: a18 (oracle-side CAST only) and s4 (plan-only
 # explode fix, same rows).
+#
+# Round-12 rotation (never-ride-a-stale-row): IN — t33_unicode_normalize
+# (NEW: the Unicode-fold/encoding-repair gate; planted fullwidth/
+# mojibake/NFD twins must collapse onto their originals' FOLDED
+# fingerprints), d18_paragraph_near_dedup (NEW: paragraph-grain minhash
+# banding over d16's delimiter spans — drifted boilerplate dies; exact
+# d15/d16 provably keep it, pinned in tests), and d1_exact_dedup (its
+# plan now folds Unicode before fingerprinting — the widened
+# normalization needs a fresh driver row even though it is
+# value-identical on the ASCII gate lakes). OUT — j12_scd2_intervals,
+# j14_pit_join, v1_constraint_checks: hash-green in CORRECTNESS_r11
+# and unchanged this round. Queries whose plans changed this round and
+# ALREADY hold slots: d13 (map-packed intersect-fold confirm), d14/
+# d15/d16/e5/e7/e10/e11/t30 (the shared fingerprint fold + the
+# registry-scoped stage-cache ownership — all value-identical at the
+# gate lakes, every one re-verified hash-exact at sf0.01 this round).
+# Other fold-touched queries outside the window (t4, t12, e4, e6, d10)
+# ride their standing rows under the r4 value-identical convention,
+# re-verified locally.
 WINDOW_ORDER = [
     # --- domain pipeline composites ---
     "e1_full_pipeline",
@@ -289,6 +308,9 @@ WINDOW_ORDER = [
     "d14_containment_join",
     "d8_semdedup",
     "d13_sparse_cosine_join",
+    "d1_exact_dedup",
+    "t33_unicode_normalize",
+    "d18_paragraph_near_dedup",
     "s2_lsh_ann",
     "s3_ivf_probe",
     "s7_trained_ivf",
@@ -319,12 +341,9 @@ WINDOW_ORDER = [
     "st10_trending",
     "st8_ttl_dedup",
     # --- round-9 SortAggregate retirement: fresh rows for new plans ---
-    "j12_scd2_intervals",
-    "j14_pit_join",
     # --- analytics / joins / graph / maintenance ---
     "g1_pagerank",
     "g2_triangle_count",
-    "v1_constraint_checks",
     "v2_profile_columns",
     "v3_compaction_plan",
     "j16_fuzzy_name_join",

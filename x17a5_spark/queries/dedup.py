@@ -1816,6 +1816,177 @@ LEFT JOIN rebuilt16 r USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# D18 — paragraph-level NEAR dedup (round 12, VERDICT r11 missing-#2):
+# d15/d16 are exact-fingerprint at paragraph grain, so boilerplate
+# with a one-token drift (dates, counters, revision numbers) survives
+# them by construction. d18 applies d3's minhash banding AT THE
+# PARAGRAPH GRAIN over d16's delimiter spans: bigram shingles per
+# eligible paragraph, 16 minhashes (4 salted md5s, 4 disjoint 32-bit
+# slices each), 8 two-row bands, per-bucket min-packed keeper, exact
+# shingle-Jaccard confirm against (<= 8) bucket keepers, drop at
+# J >= 0.6. Core: operators/paragraphs.py::near_dedup_paragraphs.
+#
+# Fixture: the d16 structure plant ('table' -> blank line), plus every
+# 10th doc gets a copy (doc_id + 6*AUG_TWIN_OFFSET) with a 12-token
+# boilerplate span PREPENDED whose 7th token DRIFTS per copy
+# (doc_id % 5) — the exact shape d15/d16 provably miss (pinned in
+# tests/test_dedup_similarity.py) and d18 must catch: every drifted
+# variant either band-collides with an earlier variant (P ~ 99.5% at
+# J ~ 0.69) and confirms at J >= 0.6, or is the corpus-first keeper.
+# The copy's body spans are exact duplicates of the original's and die
+# at J = 1.
+#
+# Scale: no window; bucket keepers are a map-side-combined min (a
+# billion-occurrence boilerplate bucket collapses inside each input
+# partition); every paragraph carries <= 8 confirm comparisons
+# regardless of corpus size; confirm joins move sorted 56-bit shingle
+# arrays (the d14 verify shape), never per-shingle rows.
+# ---------------------------------------------------------------------------
+
+D18_BOILER_PRE = "copyright notice all rights reserved revision"
+D18_BOILER_POST = "terms of use subject herein"
+
+
+def d18_paragraph_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.operators.paragraphs import near_dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "table", "\n\n").alias("text")
+    )
+    # drift value: copies exist only at doc_id % 10 == 0, so doc_id % 5
+    # would be constant — (doc_id % 50) / 10 cycles 0..4 across copies
+    boiler = F.concat_ws(
+        " ",
+        F.lit(D18_BOILER_PRE),
+        (F.col("doc_id") % 50 / 10).cast("long").cast("string"),
+        F.lit(D18_BOILER_POST),
+    )
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        guarded_twin_id(F.col("doc_id"), 6, "d18").alias("doc_id"),
+        F.concat_ws("\n\n", boiler, F.col("text")).alias("text"),
+    )
+    return near_dedup_paragraphs(
+        docs.unionByName(copies), delimiter=D16_DELIM
+    )
+
+
+def _d18_sql() -> str:
+    from x17a5_spark.operators.paragraphs import (
+        D18_BANDS,
+        D18_MINHASH,
+        D18_TAU,
+        IDSPACE,
+        MIN_TOKENS,
+        PACK,
+        PARA_TOKENS,
+    )
+
+    mh_cols = ",\n         ".join(
+        f"min(CAST('0x' || h{i // 4}[{1 + 8 * (i % 4)}:{8 + 8 * (i % 4)}] "
+        f"AS BIGINT)) AS mh{i}"
+        for i in range(D18_MINHASH)
+    )
+    sig_list = ", ".join(
+        f"md5(concat_ws(':', {j}, mh{2 * j}, mh{2 * j + 1}))"
+        for j in range(D18_BANDS)
+    )
+    return f"""
+WITH aug18 AS (
+  SELECT doc_id, regexp_replace(text, 'table', chr(10) || chr(10), 'g') AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {6 * AUG_TWIN_OFFSET},
+         '{D18_BOILER_PRE} ' || CAST(CAST((doc_id % 50) / 10 AS BIGINT) AS VARCHAR)
+           || ' {D18_BOILER_POST}' || chr(10) || chr(10)
+           || regexp_replace(text, 'table', chr(10) || chr(10), 'g')
+  FROM documents WHERE doc_id % 10 = 0
+),
+spans18 AS (
+  SELECT doc_id, u.i AS span_idx,
+         list_filter(regexp_split_to_array(trim(sp[u.i + 1]), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM (SELECT doc_id, regexp_split_to_array(text, '{D16_DELIM}') AS sp
+        FROM aug18),
+       unnest(range(0, len(sp))) AS u(i)
+),
+chunks18 AS (
+  SELECT doc_id, span_idx, v.j AS chunk_idx,
+         array_to_string(toks[v.j * {PARA_TOKENS} + 1 : (v.j + 1) * {PARA_TOKENS}], ' ') AS para,
+         least({PARA_TOKENS}, len(toks) - v.j * {PARA_TOKENS}) AS para_len
+  FROM spans18,
+       unnest(range(0, CAST(floor((len(toks) + {PARA_TOKENS - 1}) / {PARA_TOKENS}) AS INT))) AS v(j)
+  WHERE len(toks) > 0
+),
+packed18 AS (
+  SELECT doc_id, para, para_len,
+         CASE WHEN pos < {PACK} AND doc_id < {IDSPACE}
+              THEN doc_id * {PACK} + pos
+              ELSE error('d18: (doc_id, pos) exceeds the 2^43/2^20 packing bounds')
+         END AS w
+  FROM (SELECT doc_id, para, para_len,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY span_idx, chunk_idx) - 1 AS pos
+        FROM chunks18)
+),
+hashes18 AS (
+  SELECT w, md5('0:' || s) AS h0, md5('1:' || s) AS h1,
+         md5('2:' || s) AS h2, md5('3:' || s) AS h3
+  FROM (SELECT w, unnest(list_distinct(
+               list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                              i -> tk[i] || ' ' || tk[i+1]))) AS s
+        FROM (SELECT w, list_filter(
+                     regexp_split_to_array(trim(lower(para)), '\\s+'),
+                     t -> t <> '') AS tk
+              FROM packed18 WHERE para_len >= {MIN_TOKENS}))
+),
+pshin18 AS (SELECT DISTINCT w, CAST('0x' || h0[2:15] AS BIGINT) AS g FROM hashes18),
+psize18 AS (SELECT w, count(*) AS n FROM pshin18 GROUP BY 1),
+mins18 AS (
+  SELECT w,
+         {mh_cols}
+  FROM hashes18 GROUP BY w
+),
+bands18 AS (SELECT w, unnest([{sig_list}]) AS sig FROM mins18),
+bmin18 AS (SELECT sig, min(w) AS kw FROM bands18 GROUP BY 1),
+cand18 AS (SELECT DISTINCT w, kw FROM bands18 JOIN bmin18 USING (sig)
+           WHERE kw < w),
+inter18 AS (
+  SELECT c.w, c.kw, count(*) AS ni
+  FROM cand18 c
+  JOIN pshin18 a ON a.w = c.w
+  JOIN pshin18 b ON b.w = c.kw AND b.g = a.g
+  GROUP BY 1, 2
+),
+dropped18 AS (
+  SELECT DISTINCT i.w
+  FROM inter18 i
+  JOIN psize18 za ON za.w = i.w
+  JOIN psize18 zb ON zb.w = i.kw
+  WHERE round(ni / (za.n + zb.n - ni), 6) >= {D18_TAU}
+),
+kept18 AS (
+  SELECT doc_id, w, para FROM packed18
+  WHERE w NOT IN (SELECT w FROM dropped18)
+),
+rebuilt18 AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, ' ' ORDER BY w) AS text_dedup
+  FROM kept18 GROUP BY 1
+),
+totals18 AS (
+  SELECT doc_id, count(*) AS n_para FROM chunks18 GROUP BY 1
+)
+SELECT a.doc_id,
+       CAST(COALESCE(t.n_para, 0) AS INT) AS n_para,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.text_dedup, '') AS text_dedup
+FROM (SELECT doc_id FROM aug18) a
+LEFT JOIN totals18 t USING (doc_id)
+LEFT JOIN rebuilt18 r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # D17 — cc_star on a CHAIN-SHAPED dup graph (round-8 VERDICT ask #1's
 # registry evidence): consecutive doc_ids are linked within blocks of
 # 100, so every component is a path of diameter ~99 — the propagation
@@ -1895,6 +2066,7 @@ QUERIES = {
     "d15_paragraph_dedup": d15_paragraph_dedup,
     "d16_paragraph_dedup_delim": d16_paragraph_dedup_delim,
     "d17_cc_star_chain": d17_cc_star_chain,
+    "d18_paragraph_near_dedup": d18_paragraph_near_dedup,
     "e7_dedup_audit": e7_dedup_audit,
     "e10_leakage_safe_split": e10_leakage_safe_split,
     "e11_cluster_canonical": e11_cluster_canonical,
@@ -1913,6 +2085,7 @@ ORACLES = {
     "d15_paragraph_dedup": D15_SQL,
     "d16_paragraph_dedup_delim": D16_SQL,
     "d17_cc_star_chain": D17_SQL,
+    "d18_paragraph_near_dedup": _d18_sql(),
     "e7_dedup_audit": E7_SQL,
     "e10_leakage_safe_split": E10_SQL,
     "e11_cluster_canonical": E11_SQL,
