@@ -366,17 +366,18 @@ def test_d8_cell_count_derives_from_corpus_no_env_knob(spark, monkeypatch):
     """VERDICT r10 #3: the 100×-safe cell count lived only in
     X17A5_D8_CELLS — the default k=16 meant 50,000-vector cells (a
     ~20 GB matmul) on the 100× lake. The default path now derives k
-    from one corpus count with SCALE.md's measured recipe (~250
+    from one corpus count with the round-12 perf-optimal cap (~1k
     augmented vectors per cell). Pins: (a) every shipped gate lake
     derives EXACTLY the historic (16, 4) so the registry stays
-    byte-identical; (b) the per-cell bound n/k <= 250 holds for ANY
+    byte-identical; (b) the per-cell bound n/k <= D8_CELL_CAP (the
+    round-12 memory-aware cap: 134 MB of per-cell scores) holds for ANY
     corpus size, so the matmul can never outgrow an Arrow batch; (c)
     the derived super count is a true divisor near sqrt(k) (a prime k
     would collapse staged assignment to flat N*k); (d) env-unset and
     env=16 produce identical output rows."""
     import math
 
-    from x17a5_spark.queries.advanced import _d8_derive, d8_semdedup
+    from x17a5_spark.queries.advanced import D8_CELL_CAP, _d8_derive, d8_semdedup
 
     # (a) gate lakes: sf0.001/0.01 = 500 embeddings, sf0.1 = 2000
     assert _d8_derive(2 * 500) == (16, 4)
@@ -385,10 +386,10 @@ def test_d8_cell_count_derives_from_corpus_no_env_knob(spark, monkeypatch):
     # lake (400k aug vecs -> the recipe's 1600) and awkward sizes
     for n in (1, 1000, 4000, 80_000, 400_000, 800_000, 12_345_677, 10**9):
         k, s = _d8_derive(n)
-        assert n / k <= 250, f"cell over target at n={n}: {n / k}"
+        assert n / k <= D8_CELL_CAP, f"cell over cap at n={n}: {n / k}"
         assert k % s == 0, f"supers not a divisor at n={n}"
         assert s >= math.isqrt(k) // 2, f"degenerate staging at n={n}"
-    assert _d8_derive(400_000) == (1600, 40)  # the documented 100× point
+    assert _d8_derive(400_000) == (400, 20)  # the documented 100× point
     # (d) derived default == explicit 16 on a real lake
     monkeypatch.delenv("X17A5_D8_CELLS", raising=False)
     derived = {tuple(r) for r in d8_semdedup(spark, SF).collect()}

