@@ -171,6 +171,10 @@ HEADLINE = [
     # round 10: Gopher in-document repetition gate (two hash exchanges,
     # zero joins — within-doc repeats collapse map-side)
     "t32_repetition_filter",
+    # round 12: the Unicode-fold gate (stateless scalar chain + one
+    # fingerprint window) and paragraph-grain minhash near-dedup
+    "t33_unicode_normalize",
+    "d18_paragraph_near_dedup",
 ]
 
 
