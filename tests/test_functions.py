@@ -231,3 +231,13 @@ def test_t33_planted_twins_all_resolve_to_their_original(spark):
         assert r["had_mojibake"] == (1 if base % 3 == 1 else 0), r
     originals = [r for r in out if r["doc_id"] < AUG_TWIN_OFFSET]
     assert all(r["had_mojibake"] == 0 and r["n_folded"] == 0 for r in originals)
+
+
+def test_unicode_fold_ascii_is_a_fixed_point():
+    """The ASCII fast path's soundness condition: every FOLD_SEQ
+    pattern and every translate source char is non-ASCII, so skipping
+    the chain on ASCII text cannot change any value."""
+    from x17a5_spark.functions import unicode_fold as U
+
+    assert all(any(ord(ch) > 127 for ch in bad) for bad, _ in U.FOLD_SEQ)
+    assert all(ord(ch) > 127 for ch in U.TRANSLATE_FROM)

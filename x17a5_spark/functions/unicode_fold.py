@@ -101,7 +101,10 @@ for i in range(0x21, 0x7F):  # fullwidth ！..～ -> ASCII !..~
 for base, accs in _ACCENTS.items():
     for ch in accs:
         _FOLD_1TO1[ch] = base
-        _FOLD_1TO1[ch.upper()] = base.upper()
+        # ı.upper() is the ASCII 'I' — an ASCII key would break the
+        # fixed-point contract the fast path relies on; skip it
+        if ord(ch.upper()) > 127:
+            _FOLD_1TO1[ch.upper()] = base.upper()
 _FOLD_1TO1.update(
     {
         "　": " ",  # ideographic space
@@ -141,11 +144,23 @@ def _sq(s: str) -> str:
 
 
 def unicode_fold(col: Column | str) -> Column:
-    """The full fold as built-in column expressions (codegen'd)."""
+    """The full fold as built-in column expressions (codegen'd).
+
+    ASCII fast path (round 12, result-preserving): every FOLD_SEQ
+    pattern and every translate source char is non-ASCII, so pure
+    ASCII text is a FIXED POINT of the fold — detected in O(1)+O(n)
+    JVM work as ``octet_length == length`` (UTF-8 bytes == chars iff
+    ASCII), which skips the ~40 substring replaces per document. The
+    d1 20× cost of the unguarded chain measured 0.34 → 1.67 s; the
+    oracle keeps the unguarded chain (identical values on both
+    branches), so no SQL changes. ``test_functions`` pins the
+    fixed-point claim against the tables."""
     c = F.col(col) if isinstance(col, str) else col
+    folded = c
     for bad, good in FOLD_SEQ:
-        c = F.replace(c, F.lit(bad), F.lit(good))
-    return F.translate(c, TRANSLATE_FROM, TRANSLATE_TO)
+        folded = F.replace(folded, F.lit(bad), F.lit(good))
+    folded = F.translate(folded, TRANSLATE_FROM, TRANSLATE_TO)
+    return F.when(F.octet_length(c) == F.length(c), c).otherwise(folded)
 
 
 def unicode_fold_sql(expr: str) -> str:
