@@ -370,7 +370,8 @@ def test_d8_cell_count_derives_from_corpus_no_env_knob(spark, monkeypatch):
     augmented vectors per cell). Pins: (a) every shipped gate lake
     derives EXACTLY the historic (16, 4) so the registry stays
     byte-identical; (b) the per-cell bound n/k <= D8_CELL_CAP (the
-    round-12 memory-aware cap: 134 MB of per-cell scores) holds for ANY
+    round-12 perf-tuned cap: 1024^2 x 8 B ~= 8 MB of per-cell scores,
+    the measured U-curve optimum, far below Arrow limits) holds for ANY
     corpus size, so the matmul can never outgrow an Arrow batch; (c)
     the derived super count is a true divisor near sqrt(k) (a prime k
     would collapse staged assignment to flat N*k); (d) env-unset and

@@ -212,6 +212,85 @@ def test_unicode_fold_cross_engine_parity(spark):
     assert got_spark[-1] == "plain ascii stays"
 
 
+def _fold_fuzz_alphabet():
+    """The fold's OWN alphabet plus bystanders: every FOLD_SEQ source
+    char, every translate source, ASCII, and a band of unrelated
+    Unicode (Greek/Cyrillic/CJK/punctuation) that must pass through
+    untouched. Sampling FROM the tables is what makes the fuzz sharp:
+    random full-Unicode strings almost never compose two table entries
+    into an overlapping window."""
+    from x17a5_spark.functions import unicode_fold as U
+
+    table_chars = set("".join(bad for bad, _ in U.FOLD_SEQ))
+    table_chars |= set(U.TRANSLATE_FROM)
+    ascii_chars = {chr(c) for c in range(0x20, 0x7F)}
+    bystanders = set("αβΩжЯ中文🙂€™§¶°±×÷")
+    return sorted(table_chars | ascii_chars | bystanders)
+
+
+def test_unicode_fold_fuzz_cross_engine_and_idempotent(spark):
+    """VERDICT r12 #4: hypothesis sweep over the fold alphabet. The
+    8-probe parity test cannot see a table entry whose digraph output
+    overlaps another entry's source (a replace-chain ordering bug) or
+    an engine disagreement on a rare translate char. For ~200 random
+    strings built FROM the fold's own tables, assert byte-equality
+    Spark == DuckDB and engine-level idempotence
+    fold(fold(x)) == fold(x) in BOTH engines.
+
+    Batched 50 strings/example x 4 examples so the property costs 4
+    Spark jobs, not 200."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from x17a5_spark.functions.unicode_fold import (
+        unicode_fold,
+        unicode_fold_sql,
+    )
+
+    alphabet = _fold_fuzz_alphabet()
+    chunk = st.text(alphabet=st.sampled_from(alphabet), max_size=12)
+    # splice raw multi-char FOLD_SEQ sources in whole, so digraphs and
+    # near-miss prefixes (pattern minus its last char, pattern twice)
+    # occur far more often than char-level sampling would produce
+    from x17a5_spark.functions import unicode_fold as U
+
+    seqs = st.sampled_from(
+        [bad for bad, _ in U.FOLD_SEQ] + [bad[:-1] for bad, _ in U.FOLD_SEQ]
+    )
+    piece = st.one_of(chunk, seqs)
+    fuzz_string = st.builds(lambda parts: "".join(parts), st.lists(piece, max_size=6))
+
+    con = duckdb.connect()
+    sql1 = unicode_fold_sql("t")
+    sql2 = unicode_fold_sql(f"({sql1})")
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(fuzz_string, min_size=50, max_size=50))
+    def prop(strings):
+        df = spark.createDataFrame([(s,) for s in strings], ["t"])
+        rows = df.select(
+            unicode_fold("t").alias("f1"),
+            unicode_fold(unicode_fold("t")).alias("f2"),
+        ).collect()
+        duck = [
+            con.execute(
+                f"SELECT {sql1}, {sql2} FROM (SELECT ? AS t)", [s]
+            ).fetchone()
+            for s in strings
+        ]
+        for s, r, (d1, d2) in zip(strings, rows, duck):
+            assert r["f1"] == d1, (s, r["f1"], d1)
+            assert r["f2"] == r["f1"], ("spark idempotence", s, r["f1"], r["f2"])
+            assert d2 == d1, ("duckdb idempotence", s, d1, d2)
+
+    prop()
+
+
 def test_t33_planted_twins_all_resolve_to_their_original(spark):
     """The gate's whole point: every fullwidth/mojibake/NFD twin must
     collapse onto its original's folded fingerprint (rep_id == base id),

@@ -69,6 +69,41 @@ def test_pipeline_idempotent_and_incremental(spark, tmp_path):
     assert row["Cash"] == 2.0 and row["Receivables"] == 5.0
 
 
+def test_pipeline_releases_stage_caches_scoped(spark, tmp_path):
+    """VERDICT r12 #7: run_pipeline owns its stage-boundary eviction —
+    after it returns, the OCR stage cache it registered is gone
+    (tracked_stage_count back to the caller's baseline), and a cache
+    the CALLER registered before the run is untouched (stage_scope is
+    a high-water mark, not a sweep)."""
+    from x17a5_spark.cache import (
+        release_stage_caches,
+        stage_persist,
+        tracked_stage_count,
+    )
+
+    release_stage_caches()
+    caller_df = stage_persist(spark.range(5))
+    assert caller_df.count() == 5
+    assert tracked_stage_count() == 1
+
+    out = str(tmp_path / "lake")
+    gold = run_pipeline(
+        spark,
+        _docs(spark, ["301"]),
+        _text(spark, ["301"]),
+        out,
+        _label_map(spark),
+        LABELS,
+    )
+    assert gold.count() == 1
+    # pipeline-registered caches released at stage boundaries; the
+    # caller's persist survives and is still usable
+    assert tracked_stage_count() == 1
+    assert caller_df.count() == 5
+    release_stage_caches()
+    assert tracked_stage_count() == 0
+
+
 def test_pipeline_quarantines_ocr_failures(spark, tmp_path):
     out = str(tmp_path / "lake")
     docs = spark.createDataFrame(

@@ -215,5 +215,12 @@ if __name__ == "__main__":
         print(f"{name}: {status} {info}")
         if status != "OK":
             failures += 1
+    # release the LAST query's construction-time persists too (ADVICE
+    # r12): the loop releases at the TOP of each iteration, which left
+    # the final query's stage caches tracked at exit — harmless for a
+    # process about to die, but inconsistent with cache.py's
+    # single-ownership contract and bench.py's per-query placement.
+    release_stage_caches()
+    spark.catalog.clearCache()
     print(f"\n{'PASS' if failures == 0 else 'FAIL'} ({failures} failures)")
     sys.exit(1 if failures else 0)

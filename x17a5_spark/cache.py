@@ -33,6 +33,8 @@ there is no single-slot aliasing (the r10 t30 mechanism this replaces).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
@@ -71,3 +73,24 @@ def release_stage_caches() -> int:
 def tracked_stage_count() -> int:
     """How many stage caches are currently tracked (test hook)."""
     return len(_STAGE_CACHES)
+
+
+@contextmanager
+def stage_scope():
+    """Release ONLY the stage caches registered inside the scope.
+
+    The stage-boundary eviction policy for multi-stage runs (VERDICT
+    r12 #7): ``run_pipeline`` wraps each bronze/silver/gold stage so a
+    stage's construction-time persists are dropped the moment its
+    parquet sink is materialized — a long-lived production driver must
+    not carry bronze's OCR cache through the gold build. Scoped (a
+    high-water mark on the registry, not a full sweep) so a pipeline
+    invoked DURING another query's construction can never release
+    caches it does not own — the registry's single-ownership contract
+    stays with the outer sweep consumer."""
+    mark = len(_STAGE_CACHES)
+    try:
+        yield
+    finally:
+        while len(_STAGE_CACHES) > mark:
+            _STAGE_CACHES.pop().unpersist(blocking=False)

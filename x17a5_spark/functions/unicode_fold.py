@@ -131,7 +131,19 @@ _DELETE = (
 TRANSLATE_FROM = "".join(_FOLD_1TO1) + _DELETE
 TRANSLATE_TO = "".join(_FOLD_1TO1.values())
 
-# pre-repair detection markers (the double-encoding tell-tales)
+# pre-repair detection markers (the double-encoding tell-tales).
+# KNOWN FALSE-POSITIVE CLASS (ADVICE r12): single 'Ã'/'Â' are
+# legitimate codepoints in well-formed Portuguese / Vietnamese /
+# French text ("Ângela", "IRMÃ"), so had_mojibake means "contains a
+# double-encoding MARKER", not "double-encoding proven". The flag is
+# only a detector bit in the t33 output (cross-engine consistent by
+# construction); the REPAIR step itself is safe on such text because
+# it replaces only full two-char digraphs from the generated pair
+# table ('Ã©' etc.), never a lone marker char — "Ângela" carries the
+# flag but folds exactly like its clean NFC form. Tightening the
+# markers to digraphs-only would change t33's published column
+# semantics for no repair-behavior gain, so the class is documented
+# instead.
 MOJIBAKE_MARKERS: tuple[str, ...] = ("Ã", "â€", "Â")
 
 

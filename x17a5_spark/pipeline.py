@@ -211,18 +211,31 @@ def run_pipeline(
         errors.write.mode("append").parquet(err_path)
         return cells
 
-    bronze = _incremental_stage(
-        spark, docs, ocr_stage, os.path.join(out_dir, "bronze_cells")
-    )
+    # Stage-boundary eviction (VERDICT r12 #7): each stage's
+    # construction-time persists (today: ocr_stage's OCR output) are
+    # released the moment the stage's parquet sink is materialized —
+    # _incremental_stage returns a fresh read of the sink, so nothing
+    # downstream references the cache. stage_scope is a high-water
+    # mark, not a sweep: caches the CALLER registered before
+    # run_pipeline stay tracked and owned by the outer consumer.
+    from x17a5_spark.cache import stage_scope
+
+    with stage_scope():
+        bronze = _incremental_stage(
+            spark, docs, ocr_stage, os.path.join(out_dir, "bronze_cells")
+        )
     _mark("ocr_bronze")
 
     # Step 3 (clean chain): clean only the bronze filings not in silver.
-    silver = _incremental_stage(
-        spark,
-        bronze.select("cik", "filing_date", "row_idx", "col0", "col1", "col2"),
-        lambda todo: clean_filings(todo, text),
-        os.path.join(out_dir, "silver"),
-    )
+    with stage_scope():
+        silver = _incremental_stage(
+            spark,
+            bronze.select(
+                "cik", "filing_date", "row_idx", "col0", "col1", "col2"
+            ),
+            lambda todo: clean_filings(todo, text),
+            os.path.join(out_dir, "silver"),
+        )
     _mark("silver_clean")
 
     # Step 4 (main_p3): structured gold from the asset side.
@@ -238,8 +251,9 @@ def run_pipeline(
             labels,
         )
 
-    gold = _incremental_stage(
-        spark, silver, gold_stage, os.path.join(out_dir, "gold_assets")
-    )
+    with stage_scope():
+        gold = _incremental_stage(
+            spark, silver, gold_stage, os.path.join(out_dir, "gold_assets")
+        )
     _mark("gold_build")
     return gold

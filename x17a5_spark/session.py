@@ -37,6 +37,18 @@ def get_spark(app_name: str = "x17a5_spark", shuffle_partitions: int | None = No
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Round-13 controlled-measurement knob (VERDICT r12 #1): a GC log
+    # turns the 100x variance class from attribution prose into data —
+    # full-GC stalls either show up in the log during a slow sample or
+    # the GC hypothesis is dead. Only effective when THIS process
+    # creates the JVM (the fresh-JVM protocol in tools/bench_100x.py);
+    # a getOrCreate() against a live session ignores driver JVM opts.
+    gc_log = os.environ.get("SPARK_GRAFT_GC_LOG")
+    if gc_log:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xlog:gc*:file={gc_log}:time,uptime,level,tags",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
