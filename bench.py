@@ -175,6 +175,9 @@ HEADLINE = [
     # fingerprint window) and paragraph-grain minhash near-dedup
     "t33_unicode_normalize",
     "d18_paragraph_near_dedup",
+    # round 13: the frozen model-based quality gate (codegen scalar
+    # chain; the model is ~70 interpolated integer literals)
+    "t34_model_quality_filter",
 ]
 
 

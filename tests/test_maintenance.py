@@ -763,6 +763,58 @@ def test_t31_pii_scrub_detects_planted_and_spares_clean(spark):
             )
 
 
+def test_t34_model_filter_separates_planted_junk(spark):
+    """t34 (VERDICT r12 #5): the frozen integer LogReg must separate
+    the two planted junk classes from the originals. Pins are RATES,
+    not every row — the trained model's in-sample accuracy is 99.93%
+    (tools/train_t34.py), so a handful of 60-token spam twins whose
+    token economics mimic real docs may legitimately survive; what
+    must hold is the aggregate separation a production quality gate
+    delivers, and DETERMINISM (the same doc scores the same z_micro
+    forever — the weights are literals, the arithmetic is BIGINT)."""
+    from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET
+    from x17a5_spark.queries.textops import t34_model_quality_filter
+
+    rows = t34_model_quality_filter(spark, "/root/testdata/sf0.001").collect()
+    orig = [r for r in rows if r["doc_id"] < AUG_TWIN_OFFSET]
+    spam = [
+        r
+        for r in rows
+        if 2 * AUG_TWIN_OFFSET <= r["doc_id"] < 3 * AUG_TWIN_OFFSET
+    ]
+    gib = [r for r in rows if r["doc_id"] >= 3 * AUG_TWIN_OFFSET]
+    assert orig and spam and gib
+    keep_rate = lambda rs: sum(r["keep"] for r in rs) / len(rs)  # noqa: E731
+    assert keep_rate(orig) >= 0.98, keep_rate(orig)
+    assert keep_rate(spam) <= 0.02, keep_rate(spam)
+    # one sf0.001 gibberish twin (doc 300000+k) draws 8 md5 tokens that
+    # all land in positive-weight buckets — the hashed-TF term can
+    # outvote the dense features at n=8. Deterministic (same doc, same
+    # z forever); the rate pin is the product claim.
+    assert keep_rate(gib) <= 0.01, keep_rate(gib)
+    # spam twins are 60 copies of one token; gibberish is 8 md5 words
+    assert all(r["n_tokens"] == 60 for r in spam)
+    assert all(r["n_tokens"] == 8 for r in gib)
+    # keep is exactly the sign bit of the exact integer decision value
+    assert all(r["keep"] == int(r["z_micro"] >= 0) for r in rows)
+
+
+def test_t34_plan_is_exchange_free(spark):
+    """The model application must stay a scan -> codegen scalar chain:
+    ~70 interpolated literals, no broadcast, no shuffle. A model that
+    costs an exchange per scored document would not survive 100 TB."""
+    from x17a5_spark.queries.textops import t34_model_quality_filter
+
+    plan = (
+        t34_model_quality_filter(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_t32_repetition_filter_flags_planted_and_short_docs_survive(spark, tmp_path):
     """t32's planted layer appends 'click here now ' x8 to every 7th
     doc: 8 occurrences of a 15-char 2-gram tail on a ~300-char doc

@@ -280,6 +280,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # locally hash-verified: a18 (oracle-side CAST only) and s4 (plan-only
 # explode fix, same rows).
 #
+# Round-13 rotation (never-ride-a-stale-row): IN — t34_model_quality_filter
+# (NEW: the frozen model-based quality gate — trained LogReg quantized
+# to integer micro-weights, planted spam/gibberish twins must score
+# negative; takes t23_quality_sampling's slot). OUT —
+# t23_quality_sampling: hash-green in CORRECTNESS_r12 and unchanged
+# this round. d14_containment_join's verify-stage changes (round-13
+# GC-tail work) ride its STANDING first-50 slot.
+#
 # Round-12 rotation (never-ride-a-stale-row): IN — t33_unicode_normalize
 # (NEW: the Unicode-fold/encoding-repair gate; planted fullwidth/
 # mojibake/NFD twins must collapse onto their originals' FOLDED
@@ -326,7 +334,7 @@ WINDOW_ORDER = [
     "t30_decontamination",
     "t31_pii_scrub",
     "t32_repetition_filter",
-    "t23_quality_sampling",
+    "t34_model_quality_filter",
     # --- corpus-prep + packing layer ---
     "k9_concat_chunking",
     "k10_curriculum_order",

@@ -1813,6 +1813,95 @@ FROM f33
 
 
 
+# ---------------------------------------------------------------------------
+# T34 — model-based document quality filter (VERDICT r12 #5): the
+# FineWeb/DCLM-style TRAINED gate at document grain. The X5 family
+# (ml/classifier.py, the reference's run_build_database.py:298-336
+# HashingVectorizer->LogReg) trains and applies distributively but is
+# test-gated only; t34 closes the oracle gap by freezing a trained
+# LogisticRegression into integer micro-weights whose decision value
+# is exact BIGINT arithmetic in BOTH engines (functions/
+# quality_model.py — featurizer, quantization, provenance).
+#
+# Fixture: every document gets two planted junk twins — token spam
+# (first token repeated 60x, +2*offset ids) and hex gibberish (8 md5
+# words, +3*offset ids), the degenerate classes a production quality
+# model exists to kill. The trained model separates them from the
+# originals at 99.9%; the oracle hash-checks every z and keep bit.
+#
+# Scale: scan -> codegen HOF chain -> comparison. Zero exchange, no
+# model file, no broadcast — the model IS ~70 interpolated literals.
+# ---------------------------------------------------------------------------
+
+
+def t34_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.functions.quality_model import quality_z_scaled
+    from x17a5_spark.queries.dedup import guarded_twin_id
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True).select(
+        "doc_id", "text"
+    )
+    toks = tokens(F.col("text"))
+    spam = docs.filter(F.size(toks) >= 1).select(
+        guarded_twin_id(F.col("doc_id"), 2, "t34").alias("doc_id"),
+        F.trim(
+            F.repeat(F.concat(F.element_at(toks, 1), F.lit(" ")), 60)
+        ).alias("text"),
+    )
+    gib = docs.select(
+        guarded_twin_id(F.col("doc_id"), 3, "t34").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.md5(F.concat(F.col("text"), F.lit(s))) for s in "abcdefgh"],
+        ).alias("text"),
+    )
+    aug = docs.unionByName(spam).unionByName(gib)
+    t = tokens(F.col("text"))
+    scored = aug.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        quality_z_scaled(t).alias("z_micro"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "z_micro",
+        (F.col("z_micro") >= 0).cast("int").alias("keep"),
+    )
+
+
+def _t34_sql() -> str:
+    from x17a5_spark.functions.quality_model import quality_z_scaled_sql
+    from x17a5_spark.queries.dedup import AUG_TWIN_OFFSET
+
+    toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+    gib = ", ".join(f"md5(text || '{s}')" for s in "abcdefgh")
+    return f"""
+WITH base34 AS (
+  SELECT doc_id, text, {toks} AS toks FROM documents
+),
+aug34 AS (
+  SELECT doc_id, toks FROM base34
+  UNION ALL
+  -- token spam: first token repeated 60x (built as a list directly;
+  -- identical to tokenizing the engine's repeated string — md5 words
+  -- and corpus tokens carry no whitespace)
+  SELECT doc_id + {2 * AUG_TWIN_OFFSET},
+         list_transform(range(1, 61), i -> toks[1])
+  FROM base34 WHERE len(toks) >= 1
+  UNION ALL
+  SELECT doc_id + {3 * AUG_TWIN_OFFSET}, [{gib}] FROM base34
+),
+scored34 AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CAST({quality_z_scaled_sql('toks')} AS BIGINT) AS z_micro
+  FROM aug34
+)
+SELECT doc_id, n_tokens, z_micro, CAST(z_micro >= 0 AS INT) AS keep
+FROM scored34
+"""
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_quality_score": t2_quality_score,
@@ -1834,6 +1923,7 @@ QUERIES = {
     "t31_pii_scrub": t31_pii_scrub,
     "t32_repetition_filter": t32_repetition_filter,
     "t33_unicode_normalize": t33_unicode_normalize,
+    "t34_model_quality_filter": t34_model_quality_filter,
 }
 
 ORACLES = {
@@ -1857,4 +1947,5 @@ ORACLES = {
     "t31_pii_scrub": T31_SQL,
     "t32_repetition_filter": T32_SQL,
     "t33_unicode_normalize": _t33_sql(),
+    "t34_model_quality_filter": _t34_sql(),
 }
