@@ -283,10 +283,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-13 rotation (never-ride-a-stale-row): IN — t34_model_quality_filter
 # (NEW: the frozen model-based quality gate — trained LogReg quantized
 # to integer micro-weights, planted spam/gibberish twins must score
-# negative; takes t23_quality_sampling's slot). OUT —
-# t23_quality_sampling: hash-green in CORRECTNESS_r12 and unchanged
-# this round. d14_containment_join's verify-stage changes (round-13
-# GC-tail work) ride its STANDING first-50 slot.
+# negative; takes t23_quality_sampling's slot) and m6_phash_dedup (its
+# verify moved from per-bit explode joins to packed band longs +
+# bit_count(xor) — result-identical, re-verified hash-exact at sf0.01,
+# but a changed plan needs a fresh driver row; takes
+# v3_compaction_plan's slot). OUT — t23_quality_sampling,
+# v3_compaction_plan: both hash-green in CORRECTNESS_r12 and unchanged
+# this round. d14_containment_join's verify-stage rewrite (round-13
+# variance work: scalar-side array build) rides its STANDING first-50
+# slot.
 #
 # Round-12 rotation (never-ride-a-stale-row): IN — t33_unicode_normalize
 # (NEW: the Unicode-fold/encoding-repair gate; planted fullwidth/
@@ -353,7 +358,7 @@ WINDOW_ORDER = [
     "g1_pagerank",
     "g2_triangle_count",
     "v2_profile_columns",
-    "v3_compaction_plan",
+    "m6_phash_dedup",
     "j16_fuzzy_name_join",
     "j17_bucketed_join",
     # --- round-6 silver-chain rebuild: fresh rows for changed plans ---

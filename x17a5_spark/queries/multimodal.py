@@ -419,16 +419,40 @@ def m6_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     hashed = media.mapInPandas(hash_bits, "media_id bigint, bits array<int>")
-    bits = hashed.select(
-        "media_id", F.posexplode("bits").alias("i", "bit")
+    # Round 13 (the m6 super-linearity, measured under the fresh-JVM
+    # protocol): the old shape posexploded |imgs|x64 bit rows, grouped
+    # them back into band values (a 41M-row exchange at the 100x lake)
+    # and verified Hamming through a |pairs|x64-row join — and the
+    # 16-bit band space SATURATES as the corpus grows (~N^2/2^16
+    # random band collisions: ~0.5M pairs at 20x -> ~12M at 100x), so
+    # the verify moved ~756M rows at 100x (fresh-JVM median 193 s).
+    # Identical results from packed arithmetic: the four 16-bit band
+    # values fall out of the bits array SCALAR-side (no explode, no
+    # exchange), candidates self-join on (band, v) exactly as before,
+    # and Hamming = sum of bit_count(xor) over the four packed longs —
+    # the |pairs|x64 join collapses to two slim joins + 4 xors per
+    # pair. Band saturation itself is inherent to a 64-bit fingerprint
+    # at ham<=3 (pigeonhole needs >=4 bands; 16-bit bands are forced):
+    # beyond ~10M images the fix is a wider fingerprint (16x16 grid ->
+    # 256-bit, 64-bit bands), not different banding of 64 bits.
+    def band_val(j: int):
+        return sum(
+            (
+                F.element_at("bits", 16 * j + i + 1).cast("long")
+                * F.lit(1 << i).cast("long")
+                for i in range(16)
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    packed = hashed.select(
+        "media_id", *[band_val(j).alias(f"v{j}") for j in range(4)]
     )
-    bands = bits.groupBy(
-        "media_id", (F.col("i") / 16).cast("int").alias("band")
-    ).agg(
-        F.sum(
-            F.col("bit")
-            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 16 AS INT))")
-        ).cast("long").alias("v")
+    bands = packed.select(
+        "media_id",
+        F.posexplode(F.array(*[F.col(f"v{j}") for j in range(4)])).alias(
+            "band", "v"
+        ),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -445,16 +469,29 @@ def m6_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ba = bits.select(F.col("media_id").alias("id_a"), "i", F.col("bit").alias("bit_a"))
-    bb = bits.select(F.col("media_id").alias("id_b"), "i", F.col("bit").alias("bit_b"))
+    pa = packed.select(
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"v{j}").alias(f"a{j}") for j in range(4)],
+    )
+    pb = packed.select(
+        F.col("media_id").alias("id_b"),
+        *[F.col(f"v{j}").alias(f"b{j}") for j in range(4)],
+    )
     ham = (
-        cand.join(ba, "id_a")
-        .join(bb, ["id_b", "i"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.sum((F.col("bit_a") != F.col("bit_b")).cast("int"))
-            .cast("long")
-            .alias("hamming")
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            sum(
+                (
+                    F.bit_count(
+                        F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}"))
+                    ).cast("long")
+                    for j in range(4)
+                ),
+                F.lit(0).cast("long"),
+            ).alias("hamming"),
         )
     )
     return ham.filter(F.col("hamming") <= M6_HAM_T)
