@@ -629,20 +629,34 @@ def a27_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(to_dec(F.col(a) * F.col(b))).cast("double").alias(f"sp_{a}_{b}")
         )
     stats = li.agg(*aggs)
-    pairs = None
+    # r13 optimization round: the "ONE scan" promise above was broken by
+    # the plan, not the algebra — building each output row as
+    # ``stats.select(...)`` and unioning referenced the un-persisted
+    # aggregate SIX times, so Catalyst replicated the whole
+    # scan+fanout+aggregate subtree per pair (before-plan: 6 parquet
+    # scans, 12 Exchanges). The pair rows are pure column math on the
+    # single stats row, so they fold into ONE 6-element struct array
+    # exploded in place: one scan, one fan-out exchange, one aggregate,
+    # zero unions (guide §2.4 — remove shuffles outright; §7.2 —
+    # duplicated subtrees). Row order (combinations order) is exactly
+    # the union order.
+    entries = []
     for a, b in combinations(A27_COLS, 2):
         num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
         den = F.sqrt(
             (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
             * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
         )
-        row = stats.select(
-            F.lit(a).alias("col_a"),
-            F.lit(b).alias("col_b"),
-            F.round(num / den, 6).alias("pearson_r"),
+        entries.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(num / den, 6).alias("pearson_r"),
+            )
         )
-        pairs = row if pairs is None else pairs.unionByName(row)
-    return pairs
+    return stats.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.col_a", "e.col_b", "e.pearson_r"
+    )
 
 
 def _a27_sql() -> str:

@@ -1019,7 +1019,15 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM dots WHERE cos >= {D13_TAU}
 
 
 def e7_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = d3_minhash_lsh(spark, sf_dir)
+    # r13 optimization round: the audit reads the pair table THREE times
+    # (both legs of the involved-docs union, then the per-pair rollup),
+    # and without a persist each reference re-runs d3's whole confirm
+    # chain — the before-plan is 1,888 lines with the candidate/confirm
+    # subtree replicated per consumer. The pair table is dup-rate-sized
+    # (hundreds of rows at the gate lakes, |dups| at any scale), so
+    # persisting it is the guide §5 case: reused AND far cheaper than
+    # recomputation. Registry-scoped like every stage cache.
+    pairs = stage_persist(d3_minhash_lsh(spark, sf_dir))
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     # copies (doc_id + AUG_TWIN_OFFSET) belong to their base doc's source
     aug_src = src.unionByName(

@@ -307,16 +307,27 @@ G2_MIN_W = 2
 
 def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # r13 optimization round (guide §2.4): the co-occurrence pairs used
+    # to come from a lineitem SELF-JOIN on l_orderkey — two full scans,
+    # two exchanges and a sort-merge join, all to pair rows WITHIN one
+    # order. Orders are bounded (≤7 lineitems in TPC-H shaped data), so
+    # one groupBy(l_orderkey) + a higher-order pair expansion computes
+    # the identical multiset of (u, v) value pairs from a single scan
+    # and a single exchange. Value-pair semantics match the join
+    # exactly: for every element x of the order's part list, every
+    # OTHER element y with y > x yields one (x, y) — equal parts pair
+    # never (strict <), duplicate part occurrences multiply exactly as
+    # the row join did.
+    pair_expr = (
+        "flatten(transform(ps, x -> transform(filter(ps, y -> y > x), "
+        "y -> struct(x AS u, y AS v))))"
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("ps"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= G2_MIN_W)
         .select("u", "v")
@@ -336,16 +347,31 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = ranked.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    # r13: persist the oriented edge list — the wedge step used to
+    # self-join `oriented`, replicating the two degree joins per side;
+    # and generate wedges with the same single-exchange groupBy + pair
+    # expansion as the edge build (per-src out-neighbor list, all
+    # dst1 < dst2 value pairs). Degree orientation bounds out-degree by
+    # O(sqrt(m)), so the per-src list is the standard triangle-count
+    # bound — and the d² pair work per src lands on one task in the
+    # join shape too (hash partitioned by src), so this changes
+    # exchange count, not skew.
+    oriented = stage_persist(
+        ranked.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
     )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (F.col("e1.dst") < F.col("e2.dst")),
-    ).select(F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v"))
+    wedge_expr = (
+        "flatten(transform(ps, x -> transform(filter(ps, y -> y > x), "
+        "y -> struct(x AS u, y AS v))))"
+    )
+    wedges = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("ps"))
+        .select(F.explode(F.expr(wedge_expr)).alias("p"))
+        .select("p.u", "p.v")
+    )
     triangles = wedges.join(edges, ["u", "v"], "left_semi")
     # n_edges derived inside the plan (broadcast of a 1-row aggregate)
     # so building the query stays lazy — no eager action at construction.

@@ -445,8 +445,25 @@ def m6_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         )
 
-    packed = hashed.select(
-        "media_id", *[band_val(j).alias(f"v{j}") for j in range(4)]
+    # r13 optimization round: `packed` feeds FOUR plan references (both
+    # sides of the band self-join, then pa/pb of the Hamming verify),
+    # and with no exchange between the mapInPandas chain and those
+    # consumers Spark duplicates the whole Python subtree per
+    # reference — the before-plan shows 16 MapInPandas nodes (8 copies
+    # of the encode+decode chain). Persist the 40-byte-per-image packed
+    # table so the PNG round-trip runs ONCE per execution (guide §5:
+    # reuse justifies the cache; §2.3: every downstream join now moves
+    # keys + four longs, never bytes). Registry-scoped like every
+    # other stage cache.
+    from pyspark import StorageLevel
+
+    from x17a5_spark.cache import stage_persist
+
+    packed = stage_persist(
+        hashed.select(
+            "media_id", *[band_val(j).alias(f"v{j}") for j in range(4)]
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     bands = packed.select(
         "media_id",
