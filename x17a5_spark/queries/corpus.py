@@ -463,8 +463,23 @@ def e5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # r13 optimization round (guide §5): bfp feeds the exact-dup semi
+    # join, the novel anti join AND (through batch) the final verdict
+    # attach — un-persisted, the twin-construction token slicing and
+    # the Unicode-fold fingerprint re-ran per reference. Persist the
+    # batch-with-fingerprint table once (batch-sized, the incremental
+    # ingest's own working set).
+    from pyspark import StorageLevel as _SL
+
+    from x17a5_spark.cache import stage_persist as _sp
+
     efp = existing.select(normalized_fingerprint(F.col("text")).alias("fp")).distinct()
-    bfp = batch.select("doc_id", "text", normalized_fingerprint(F.col("text")).alias("fp"))
+    bfp = _sp(
+        batch.select(
+            "doc_id", "text", normalized_fingerprint(F.col("text")).alias("fp")
+        ),
+        _SL.MEMORY_AND_DISK,
+    )
     exact_dup = bfp.join(efp, "fp", "left_semi").select("doc_id")
     novel = bfp.join(efp, "fp", "left_anti")
 
@@ -520,7 +535,9 @@ def e5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_dup.select("doc_id", F.lit("exact_dup").alias("verdict"))
         .unionByName(near_dup.select("doc_id", F.lit("near_dup").alias("verdict")))
     )
-    return batch.join(verdicts, "doc_id", "left").select(
+    # read the id list off the persisted bfp rather than re-deriving
+    # the batch union a fourth time (same doc_id set by construction)
+    return bfp.select("doc_id").join(verdicts, "doc_id", "left").select(
         "doc_id", F.coalesce("verdict", F.lit("ingested")).alias("verdict")
     )
 
@@ -756,19 +773,27 @@ def e6_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eval_grams = grams.filter(F.col("is_eval")).select("gram").distinct()
     train_grams = grams.filter(~F.col("is_eval"))
+    # r13 optimization round (guide §2.3 — aggregate before you
+    # shuffle; §7.2 — duplicated subtrees): tg and cg used to be TWO
+    # aggregations over the exploded train-gram stream (plus a join to
+    # recombine), so the corpus-sized shingle explode ran twice per
+    # execution. One left join against the broadcast eval set marks
+    # each gram occurrence, and a single groupBy folds both counts —
+    # cg = count of non-null markers reproduces the inner-join
+    # multiplicity exactly (eval_grams is distinct), and a doc with no
+    # eval hit gets cg=0 → cfrac 0.0, identical to the old
+    # null-coalesce path.
     frac = (
-        train_grams.groupBy("doc_id")
-        .agg(F.count("*").alias("tg"))
-        .join(
-            train_grams.join(F.broadcast(eval_grams), "gram")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("cg")),
-            "doc_id",
+        train_grams.join(
+            F.broadcast(eval_grams.withColumn("_hit", F.lit(1))),
+            "gram",
             "left",
         )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tg"), F.count("_hit").alias("cg"))
         .select(
             "doc_id",
-            (F.coalesce("cg", F.lit(0)) / F.col("tg")).alias("cfrac"),
+            (F.col("cg") / F.col("tg")).alias("cfrac"),
         )
     )
     s4 = (

@@ -1148,6 +1148,11 @@ def s8_trained_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
     # select vec ALONGSIDE the explode: pure map-side fan-out, no
     # self-join / exchange to re-attach the vector
+    # r13 optimization round: persisting subs / sub_long was A/B-tested
+    # and REJECTED (plain 1.21 s, both persisted 1.52 s, subs-only
+    # 1.42 s isolated median-of-3) — the 11 re-derivations of the
+    # subvector explode are codegen-cheap at any per-row cost, while
+    # the columnar cache round-trip of array<double> columns is not.
     subs = vecs.select(
         "vec_id",
         "vec",
