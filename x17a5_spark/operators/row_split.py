@@ -119,8 +119,18 @@ def split_conjoined_rows(
         > 1
     ) & F.col(raw_col).isNotNull()
     wp = Window.partitionBy(*group_cols)
-    flagged = df.withColumn(
-        "_has_fused", F.max(is_fused.cast("int")).over(wp)
+    from x17a5_spark.cache import stage_persist
+
+    # persist the classification point: both routing branches (clean
+    # passthrough + fused kernel) reference it, and without the persist
+    # each branch replays the ENTIRE upstream subtree — in e1's silver
+    # chain that is the bronze scan plus the whole merge3 window chain,
+    # twice per run (guide §5 "reused and recomputing is expensive";
+    # plans/r13/e1_before.txt shows the duplicated subtree). Corpus
+    # sized, MEMORY_AND_DISK: spills, never OOMs; released by the
+    # registry scope / pipeline stage_scope like every stage table.
+    flagged = stage_persist(
+        df.withColumn("_has_fused", F.max(is_fused.cast("int")).over(wp))
     )
     clean = (
         flagged.filter(F.col("_has_fused") == 0)

@@ -13,8 +13,11 @@ broadcast join, the pivot is over the bounded label taxonomy (≤25
 columns — never the open line-item vocabulary, SURVEY §4), and the
 reconstructions are column arithmetic.
 
-Shuffle plan: ONE wide exchange. The builders hash-partition the long
-table by (cik, fiscal_year) up front; HashPartitioning on a key subset
+Shuffle plan: ONE wide exchange. ``pivot_by_label`` hash-partitions the
+labeled long table by (cik, fiscal_year) right after the broadcast
+label attach (so the exchange carries the bounded label, not the open
+lineitem string, and unlabeled rows are already dropped — r13);
+HashPartitioning on a key subset
 satisfies the pivot-agg's clustering on the full filing key AND the
 dedup window's clustering on (cik, fiscal_year), so Catalyst plans both
 downstream of the same exchange (measured: 5 -> 3 exchanges, ~2x at
@@ -62,10 +65,21 @@ def pivot_by_label(
     Null preservation matches pandas ``sum`` over an all-null selection:
     Spark's sum is already null when a (filing, label) group has no
     non-null values, and absent groups surface as null pivot cells.
+
+    The broadcast label attach runs BEFORE the builders' filing-key
+    repartition (the exchange sits between this join and the pivot
+    agg): the inner join drops unlabeled line items and the projection
+    swaps the open lineitem string for the bounded label, so the one
+    wide exchange carries fewer, narrower rows (guide §2.3 — project
+    and filter before the exchange). Join-then-repartition commutes
+    with repartition-then-join, so the pivot is value-identical.
     """
-    labeled = long_df.join(F.broadcast(label_map), "lineitem", "inner")
+    labeled = long_df.join(F.broadcast(label_map), "lineitem", "inner").select(
+        *KEY_COLS, "label", "value"
+    )
     return (
-        labeled.groupBy(*KEY_COLS)
+        labeled.repartition("cik", "fiscal_year")
+        .groupBy(*KEY_COLS)
         .pivot("label", labels)
         .agg(F.sum(F.col("value").cast("decimal(27,6)")).cast("double"))
     )
@@ -109,7 +123,6 @@ def build_structured_assets(
 ) -> DataFrame:
     """Asset-side structured table with identity validation
     (DatabaseStructured.py:222-235)."""
-    long_df = long_df.repartition("cik", "fiscal_year")
     piv = _dedup_keep_first(pivot_by_label(long_df, label_map, labels))
     recon = _row_sum_except(labels, [TOTAL_ASSETS]).alias("reconstructed_total_assets")
     out = piv.withColumn("reconstructed_total_assets", recon)
@@ -128,7 +141,6 @@ def build_structured_liabilities(
     (base, less total liabilities, less total equity, less both), best
     (minimum) relative error decides the match class
     (DatabaseStructured.py:241-264)."""
-    long_df = long_df.repartition("cik", "fiscal_year")
     piv = _dedup_keep_first(pivot_by_label(long_df, label_map, labels))
     base = _row_sum_except(labels, [TOTAL_LE])
     tl = F.coalesce(F.col(f"`{TOTAL_L}`"), F.lit(0.0)) if TOTAL_L in labels else F.lit(0.0)

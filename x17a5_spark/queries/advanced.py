@@ -333,6 +333,11 @@ def d8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
+    # NOT persisted (r13 A/B): caching this array<double> table was
+    # measured 2.02 -> 2.14 s — the 12 re-scans the plan holds are
+    # cheap cast+norm chains and columnar array caching costs more
+    # than it saves (the s8 subvector finding, guide §5 "only when
+    # recomputing is more expensive").
     vecs = aug.select(
         "vec_id", _as_double(F.col("embedding")).alias("vec")
     ).withColumn("norm", _norm(F.col("vec")))
@@ -640,7 +645,15 @@ def t24_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.2-1.39 s steady; scanning the cache costs what the re-explode
     # costs), unlike the pruned/bounded stage tables that do persist.
     uni = docs.select("doc_id", F.explode(toks).alias("tok"))
-    c1 = uni.groupBy("tok").agg(F.count("*").alias("c1"))
+    from x17a5_spark.cache import stage_persist
+
+    # persist the VOCAB-sized unigram counts (not the corpus-sized
+    # streams — persisting `bi` was measured a loss, see above): c1
+    # feeds both the lp join and the vocabulary count, and without the
+    # persist the whole scan→explode→aggregate subtree ran twice
+    # (plans/r13/t24_before.txt: four corpus scans, two of them the c1
+    # subtree). Guide §5: bounded, reused, expensive to recompute.
+    c1 = stage_persist(uni.groupBy("tok").agg(F.count("*").alias("c1")))
     v = c1.agg(F.count("*").alias("v")).withColumn("k", F.lit(1))
     c2 = bi.groupBy("bg").agg(F.count("*").alias("c2"))
     lp_tab = (

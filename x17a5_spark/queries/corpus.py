@@ -136,7 +136,21 @@ QUALITY_GATE = 0.5
 
 def e4_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fanout=True)
-    toks_l = tokens(F.lower(F.col("text")))
+    # stage both token arrays ONCE per row: the lowered array feeds four
+    # per-language hit counts and the raw array feeds n_tokens + the
+    # stopword ratio — inlined, each consumer re-ran the split+filter
+    # chain (CSE does not fold across higher-order-function lambdas).
+    # A multi-referenced non-cheap alias is exempt from CollapseProject,
+    # so the arrays genuinely materialize per row (guide §1.2 per-task
+    # work; the staged-projection twin discipline of F1).
+    docs = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        tokens(F.lower(F.col("text"))).alias("_toks_l"),
+        tokens(F.col("text")).alias("_toks"),
+    )
+    toks_l = F.col("_toks_l")
 
     def hits(words: list[str]):
         wordlist = F.array(*[F.lit(w) for w in words])
@@ -148,9 +162,9 @@ def e4_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in ("en", "de", "fr", "es"):
         pred = pred.when(hit_cols[lang] == best, F.lit(lang))
 
-    n_tok = token_count("text")
+    n_tok = F.size(F.col("_toks"))
     stop_hits_en = F.size(
-        F.filter(tokens(F.col("text")), lambda t: F.lower(t).isin(*STOPWORDS["en"]))
+        F.filter(F.col("_toks"), lambda t: F.lower(t).isin(*STOPWORDS["en"]))
     )
     stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(stop_hits_en / n_tok)
     quality = (

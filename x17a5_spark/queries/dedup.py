@@ -139,9 +139,18 @@ def guarded_twin_id(id_col, mult: int, qname: str):
     )
 
 
-def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ perturbed near-duplicate copies (deterministic)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def _augmented_docs(
+    spark: SparkSession, sf_dir: str, *, fanout: bool = False
+) -> DataFrame:
+    """documents ∪ perturbed near-duplicate copies (deterministic).
+
+    ``fanout=True`` opts the underlying documents scan into the
+    row-group fan-out repartition (tables._scan_fanout) — only for
+    consumers whose next step is map-heavy shingle/tokenize work
+    (A/B-measured per caller, same discipline as load_table)."""
+    docs = load_table(spark, sf_dir, "documents", fanout=fanout).select(
+        "doc_id", "text"
+    )
     toks = tokens(F.col("text"))
     # floor() before the int cast: Spark's double->int cast truncates but
     # DuckDB's rounds, so the truncation must be explicit on both sides.

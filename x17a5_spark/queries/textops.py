@@ -545,11 +545,21 @@ def t19_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
+    from x17a5_spark.cache import stage_persist
+
+    # ONE corpus explode serves both outputs: HLL registers (max rank
+    # per register) and the exact count are both functions of the
+    # DISTINCT (source, token) set — duplicate occurrences cannot move
+    # a max or a countDistinct — so dedup once (map-side combined) and
+    # persist the vocab-sized result. Before: two full explode subtrees,
+    # one per consumer, plus countDistinct's expand (guide §2.3
+    # aggregate before you shuffle; the t24 c1 discipline).
+    dtk = stage_persist(toks.distinct())
     h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
     w = F.shiftright(h, T19_P)
     rank = F.lit(53) - F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
     regs = (
-        toks.select("source", (h % T19_M).alias("reg"), rank.alias("rank"))
+        dtk.select("source", (h % T19_M).alias("reg"), rank.alias("rank"))
         .groupBy("source", "reg")
         .agg(F.max("rank").alias("m"))
     )
@@ -565,8 +575,8 @@ def t19_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw <= F.lit(2.5 * T19_M)) & (F.col("v_zero") > 0),
         F.lit(float(T19_M)) * F.log(F.lit(float(T19_M)) / F.col("v_zero").cast("double")),
     ).otherwise(raw)
-    exact = toks.groupBy("source").agg(
-        F.countDistinct("token").alias("exact_distinct")
+    exact = dtk.groupBy("source").agg(
+        F.count("*").alias("exact_distinct")
     )
     return exact.join(per_src, "source").select(
         "source",
@@ -950,7 +960,13 @@ E8_SEQ_LEN = 512
 
 def e8_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fanout=True)
-    occ = (
+    from x17a5_spark.cache import stage_persist
+
+    # persist the (doc, word) occurrence table: it feeds the vocab
+    # (BPE merge chain) AND the final piece-count join — un-persisted
+    # the corpus explode+aggregate subtree ran twice (the t24/t19
+    # fold discipline, guide §5).
+    occ = stage_persist(
         docs.select(
             "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
         )
@@ -1271,7 +1287,12 @@ def t30_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planted 90%-prefix twin, scrubbed ones stay near zero — except
     # any with a NATURAL near-copy elsewhere in the corpus, which is
     # precisely what the check exists to catch.
-    corpus = _augmented_docs(spark, sf_dir).filter(
+    # fanout: the documents parquet is a single file with ~2 row groups
+    # at bench SF, so the corpus-side shingle explode ran on 2 of 32
+    # cores; the round-robin fan-out costs a tiny (doc_id, text) shuffle
+    # and buys 32-way parallel explode+hash (A/B: 2.5x on t30 — guide
+    # §2.5 "input skew: repartition immediately after the read").
+    corpus = _augmented_docs(spark, sf_dir, fanout=True).filter(
         ~(
             (F.col("doc_id") % T30_EVAL_MOD == 0)
             & (F.col("doc_id") < AUG_TWIN_OFFSET)
