@@ -788,9 +788,16 @@ def v2_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     stats = orders.agg(*aggs)
-    rows = None
-    for c in V2_COLS:
-        row = stats.select(
+    # r13: building each per-column row as ``stats.select(...)`` and
+    # unioning referenced the un-persisted aggregate THREE times, so
+    # Catalyst replicated the whole scan+fanout+aggregate subtree per
+    # column (before-plan: 3 parquet scans + 3 countDistinct expands).
+    # The rows are pure column math on the single stats row — fold them
+    # into ONE struct array exploded in place (the a27 discipline,
+    # guide §7.2 duplicated subtrees). Row order (V2_COLS order) is
+    # exactly the union order.
+    entries = [
+        F.struct(
             F.lit(c).alias("column"),
             F.col("n_rows"),
             F.col(f"nulls_{c}").alias("n_nulls"),
@@ -799,8 +806,17 @@ def v2_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"max_{c}").alias("max_value"),
             F.round(F.col(f"mean_{c}"), 6).alias("mean_value"),
         )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+        for c in V2_COLS
+    ]
+    return stats.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.column",
+        "e.n_rows",
+        "e.n_nulls",
+        "e.n_distinct",
+        "e.min_value",
+        "e.max_value",
+        "e.mean_value",
+    )
 
 
 def _v2_sql() -> str:

@@ -580,8 +580,6 @@ M7_FRAME = 64
 
 
 def m7_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     import pandas as pd
 
     from x17a5_spark.sources.multimodal import (
@@ -592,17 +590,22 @@ def m7_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def enc(batches):
+        import numpy as np
+
+        # r13 (guide §4.2): the per-sample synth ran as a 256-element
+        # Python list comprehension per doc (~6M interpreted ops per
+        # 25k-doc batch). One numpy expression per doc generates the
+        # identical int sequence; the WAV container encode (the
+        # operator under test) is unchanged.
+        base = np.arange(M7_N_SAMPLES, dtype=np.int64) * 13
         for pdf in batches:
             blobs = []
             for doc in pdf["doc_id"]:
                 if doc % 13 == 0:
                     blobs.append(b"junk")
                     continue
-                samples = [
-                    ((doc * 7 + i * 13) % 201) - 100
-                    for i in range(M7_N_SAMPLES)
-                ]
-                blobs.append(encode_wav_pcm16(samples))
+                samples = ((doc * 7 + base) % 201) - 100
+                blobs.append(encode_wav_pcm16(samples.tolist()))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "media": blobs})
 
     media = docs.mapInPandas(enc, "media_id bigint, media binary")
@@ -610,6 +613,14 @@ def m7_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     def frames(batches):
         import struct as _struct
 
+        import numpy as np
+
+        # r13 (guide §4.2): the frame fold ran as nested Python loops
+        # (sum of squares over 64 samples per frame). The WAV decode
+        # (the operator under test) is unchanged; the per-frame math is
+        # one reshaped numpy pass per doc. Arithmetic is identical:
+        # int64-exact sum of squares, /64.0, sqrt, round-half-even 6 —
+        # value-equal to the scalar path (oracle-checked).
         for pdf in batches:
             ids, idxs, rms, peak = [], [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
@@ -617,14 +628,22 @@ def m7_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _rate, samples = decode_wav_samples(bytes(blob))
                 except (ValueError, NotImplementedError, _struct.error):
                     continue
-                for f in range(len(samples) // M7_FRAME):
-                    fr = samples[f * M7_FRAME : (f + 1) * M7_FRAME]
-                    ids.append(mid)
-                    idxs.append(f)
-                    rms.append(
-                        round(math.sqrt(sum(v * v for v in fr) / M7_FRAME), 6)
-                    )
-                    peak.append(max(abs(v) for v in fr))
+                n_fr = len(samples) // M7_FRAME
+                if n_fr == 0:
+                    continue
+                a = np.asarray(
+                    samples[: n_fr * M7_FRAME], dtype=np.int64
+                ).reshape(n_fr, M7_FRAME)
+                ids.extend([mid] * n_fr)
+                idxs.extend(range(n_fr))
+                # Python round (correctly-rounded), not np.round (scale-
+                # multiply, can differ in the last ulp): bit-exact with
+                # the old scalar path. Only n_frames values per doc.
+                rms.extend(
+                    round(v, 6)
+                    for v in np.sqrt((a * a).sum(axis=1) / M7_FRAME).tolist()
+                )
+                peak.extend(np.abs(a).max(axis=1).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": ids,
