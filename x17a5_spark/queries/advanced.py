@@ -446,7 +446,21 @@ def t13_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
     )
-    uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    # ONE corpus explode (r13, guide §2.3/§5): the token stream used to
+    # be re-derived twice — once for the unigram LM counts, once for the
+    # per-doc scoring join — so every document paid the regex split +
+    # explode twice. Reduce to (doc_id, tok) occurrence counts first
+    # (map-side combined) and persist that vocab×doc table; the LM
+    # counts are a re-aggregation of it and the scorer weights each
+    # distinct token by its count. sum(c_dt · dec(lp)) == sum over
+    # occurrences of dec(lp) exactly (integer × exact decimal), so the
+    # result is bit-identical to the per-occurrence fold.
+    from x17a5_spark.cache import stage_persist
+
+    cnt = stage_persist(
+        tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c_dt"))
+    )
+    uni = cnt.groupBy("tok").agg(F.sum("c_dt").alias("c"))
     totals = uni.agg(
         F.sum("c").alias("n"), F.count("*").alias("v")
     ).withColumn("k", F.lit(1))
@@ -460,10 +474,10 @@ def t13_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scored = tok.join(lp_tab, "tok")
+    scored = cnt.join(lp_tab, "tok")
     agg = scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum(to_dec(-F.col("lp"))).cast("double").alias("nll"),
+        F.sum("c_dt").alias("n_tokens"),
+        F.sum(F.col("c_dt") * to_dec(-F.col("lp"))).cast("double").alias("nll"),
     )
     avg_nll = F.round(F.col("nll") / F.col("n_tokens"), 6)
     return agg.select(

@@ -126,11 +126,21 @@ def _arrival_survivors(events: DataFrame) -> DataFrame:
     drop (shared by st4 and the st6 stream-stream join)."""
     from pyspark.sql import Window
 
+    from x17a5_spark.cache import stage_persist
+
     h8 = F.conv(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
     arrival_sec = F.unix_timestamp("ts") + h8 % 1200
-    b = events.withColumn("batch_id", (arrival_sec - arrival_sec % 600) / 600)
+    # r13 (guide §5): the batch-tagged event table feeds BOTH the
+    # watermark aggregate and the survivors join — un-persisted, the
+    # events scan plus the md5 arrival hash ran twice per execution.
+    # Persisting it is the batch ledger a real micro-batch pipeline
+    # materializes anyway; MEMORY_AND_DISK via stage_persist, released
+    # by the registry scope between queries.
+    b = stage_persist(
+        events.withColumn("batch_id", (arrival_sec - arrival_sec % 600) / 600)
+    )
     bmax = b.groupBy("batch_id").agg(F.max("ts").alias("batch_max"))
     wm = bmax.select(
         "batch_id",

@@ -806,8 +806,15 @@ T25_K = 5
 
 
 def t25_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.cache import stage_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
+    # r13 (guide §5): tf feeds BOTH the document-frequency aggregate and
+    # the scoring join — un-persisted, the corpus explode + (doc, term)
+    # groupBy subtree executed twice per run. The table is (doc, term)-
+    # grain (Heaps-bounded, far below the token stream), three narrow
+    # columns — the cheap side of the cache tradeoff.
+    tf = stage_persist(
         docs.select(
             "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
         )
