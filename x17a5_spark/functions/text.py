@@ -59,9 +59,18 @@ def normalized_fingerprint(col: Column | str) -> Column:
     from x17a5_spark.functions.unicode_fold import unicode_fold
 
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(
-        F.lower(F.regexp_replace(F.trim(unicode_fold(c)), r"\s+", " "))
-    )
+    return fingerprint_of_folded(unicode_fold(c))
+
+
+def fingerprint_of_folded(col: Column | str) -> Column:
+    """The post-fold tail of :func:`normalized_fingerprint` — md5 of
+    the whitespace-normalized, lowercased, ALREADY-FOLDED text. For
+    callers that also need the folded text itself (t33 derives
+    ``n_folded`` from it): staging the fold once and fingerprinting
+    the staged column avoids running the ~40-replace fold chain twice
+    per row (r13, guide §1.2 per-task work)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:

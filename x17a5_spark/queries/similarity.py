@@ -109,17 +109,6 @@ N_TABLES = 8
 BITS_PER_TABLE = 3
 
 
-def lsh_bucket_expr(vec: Column, table: int, n_bits: int = BITS_PER_TABLE) -> Column:
-    """Sign-of-projection signature for one hash table: n_bits
-    hyperplanes -> bucket id in [0, 2^n_bits)."""
-    total = F.lit(0)
-    for b in range(n_bits):
-        plane = F.array(*[F.lit(w) for w in _hyperplane(table * n_bits + b)])
-        bit = F.when(_dot(vec, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        total = total + bit
-    return total
-
-
 # SIM2 — multi-table random-hyperplane LSH ANN (the scale path: a
 # candidate is any vector sharing a bucket with the query in *any* of
 # the hash tables — the OR-of-ANDs construction that trades one
@@ -142,26 +131,34 @@ def lsh_bucket_expr(vec: Column, table: int, n_bits: int = BITS_PER_TABLE) -> Co
 # collisions.)
 def s2_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("vec"))
+    # r13 (guide §4.2): bucket assignment rides the d5 Arrow matmul
+    # (3 bits/table) instead of 24 zip_with/aggregate fold chains in
+    # codegen — the folds measured ~175 µs/row (0.46 s for the 2k-row
+    # fixture); only the SIGN of each projection reaches the bucket id,
+    # so numpy's summation order cannot change the output (d5 crossed
+    # the same bridge; oracle stays value-exact). posexplode's position
+    # IS the table id, matching the old struct literals.
+    sig = _bucket_signature_udf(n_bits=BITS_PER_TABLE)
+    # norms once per VECTOR, before the table explode — the old cosine()
+    # re-ran both 64-element norm folds per candidate PAIR (s1's
+    # precompute discipline; measured +0.24 s on 13k pairs). Same float
+    # expression, same order — bit-identical cos_sim.
+    vecs = emb.select(
+        "vec_id", "embedding", _as_double(F.col("embedding")).alias("vec")
+    ).withColumn("norm", _norm(F.col("vec")))
     buckets = vecs.select(
-        "vec_id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        lsh_bucket_expr(F.col("vec"), t).alias("b"),
-                    )
-                    for t in range(N_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-    q_buckets = buckets.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), "t", "b"
+        "vec_id", "vec", "norm", F.posexplode(sig(F.col("embedding"))).alias("t", "b")
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("vec")), 4)
+    q_buckets = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        "t",
+        "b",
+    )
+    sim = F.round(
+        _dot(F.col("q_vec"), F.col("vec")) / (F.col("q_norm") * F.col("norm")), 4
+    )
     candidates = (
         buckets.join(F.broadcast(q_buckets), ["t", "b"])
         .filter(F.col("q_id") != F.col("vec_id"))
@@ -251,18 +248,25 @@ SELECT q_id, rank, c_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
 D5_BITS = 12
 
 
-def _bucket_signature_udf():
+def _bucket_signature_udf(n_bits: int = D5_BITS):
+    """One Arrow-batched (n×64)@(64×(N_TABLES·n_bits)) matmul per vector
+    batch, packed to one bucket int per table — shared by d5 (12
+    bits/table) and s2 (3 bits/table; r13 — the 24-plane JVM fold chain
+    measured ~175 µs/row, the same ~6x-slower-than-numpy finding that
+    motivated this UDF for d5). Table t's bucket packs bit b as 1<<b
+    when plane (t·n_bits + b) projects positive — the closed form
+    S2_SQL/D5's oracles mirror."""
     import numpy as np
     from pyspark.sql.types import ArrayType, IntegerType
 
-    planes = np.array([_hyperplane(i) for i in range(N_TABLES * D5_BITS)])
-    weights = 1 << np.arange(D5_BITS)
+    planes = np.array([_hyperplane(i) for i in range(N_TABLES * n_bits)])
+    weights = 1 << np.arange(n_bits)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def bucket_signature(emb: pd.Series) -> pd.Series:
         m = np.vstack(emb.to_numpy())
         bits = (m @ planes.T) > 0
-        bits = bits.reshape(len(m), N_TABLES, D5_BITS)
+        bits = bits.reshape(len(m), N_TABLES, n_bits)
         return pd.Series(list((bits * weights).sum(axis=2).astype("int32")))
 
     return bucket_signature
@@ -838,35 +842,61 @@ FROM long
 
 def s6_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    long = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "v")
-    ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
-    scales = long.groupBy("vec_id").agg(
-        (F.max(F.abs("v")) / 127.0).alias("scale"),
-        F.count("*").alias("dim"),
+    # r13 (guide §2.4 — remove shuffles outright): the old shape
+    # exploded the 64-d vectors to an element table, groupBy'd it for
+    # the per-vector scale, JOINED the scale back and groupBy'd again —
+    # two exchanges plus a join for math that is row-local. The whole
+    # quantization is per-vector array arithmetic: one scan, one
+    # projection, ZERO exchange. Every per-element expression (round,
+    # clamp, decimal square) is identical to the exploded form, the
+    # decimal sum is exact (order-free), so results are bit-identical
+    # (oracle value-exact).
+    staged = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+        .withColumn(
+            "scale",
+            F.array_max(F.transform(F.col("vec"), lambda x: F.abs(x))) / 127.0,
+        )
     )
-    coded = long.join(scales, "vec_id").select(
+    scale = F.col("scale")
+
+    def _abs_err(x):
+        code = F.least(
+            F.lit(127), F.greatest(F.lit(-127), F.round(x / scale, 0))
+        ).cast("int")
+        return F.abs(x - code * scale)
+
+    # the |err| array is staged ONCE and both aggregates read the
+    # materialized column — two sibling lambdas re-deriving the same
+    # per-element expression in one projection measurably MISCOMPUTED
+    # the max's last ulp under codegen (caught by the oracle; isolated,
+    # either lambda alone is correct), and the staged array is also the
+    # cheaper shape. |err|² == err², so the decimal square is unchanged.
+    staged = staged.withColumn(
+        "_aerr", F.transform(F.col("vec"), _abs_err)
+    )
+    # decimal-division typing must MATCH the old exploded form exactly:
+    # sum over decimal(27,12) returned decimal(37,12) and divided by a
+    # LONG count — a narrower dividend changes the division's result
+    # scale and flips the last rounded digit (caught by the oracle).
+    sum_sq = F.aggregate(
+        F.col("_aerr"),
+        F.lit(0).cast("decimal(27,12)"),
+        lambda acc, e: (
+            acc + F.round(e * e, 12).cast("decimal(27,12)")
+        ).cast("decimal(27,12)"),
+    )
+    return staged.select(
         "vec_id",
-        "dim",
-        "scale",
-        "v",
-        F.least(
-            F.lit(127),
-            F.greatest(F.lit(-127), F.round(F.col("v") / F.col("scale"), 0)),
-        ).cast("int").alias("code"),
-    )
-    err = F.col("v") - F.col("code") * F.col("scale")
-    per_el = coded.select(
-        "vec_id",
-        "dim",
-        "scale",
-        F.round(err * err, 12).cast("decimal(27,12)").alias("sq"),
-        F.abs(err).alias("abs_err"),
-    )
-    return per_el.groupBy("vec_id").agg(
-        F.round(F.max("scale"), 9).alias("scale"),
-        F.round((F.sum("sq") / F.max("dim")).cast("double"), 10).alias("mse"),
-        F.round(F.max("abs_err"), 9).alias("max_abs_err"),
+        F.round(scale, 9).alias("scale"),
+        F.round(
+            (
+                sum_sq.cast("decimal(37,12)")
+                / F.size("vec").cast("long")
+            ).cast("double"),
+            10,
+        ).alias("mse"),
+        F.round(F.array_max("_aerr"), 9).alias("max_abs_err"),
     )
 
 
