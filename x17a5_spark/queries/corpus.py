@@ -1047,7 +1047,12 @@ def e9_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.filter(u < p).select(
         "doc_id", "text", phase.alias("phase"), shard.alias("shard")
     )
-    occ = (
+    from x17a5_spark.cache import stage_persist
+
+    # r13 (guide §5, e8's finding applied here): occ feeds the vocab
+    # distinct AND the per-doc piece rollup — un-persisted, the
+    # kept-filter + corpus explode + groupBy subtree executed twice.
+    occ = stage_persist(
         kept.select(
             "doc_id",
             "phase",

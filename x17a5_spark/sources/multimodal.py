@@ -478,31 +478,49 @@ def sample_frames(
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            ids, idxs, ts, errors = [], [], [], []
+            # per-media box walk stays a Python loop (the decode is the
+            # operator under test); the per-FRAME fan-out is numpy
+            # (r13, guide §4.2) — the old inner loop appended one row
+            # per sampled frame in interpreted Python (~35 frames per
+            # media at the fixture durations).
+            ok_ids, ok_ns, err_ids, err_msgs = [], [], [], []
             for media_id, content in zip(pdf["media_id"], pdf[content_col]):
                 try:
                     if content is None:
                         raise ValueError("null media")
                     dur = decode_mp4_duration(bytes(content))
-                    n = int(dur // stride_sec) + 1
-                    for i in range(n):
-                        ids.append(media_id)
-                        idxs.append(i)
-                        ts.append(i * stride_sec)
-                        errors.append(None)
+                    ok_ids.append(media_id)
+                    ok_ns.append(int(dur // stride_sec) + 1)
                 except Exception as e:  # noqa: BLE001
-                    ids.append(media_id)
-                    idxs.append(None)
-                    ts.append(None)
-                    errors.append(f"{type(e).__name__}: {e}")
-            yield pd.DataFrame(
+                    err_ids.append(media_id)
+                    err_msgs.append(f"{type(e).__name__}: {e}")
+            n = np.asarray(ok_ns, dtype=np.int64)
+            total = int(n.sum())
+            rep_ids = np.repeat(np.asarray(ok_ids, dtype=np.int64), n)
+            # concatenated [0..n_i) ranges without a per-media loop
+            starts = np.cumsum(n) - n
+            idxs = (
+                np.arange(total, dtype=np.int64) - np.repeat(starts, n)
+            ).astype(np.int32)
+            ok = pd.DataFrame(
                 {
-                    "media_id": pd.array(ids, dtype="Int64"),
+                    "media_id": pd.array(rep_ids, dtype="Int64"),
                     "frame_idx": pd.array(idxs, dtype="Int32"),
-                    "t_sec": ts,
-                    "error": errors,
+                    "t_sec": idxs * stride_sec,
+                    "error": pd.Series([None] * total, dtype="object"),
                 }
             )
+            err = pd.DataFrame(
+                {
+                    "media_id": pd.array(err_ids, dtype="Int64"),
+                    "frame_idx": pd.array([None] * len(err_ids), dtype="Int32"),
+                    "t_sec": pd.Series([None] * len(err_ids), dtype="float64"),
+                    "error": pd.Series(err_msgs, dtype="object"),
+                }
+            )
+            yield pd.concat([ok, err], ignore_index=True) if len(err) else ok
 
     return df.mapInPandas(op, schema=FRAME_SCHEMA)
