@@ -759,25 +759,25 @@ def j15_churn_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("lo"), F.max("us").alias("hi")
     )
     with_span = ev.crossJoin(F.broadcast(span))
-    early = (
-        with_span.filter(F.col("us") < F.col("lo") + (F.col("hi") - F.col("lo")) / 2)
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_early"),
-            F.max("us").alias("last_early_us"),
-        )
+    # r13 (guide §2.3/§2.4): the early aggregate and the late-purchase
+    # distinct each re-scanned events and met in an anti join — but
+    # both are per-user facts, so ONE conditional aggregation computes
+    # them in a single pass and the anti join becomes a filter.
+    # Identities: early-grouped rows == users with >= 1 early event
+    # (n_early > 0); anti-join survival == no late purchase (_late
+    # null). Values are the same count/max over the same row sets.
+    mid = F.col("lo") + (F.col("hi") - F.col("lo")) / 2
+    p90 = F.col("lo") + 0.9 * (F.col("hi") - F.col("lo"))
+    is_early = F.col("us") < mid
+    is_late = (F.col("us") >= p90) & (F.col("event_type") == "purchase")
+    per_user = with_span.groupBy("user_id").agg(
+        F.count(F.when(is_early, 1)).alias("n_early"),
+        F.max(F.when(is_early, F.col("us"))).alias("last_early_us"),
+        F.max(F.when(is_late, 1)).alias("_late"),
     )
-    late_users = (
-        with_span.filter(
-            (F.col("us") >= F.col("lo") + 0.9 * (F.col("hi") - F.col("lo")))
-            & (F.col("event_type") == "purchase")
-        )
-        .select("user_id")
-        .distinct()
-    )
-    return early.join(late_users, "user_id", "left_anti").select(
-        "user_id", "n_early", "last_early_us"
-    )
+    return per_user.filter(
+        (F.col("n_early") > 0) & F.col("_late").isNull()
+    ).select("user_id", "n_early", "last_early_us")
 
 
 J15_SQL = """

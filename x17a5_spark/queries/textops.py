@@ -654,9 +654,15 @@ def _t27_col(j, token):
 
 
 def t27_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.cache import stage_persist
+
     docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
-    freq = toks.groupBy("token").agg(F.count("*").alias("true_count"))
+    # r13 (guide §5): freq feeds the sketch fan-out AND the top-k probe
+    # set — un-persisted, the corpus explode + vocab groupBy ran twice.
+    freq = stage_persist(
+        toks.groupBy("token").agg(F.count("*").alias("true_count"))
+    )
     fan = freq.select(
         "token",
         "true_count",
