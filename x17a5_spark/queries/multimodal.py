@@ -252,8 +252,16 @@ M5_PATCH = 32
 
 
 def m5_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from x17a5_spark.cache import stage_persist
+
     media = _fake_media(spark, sf_dir)
-    decoded = decode_metadata(media)
+    # r13 (guide §5): the grid branch and the error branch both read the
+    # decode output — un-persisted, the Python decode round-tripped the
+    # media blobs TWICE. Persist only the narrow metadata (never the
+    # blob — the m6 packed-band discipline: bytes stay out of caches).
+    decoded = stage_persist(
+        decode_metadata(media).select("media_id", "width", "height", "error")
+    )
     good = decoded.filter(F.col("error").isNull())
     nx = (F.col("width") / M5_PATCH).cast("int")
     grid = good.select(

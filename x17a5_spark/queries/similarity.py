@@ -446,13 +446,11 @@ def staged_assignment(
         "norm",
         F.explode(F.sequence(F.lit(0), F.lit(n_supers - 1))).alias("s"),
     )
-    sw = Window.partitionBy("vec_id").orderBy(F.col("cos_s").desc(), F.col("s").asc())
-    best_sup = (
-        sfan.join(F.broadcast(sups), "s")
-        .select("vec_id", "s", cos_s.alias("cos_s"))
-        .withColumn("rk", F.row_number().over(sw))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "s")
+    best_sup = _argmax_packed(
+        sfan.join(F.broadcast(sups), "s").select(
+            "vec_id", "s", cos_s.alias("cos")
+        ),
+        cand_col="s",
     )
     cfan = vecs.join(best_sup, "vec_id").select(
         "vec_id",
@@ -465,13 +463,49 @@ def staged_assignment(
     cos_c = F.round(
         _dot(F.col("vec"), F.col("w")) / (F.col("norm") * F.col("wnorm")), 6
     )
-    cw = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("c").asc())
+    return _argmax_packed(
+        cfan.join(F.broadcast(cents), "c").select(
+            "vec_id", "c", cos_c.alias("cos")
+        ),
+        cand_col="c",
+    ).select("vec_id", F.col("c").alias("cell"))
+
+
+# packed-argmax base: candidate ids live in the low 31 bits, the
+# rounded-micro cosine in the high bits (|cos|<=1 -> |cos_int|<=1e6,
+# so packed <= 2^51 — long-safe for ANY cell count below 2^31).
+_ARGMAX_BASE = 1 << 31
+# null-cosine sentinel: below the legitimate minimum (-1e6), so rows
+# with a null score lose to every scored row but keep the candidate-
+# ascending tiebreak among themselves — exactly row_number's
+# nulls-last ordering.
+_ARGMAX_NULL = -(1 << 21)
+
+
+def _argmax_packed(scored: DataFrame, cand_col: str) -> DataFrame:
+    """(vec_id, cand, cos rounded to 6 dp) -> one winning (vec_id, cand)
+    per vector under (cos DESC, cand ASC) — as max() over ONE packed
+    long instead of a row_number window (r13; the d15/e11
+    packed-winner discipline): HashAggregate with map-side partial
+    combine, no per-partition sort, and the exchange moves one row per
+    (vector, map-partition) instead of one per candidate. cos is
+    already rounded to 6 decimals, so round(cos·1e6) is its exact
+    integer image and distinct rounded values stay distinct."""
+    cos_int = F.coalesce(
+        F.round(F.col("cos") * 1e6, 0).cast("long"), F.lit(_ARGMAX_NULL)
+    )
+    packed = cos_int * _ARGMAX_BASE + (
+        F.lit(_ARGMAX_BASE - 1) - F.col(cand_col)
+    )
     return (
-        cfan.join(F.broadcast(cents), "c")
-        .select("vec_id", "c", cos_c.alias("cos_c"))
-        .withColumn("rk", F.row_number().over(cw))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("c").alias("cell"))
+        scored.groupBy("vec_id")
+        .agg(F.max(packed).alias("_pk"))
+        .select(
+            "vec_id",
+            (
+                F.lit(_ARGMAX_BASE - 1) - F.pmod(F.col("_pk"), F.lit(_ARGMAX_BASE))
+            ).cast("int").alias(cand_col),
+        )
     )
 
 
