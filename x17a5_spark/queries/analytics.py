@@ -292,14 +292,21 @@ def a21_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
     )
-    cohort = ev.groupBy("user_id").agg(
-        F.floor(F.min("us") / _US_PER_DAY).cast("long").alias("cohort_day")
-    )
-    marked = ev.join(cohort, "user_id").select(
+    # r13 (guide §2.3): the per-user first-event day rides an UNORDERED
+    # window min instead of the old groupBy(user_id) + join-back — one
+    # hash exchange of the event stream serves both the min and the
+    # week arithmetic, where the old shape scanned events twice and at
+    # scale (cohort table too big to broadcast) would shuffle BOTH join
+    # sides plus the aggregate. floor(min/day) over the identical rows
+    # == the old aggregate exactly; the join was inner on user_id (every
+    # event's user has a cohort row by construction), so row sets match.
+    uw = Window.partitionBy("user_id")
+    cohort_day = F.floor(F.min("us").over(uw) / _US_PER_DAY).cast("long")
+    marked = ev.select(
         "user_id",
-        "cohort_day",
+        cohort_day.alias("cohort_day"),
         F.floor(
-            (F.col("us") - F.col("cohort_day") * _US_PER_DAY)
+            (F.col("us") - cohort_day * _US_PER_DAY)
             / (7 * _US_PER_DAY)
         )
         .cast("long")
@@ -463,6 +470,11 @@ def a24_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts").cast("timestamp")) / _A24_US_PER_DAY
         ).cast("long").alias("day"),
     )
+    # r13: stage_persist(active) was A/B'd and REJECTED (single-JVM
+    # interleaved, median-of-9: persisted 1.20 s vs 0.49 s plain —
+    # caching the (user, day) distinct costs ~2.4x what the re-derived
+    # scan+distinct subtree costs; the t13/t25 persist wins all cover
+    # EXPLODE-heavy subtrees, which this is not).
     active = ev.distinct()
     dau = active.groupBy("day").agg(F.count("*").alias("dau"))
     covered = active.select(

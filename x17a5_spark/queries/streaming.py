@@ -722,14 +722,27 @@ def st10_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour_start"),
         "event_type",
     ).agg(F.count("*").alias("n"))
-    tot = hourly.groupBy("hour_start").agg(F.sum("n").cast("long").alias("n_hour"))
+    # r13 (guide §2.3): the hour total rides an UNORDERED window over
+    # the same hour_start partitioning the rank window already
+    # exchanges on — the old groupBy(hour_start)+join re-derived the
+    # hourly aggregate subtree (scan + explode-free but still a second
+    # exchange) and recombined through a join. sum over the partition
+    # == the old per-hour groupBy sum exactly (same long addition over
+    # the same rows; every hour has >= 1 row so the old inner join
+    # never dropped a row either).
     w = Window.partitionBy("hour_start").orderBy(
         F.col("n").desc(), F.col("event_type").asc()
     )
+    tw = Window.partitionBy("hour_start")
     return (
-        hourly.withColumn("rank", F.row_number().over(w))
+        hourly.select(
+            "hour_start",
+            "event_type",
+            "n",
+            F.row_number().over(w).alias("rank"),
+            F.sum("n").over(tw).cast("long").alias("n_hour"),
+        )
         .filter(F.col("rank") <= ST10_K)
-        .join(tot, "hour_start")
         .select(
             "hour_start",
             "rank",

@@ -898,25 +898,40 @@ FROM ranked WHERE rank <= {T25_K}
 
 
 def t26_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents", fanout=True)
     tok = docs.select("source", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
     counts = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
-    totals = counts.groupBy("source").agg(
-        F.sum("c").cast("long").alias("n_tokens"),
-        F.count("*").alias("vocab"),
-    )
+    # r13 (guide §2.3): the per-source token total rides an UNORDERED
+    # window over counts instead of a separate totals aggregate — the
+    # old shape derived the corpus explode + (source, tok) groupBy
+    # subtree TWICE (once for totals, once for the entropy join) and
+    # recombined through two joins. stage_persist(counts) was A/B'd
+    # first and REJECTED (single-JVM interleaved, median-of-9: persisted
+    # 1.14 s vs 0.80 s baseline — caching the vocab-scale table costs
+    # more than the re-derive saved). The window form runs ONE explode,
+    # zero joins: sum(c) over source == the old groupBy sum exactly
+    # (same long addition over the same rows), p and the rounded
+    # decimal plp terms are unchanged, and the final per-source fold is
+    # the same -sum. Every source has >= 1 token row, so the old inner
+    # joins never dropped rows either.
+    sw = Window.partitionBy("source")
+    with_tot = counts.withColumn("n_tokens", F.sum("c").over(sw).cast("long"))
     p = F.col("c") / F.col("n_tokens")
     plp = F.round(p * F.log(p), 9).cast("decimal(27,12)")
-    ent = (
-        counts.join(totals.select("source", "n_tokens"), "source")
-        .groupBy("source")
-        .agg((-F.sum(plp)).cast("double").alias("h_raw"))
-    )
-    return totals.join(ent, "source").select(
-        "source",
-        "n_tokens",
-        F.col("vocab").alias("vocab_size"),
-        F.round("h_raw", 6).alias("entropy_nats"),
+    return (
+        with_tot.groupBy("source", "n_tokens")
+        .agg(
+            F.count("*").alias("vocab_size"),
+            (-F.sum(plp)).cast("double").alias("h_raw"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab_size",
+            F.round("h_raw", 6).alias("entropy_nats"),
+        )
     )
 
 
