@@ -31,23 +31,37 @@ LIABLE_RE = re.compile("liability|liabilities", re.I)
 
 def bs_split_kernel(items: list[str]) -> tuple[int, int] | None:
     """Pure kernel: (stop1, stop2) bounds, or None if a side is missing."""
-    n = len(items)
+    hits_a = [
+        ASSET_RE.search(it) is not None if isinstance(it, str) else False
+        for it in items
+    ]
+    hits_l = [
+        LIABLE_RE.search(it) is not None if isinstance(it, str) else False
+        for it in items
+    ]
+    return bs_split_kernel_flags(hits_a, hits_l)
+
+
+def bs_split_kernel_flags(hits_a, hits_l) -> tuple[int, int] | None:
+    """The bisection fold over PRE-MATCHED term flags (r13, guide §4.2:
+    the batch path vectorizes the two regex passes with pandas'
+    C-level ``.str.contains`` over the whole Arrow batch and hands this
+    fold plain booleans — the per-row Python ``re.search`` calls were
+    the kernel's hot loop). ``bs_split_kernel`` delegates here, so the
+    fused==composition pin also pins flags==search semantics."""
+    n = len(hits_a)
     stop1, stop2 = 0, n
     asset_idx = liable_idx = 0
-    m1 = m2 = None
-    for i, item in enumerate(items):
-        text = item if isinstance(item, str) else ""
-        m1 = ASSET_RE.search(text)
-        m2 = LIABLE_RE.search(text)
-        if m1 is not None:
+    for i in range(n):
+        if hits_a[i]:
             asset_idx = i + 1
-        if m2 is not None:
+        if hits_l[i]:
             liable_idx = i + 1
         if asset_idx and liable_idx and asset_idx < liable_idx:
             stop1, stop2 = asset_idx, liable_idx
     if asset_idx and not liable_idx:
         stop1 = asset_idx
-    if m1 is None and m2 is None:  # last row matched neither term
+    if n and not hits_a[-1] and not hits_l[-1]:  # last row matched neither
         stop2 = n
     if stop1 == 0 or stop2 - stop1 <= 0:
         return None
@@ -145,12 +159,29 @@ def bisect_and_remove_subtotals(
         starts = np.flatnonzero(change).tolist() + [n]
         items_all = pdf[item_col].tolist()
         values_all = pdf[value_col].tolist()
+        # r13 (guide §4.2): all four term regexes run ONCE per batch at
+        # pandas C speed; the sequential folds below consume plain
+        # boolean lists. Semantics identical to the per-row re.search
+        # (same compiled patterns, na=False == the kernels' non-str
+        # guard); pinned by test_fused_tail_equals_composition.
+        it_s = pdf[item_col]
+        hits_a = it_s.str.contains(ASSET_RE, na=False).tolist()
+        hits_l = it_s.str.contains(LIABLE_RE, na=False).tolist()
+        from x17a5_spark.operators.totals_check import (
+            TOTAL_ASSET_RE,
+            TOTAL_LE_RE,
+        )
+
+        hits_t = (
+            it_s.str.contains(TOTAL_ASSET_RE, na=False)
+            | it_s.str.contains(TOTAL_LE_RE, na=False)
+        ).tolist()
         keep_idx: list[int] = []
         sides: list[str] = []
         flags: list[int] = []
         amts: list[float] = []
         for s, e in zip(starts[:-1], starts[1:]):
-            bounds = bs_split_kernel(items_all[s:e])
+            bounds = bs_split_kernel_flags(hits_a[s:e], hits_l[s:e])
             if bounds is None:
                 continue
             stop1, stop2 = bounds
@@ -161,7 +192,9 @@ def bisect_and_remove_subtotals(
                 if hi <= lo:
                     continue
                 keep, flag, amt = totals_check_kernel(
-                    items_all[s + lo : s + hi], values_all[s + lo : s + hi]
+                    items_all[s + lo : s + hi],
+                    values_all[s + lo : s + hi],
+                    total_hits=hits_t[s + lo : s + hi],
                 )
                 for k in keep:
                     keep_idx.append(s + lo + k)

@@ -41,7 +41,11 @@ NO_TOTAL, TOTAL_EXPLAINED, TOTAL_UNEXPLAINED = 2, 1, 0
 def _is_power_of_ten_or_digit_drop(x1: float, x2: float) -> tuple[float, bool]:
     """multiple_check semantics: x2 = x1 × 10^k, or str(x2) a substring
     of str(x1) one char shorter (dropped leading digit)."""
-    if x1 == 0 or x2 == 0 or pd.isna(x1) or pd.isna(x2):
+    if (
+        x1 == 0 or x2 == 0
+        or x1 is None or x1 != x1  # pd.isna on scalar floats (r13)
+        or x2 is None or x2 != x2
+    ):
         return x1, False
     ratio = x2 / x1
     if ratio > 0 and math.log10(ratio).is_integer():
@@ -55,7 +59,11 @@ def _is_power_of_ten_or_digit_drop(x1: float, x2: float) -> tuple[float, bool]:
 def _is_epsilon_match(x1: float, x2: float, tol: float = 0.01) -> bool:
     """epsilon_error semantics: equal-length decimal renderings differing
     in exactly one character, relative difference within tol."""
-    if x1 == 0 or x2 == 0 or pd.isna(x1) or pd.isna(x2):
+    if (
+        x1 == 0 or x2 == 0
+        or x1 is None or x1 != x1  # pd.isna on scalar floats (r13)
+        or x2 is None or x2 != x2
+    ):
         return False
     s1, s2 = str(x1), str(x2)
     if len(s1) != len(s2):
@@ -67,7 +75,9 @@ def _is_epsilon_match(x1: float, x2: float, tol: float = 0.01) -> bool:
 
 
 def totals_check_kernel(
-    items: list[str], values: list[float]
+    items: list[str],
+    values: list[float],
+    total_hits: list[bool] | None = None,
 ) -> tuple[list[int], int, float]:
     """Pure sequential kernel. Returns (surviving positional indices,
     total_flag, total_amt). Positions are 0-based into the input lists.
@@ -75,6 +85,17 @@ def totals_check_kernel(
     Survivor bookkeeping mirrors the reference's label-based ``.loc``
     lookback: the window ``i-j-1 .. i-1`` addresses *original* positions
     but sums only rows not yet dropped.
+
+    ``total_hits`` (r13, guide §4.2): optional PRE-MATCHED total-name
+    flags — the batched caller vectorizes the two regexes with pandas'
+    C-level ``.str.contains`` over the whole Arrow batch instead of two
+    Python ``re.search`` calls per row here. ``None`` keeps the
+    self-contained per-row matching (the grouped path and the direct
+    kernel tests), and the fused==composition pin proves the two
+    matchings agree. NaN tests use the float identity ``v != v`` (plus
+    a ``None`` guard) — exactly ``pd.isna`` on the scalar floats these
+    lists hold, without the per-call pandas dispatch in the O(m^2)
+    lookback loop.
     """
     m = len(items)
     alive = [True] * m
@@ -82,11 +103,17 @@ def totals_check_kernel(
 
     for i in range(m):
         item1 = values[i]
-        name = items[i] if isinstance(items[i], str) else ""
-        is_total = bool(TOTAL_ASSET_RE.search(name)) or bool(TOTAL_LE_RE.search(name))
+        if total_hits is None:
+            name = items[i] if isinstance(items[i], str) else ""
+            is_total = bool(TOTAL_ASSET_RE.search(name)) or bool(
+                TOTAL_LE_RE.search(name)
+            )
+        else:
+            is_total = total_hits[i]
         if is_total:
             total_flag, total_amt = TOTAL_UNEXPLAINED, item1
 
+        item1_na = item1 is None or item1 != item1
         for j in range(i):
             window = [
                 values[k]
@@ -96,8 +123,10 @@ def totals_check_kernel(
             if not window:
                 continue
             # pandas .sum() treats NaN as 0 (empty-window handled above)
-            item2 = sum(v for v in window if not pd.isna(v))
-            check1 = (not pd.isna(item1)) and item1 == item2
+            item2 = sum(
+                v for v in window if not (v is None or v != v)
+            )
+            check1 = (not item1_na) and item1 == item2
             val, check2 = _is_power_of_ten_or_digit_drop(item1, item2)
             check3 = _is_epsilon_match(item1, item2)
             if check1 or check2 or check3:

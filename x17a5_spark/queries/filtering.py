@@ -414,28 +414,43 @@ def t22_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from x17a5_spark.cache import stage_persist
 
     segs = stage_persist(segs, StorageLevel.MEMORY_AND_DISK)
-    # ^ three consumers (df table, removal join, per-doc stats) — the
-    # persist stops each from re-running the corpus-wide explode
+    # ^ two consumers (df table, removal join) — the persist stops each
+    # from re-running the corpus-wide explode
     df_counts = segs.groupBy("seg").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    kept = segs.join(df_counts, "seg").filter(F.col("df") < T22_DF)
-    reasm = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "seg"))),
-                lambda s: s["seg"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    stats = segs.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
-    return stats.join(reasm, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-        "n_segments",
+    # r13 (guide §2.3): the filtered reassembly, the kept count AND the
+    # unfiltered per-doc segment count ride ONE groupBy over the df
+    # join — collect_list skips the nulls a failed when() emits, so
+    # sorting the conditionally-collected structs reassembles exactly
+    # the old kept-row list. The old shape ran a THIRD segs read for
+    # stats, a separate kept groupBy, and a final left join; a doc
+    # whose every segment is boilerplate collects an empty list ->
+    # array_join('') and n_kept 0, identical to the old left-join
+    # coalesce path. Docs with zero segments appear in neither shape.
+    keep = F.col("df") < T22_DF
+    joined = segs.join(df_counts, "seg")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.when(keep, F.struct("pos", "seg")))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.count("*").alias("n_segments"),
+        )
+        .select(
+            "doc_id",
+            "clean_text",
+            (F.col("n_segments") - F.col("n_kept")).alias("n_removed"),
+            "n_segments",
+        )
     )
 
 
