@@ -1896,11 +1896,20 @@ def t34_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fanout=True).select(
         "doc_id", "text"
     )
-    toks = tokens(F.col("text"))
-    spam = docs.filter(F.size(toks) >= 1).select(
+    # stage the token array ONCE per row at every consumption site (the
+    # e4/t33 staged-projection discipline, r14): codegen CSE does not
+    # fold the regex split across the HOF lambdas, so the un-staged form
+    # re-split every document FIVE times (size, the z-term size, the
+    # weight transform, array_distinct, the char-length transform —
+    # plans/r14/t34_before.txt). Multi-referenced non-cheap aliases are
+    # exempt from CollapseProject, so _toks genuinely materializes once.
+    docs_t = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("_toks")
+    )
+    spam = docs_t.filter(F.size("_toks") >= 1).select(
         guarded_twin_id(F.col("doc_id"), 2, "t34").alias("doc_id"),
         F.trim(
-            F.repeat(F.concat(F.element_at(toks, 1), F.lit(" ")), 60)
+            F.repeat(F.concat(F.element_at("_toks", 1), F.lit(" ")), 60)
         ).alias("text"),
     )
     gib = docs.select(
@@ -1911,11 +1920,11 @@ def t34_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     aug = docs.unionByName(spam).unionByName(gib)
-    t = tokens(F.col("text"))
-    scored = aug.select(
+    staged = aug.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    scored = staged.select(
         "doc_id",
-        F.size(t).alias("n_tokens"),
-        quality_z_scaled(t).alias("z_micro"),
+        F.size("_toks").alias("n_tokens"),
+        quality_z_scaled(F.col("_toks")).alias("z_micro"),
     )
     return scored.select(
         "doc_id",
