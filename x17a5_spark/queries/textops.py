@@ -736,9 +736,24 @@ def t21_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
-    ranked = vocab.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("token"))),
+    # r14 (guide §2.3 — shuffle fewer bytes): the regression sums are
+    # invariant to rank ASSIGNMENT within a frequency tie — y is
+    # constant inside a tie block and the block's rank set is
+    # {offset+1 .. offset+cnt} whichever token gets which rank — so the
+    # global row_number needs no token tiebreak and the token strings
+    # need not enter the single-partition sort at all: rank over a
+    # freq-only projection, ≈10x narrower exchange. Two full
+    # decompositions of the sort were built, oracle-verified and
+    # REJECTED by measurement this round (r14): (a) per-freq-block rank
+    # enumeration via chunked sequence()+explode — 0.85 -> 1.12 s at
+    # sf0.1, 0.97 -> 1.58 s at 20x (row machinery for V rank rows costs
+    # more than the narrow sort it replaces); (b) per-chunk decimal HOF
+    # folds with no rank rows — 0.68 -> 0.76 s / 0.65 -> 0.82 s (extra
+    # exchanges + sequence materialization still beat the sort's cost).
+    # The vocab-wide sort itself stays the documented Heaps-bounded
+    # residual (SCALE.md): its input is (freq) longs, not tokens.
+    ranked = vocab.select("freq").withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("freq").desc()))
     )
     pts = ranked.select(
         F.round(F.log("rank"), 9).alias("x"), F.round(F.log("freq"), 9).alias("y")
