@@ -77,6 +77,15 @@ def pivot_by_label(
     labeled = long_df.join(F.broadcast(label_map), "lineitem", "inner").select(
         *KEY_COLS, "label", "value"
     )
+    # r14: dropping this explicit repartition (to let the pivot partial-
+    # aggregate map-side and shuffle combined rows instead of raw long
+    # rows, guide §2.3) was A/B'd and REJECTED — e3 1.79 -> 2.83 s,
+    # e3l 1.97 -> 2.97 s (median-of-9 interleaved, oracle-green before
+    # reverting). With only ~2-4 line items per filing the partial
+    # hash-aggregate (wide string keys x 25 decimal accumulators, twice)
+    # costs more per row than the narrow labeled exchange it saves, and
+    # the keep-first window loses its shared partitioning and adds an
+    # exchange of the pivoted table. The one wide exchange stays.
     return (
         labeled.repartition("cik", "fiscal_year")
         .groupBy(*KEY_COLS)

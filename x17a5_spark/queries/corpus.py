@@ -773,14 +773,6 @@ def e6_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = stage_persist(base)
 
-    s1 = base.filter(F.col("pred_lang") != "unknown")
-    s2 = s1.filter(F.col("quality") >= QUALITY_GATE)
-    keep_w = Window.partitionBy("fp").orderBy("doc_id")
-    s3 = (
-        s2.withColumn("_rn", F.row_number().over(keep_w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
     # decontamination: bigram containment vs the eval split (t11)
     grams = base.select(
         "doc_id", "is_eval", F.explode(word_shingles(F.col("text"), 2)).alias("gram")
@@ -810,40 +802,60 @@ def e6_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cg") / F.col("tg")).alias("cfrac"),
         )
     )
-    s4 = (
-        s3.filter(~F.col("is_eval"))
-        .join(frac, "doc_id", "left")
-        .filter(F.coalesce("cfrac", F.lit(0.0)) <= 0.8)
-    )
-    # per-source quota with the d10 count-adaptive pre-filter
-    counts = s4.groupBy("source").agg(F.count("*").alias("n_src"))
+    # r14 (guide §2.3/§7.2 — the a27/v1 fold at funnel grain): the six
+    # per-stage counts used to be SIX aggregate branches unioned, each
+    # re-deriving its whole chain from the cached base — the fp
+    # keep-first window ran 3x, the decontamination join (and its
+    # corpus-sized gram explode) 2x, the quota windows once each. The
+    # survival of a row at every stage is expressible as CUMULATIVE
+    # per-row flags in ONE pass, so the chain now runs exactly once and
+    # one groupBy(source) folds all six counts (exploded in place as
+    # (stage, n_kept) structs). Flag identities, each proven against
+    # the old filter chain:
+    #   c3 keep-first == c2 AND doc_id == min(doc_id among c2) over fp
+    #     (row_number==1 ordered by the unique doc_id == the min);
+    #   c5 quota rank == running count of qualifying rows over the SAME
+    #     (h, doc_id) total order the old row_number sorted by.
     u = F.conv(F.substring("h", 1, 15), 16, 10).cast("double") / F.lit(float(1 << 60))
-    qw = Window.partitionBy("source").orderBy("h", "doc_id")
-    s5 = (
-        s4.join(F.broadcast(counts), "source")
-        .withColumn("u", u)
-        .filter(
-            F.col("u") <= F.least(F.lit(1.0), F.lit(4.0 * E6_QUOTA) / F.col("n_src"))
+    c1 = F.col("pred_lang") != "unknown"
+    c2 = c1 & (F.col("quality") >= QUALITY_GATE)
+    fp_w = Window.partitionBy("fp")
+    first_c2 = F.min(F.when(c2, F.col("doc_id"))).over(fp_w)
+    flagged = (
+        base.withColumn("_c2", c2)
+        .withColumn("_c3", c2 & (F.col("doc_id") == first_c2))
+        .join(frac, "doc_id", "left")
+        .withColumn(
+            "_c4",
+            F.col("_c3")
+            & ~F.col("is_eval")
+            & (F.coalesce("cfrac", F.lit(0.0)) <= 0.8),
         )
-        .withColumn("rk", F.row_number().over(qw))
-        .filter(F.col("rk") <= E6_QUOTA)
     )
-
-    stages = [
-        ("1_raw", base),
-        ("2_lang", s1),
-        ("3_quality", s2),
-        ("4_dedup", s3),
-        ("5_decontam", s4),
-        ("6_quota", s5),
+    src_w = Window.partitionBy("source")
+    ord_w = Window.partitionBy("source").orderBy("h", "doc_id")
+    n_src = F.sum(F.col("_c4").cast("long")).over(src_w)
+    pre = F.col("_c4") & (
+        u <= F.least(F.lit(1.0), F.lit(4.0 * E6_QUOTA) / n_src)
+    )
+    crk = F.sum(F.when(pre, F.lit(1)).otherwise(F.lit(0))).over(ord_w)
+    flagged = flagged.withColumn("_c5", pre & (crk <= E6_QUOTA))
+    per_src = flagged.groupBy("source").agg(
+        F.count("*").alias("n1"),
+        F.sum(c1.cast("long")).alias("n2"),
+        F.sum(F.col("_c2").cast("long")).alias("n3"),
+        F.sum(F.col("_c3").cast("long")).alias("n4"),
+        F.sum(F.col("_c4").cast("long")).alias("n5"),
+        F.sum(F.col("_c5").cast("long")).alias("n6"),
+    )
+    names = ["1_raw", "2_lang", "3_quality", "4_dedup", "5_decontam", "6_quota"]
+    entries = [
+        F.struct(F.lit(nm).alias("stage"), F.col(f"n{i}").alias("n_kept"))
+        for i, nm in enumerate(names, start=1)
     ]
-    out = None
-    for name, frame in stages:
-        agg = frame.groupBy("source").agg(F.count("*").alias("n_kept")).select(
-            F.lit(name).alias("stage"), "source", "n_kept"
-        )
-        out = agg if out is None else out.unionByName(agg)
-    return out
+    return per_src.select(
+        "source", F.explode(F.array(*entries)).alias("e")
+    ).select("e.stage", "source", "e.n_kept")
 
 
 def _e6_sql() -> str:
