@@ -1046,28 +1046,49 @@ def e7_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_docs = aug_src.groupBy("source").agg(F.count("*").alias("n_docs"))
-    involved = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-        .join(aug_src, "doc_id")
-        .groupBy("source")
-        .agg(F.count("*").alias("n_near_dup_docs"))
-    )
+    # r14 (guide §7.2 — duplicated subtrees; §1.2 planning cost): the
+    # audit used to reference the pair table THREE times (two
+    # involved-union legs + the per-pair rollup); even with the pairs
+    # persisted, every reference embeds d3's full logical subtree, so
+    # each bench rep re-planned it three times (~0.4 s/rep of pure
+    # driver planning, measured via queryExecution().executedPlan()).
+    # One exploded legs view folds all three rollups into a single
+    # aggregation — countDistinct(doc_id) IS the involved-docs count
+    # (doc -> source is functional), and the id_a-keyed pair stats are
+    # conditional sums over the leg marker. Sources whose docs only
+    # appear as id_b keep the old null semantics: n_pairs sums to 0 and
+    # jac_sum stays NULL, so avg_jaccard coalesces to 0.0 exactly as
+    # the old left-join path did.
     jac_micro = F.round(F.col("jaccard") * 1e6).cast("long")
-    per_pair = (
-        pairs.join(
-            aug_src.select(F.col("doc_id").alias("id_a"), "source"), "id_a"
-        )
+    legs = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_id"),
+                    F.lit(1).alias("leg"),
+                    jac_micro.alias("jm"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_id"),
+                    F.lit(2).alias("leg"),
+                    jac_micro.alias("jm"),
+                ),
+            )
+        ).alias("l")
+    ).select("l.doc_id", "l.leg", "l.jm")
+    stats = (
+        legs.join(aug_src, "doc_id")
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(jac_micro).cast("long").alias("jac_sum"),
+            F.count_distinct(F.col("doc_id")).alias("n_near_dup_docs"),
+            F.sum((F.col("leg") == 1).cast("long")).alias("n_pairs"),
+            F.sum(F.when(F.col("leg") == 1, F.col("jm"))).cast("long").alias(
+                "jac_sum"
+            ),
         )
     )
     return (
-        n_docs.join(involved, "source", "left")
-        .join(per_pair, "source", "left")
+        n_docs.join(stats, "source", "left")
         .select(
             "source",
             "n_docs",
