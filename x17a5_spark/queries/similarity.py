@@ -436,6 +436,16 @@ def staged_assignment(
     Per vector: n_supers super scores, then fan child scores of the
     winning super only — the explode never scales with total cell
     count. Both joins broadcast the (tiny) codebook side.
+
+    r14: a zero-exchange variant (codebook attached as ONE broadcast
+    row of index-aligned struct arrays, both argmax levels as
+    array_max over the same packed longs, fused into the scan) was
+    built, oracle-verified and REJECTED by measurement — steady-state
+    interleaved A/B s3 1.06 -> 1.71 s, d8 1.42 -> 1.60 s at sf0.1.
+    Nested HOF evaluation (transform -> aggregate -> zip_with) plus the
+    per-action broadcast rebuild cost more than the two map-side-
+    combined (vec_id, packed) exchanges they removed. The groupBy form
+    below stays: its exchanges move one narrow row per vector.
     """
     cos_s = F.round(
         _dot(F.col("vec"), F.col("w")) / (F.col("norm") * F.col("wnorm")), 6
