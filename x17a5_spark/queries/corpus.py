@@ -487,15 +487,29 @@ def e5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from x17a5_spark.cache import stage_persist as _sp
 
-    efp = existing.select(normalized_fingerprint(F.col("text")).alias("fp")).distinct()
-    bfp = _sp(
+    # r14 (guide §7.2 — duplicated subtrees): the exact-dup SEMI join
+    # and the novel ANTI join are complementary splits of the same
+    # batch-vs-existing fingerprint probe, but as two joins each
+    # re-derived the existing-corpus side — the ~40-replace Unicode
+    # fold over 2/3 of the corpus plus its distinct ran TWICE per
+    # execution. One left join against the distinct existing-fp set
+    # with a hit marker computes both splits in one pass (at most one
+    # match per row because efp is distinct, so no multiplication);
+    # the persisted table moves from bfp to the tagged join output so
+    # every downstream reader still hits one cache.
+    efp = (
+        existing.select(normalized_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tagged = _sp(
         batch.select(
             "doc_id", "text", normalized_fingerprint(F.col("text")).alias("fp")
-        ),
+        ).join(efp, "fp", "left"),
         _SL.MEMORY_AND_DISK,
     )
-    exact_dup = bfp.join(efp, "fp", "left_semi").select("doc_id")
-    novel = bfp.join(efp, "fp", "left_anti")
+    exact_dup = tagged.filter(F.col("_hit").isNotNull()).select("doc_id")
+    novel = tagged.filter(F.col("_hit").isNull())
 
     def shingle(df: DataFrame, idc: str) -> DataFrame:
         return df.select(
@@ -549,9 +563,10 @@ def e5_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_dup.select("doc_id", F.lit("exact_dup").alias("verdict"))
         .unionByName(near_dup.select("doc_id", F.lit("near_dup").alias("verdict")))
     )
-    # read the id list off the persisted bfp rather than re-deriving
-    # the batch union a fourth time (same doc_id set by construction)
-    return bfp.select("doc_id").join(verdicts, "doc_id", "left").select(
+    # read the id list off the persisted tagged table rather than
+    # re-deriving the batch union a fourth time (same doc_id set by
+    # construction)
+    return tagged.select("doc_id").join(verdicts, "doc_id", "left").select(
         "doc_id", F.coalesce("verdict", F.lit("ingested")).alias("verdict")
     )
 
