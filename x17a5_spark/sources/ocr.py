@@ -98,17 +98,43 @@ class OcrSource:
         max_retries = self.max_retries
         backoff_s = self.backoff_s
 
+        _COLS = [
+            "cik",
+            "filing_date",
+            "page",
+            "table_idx",
+            "row_idx",
+            "col0",
+            "col1",
+            "col2",
+            "confidence",
+            "error",
+        ]
+        _CELL_COLS = (
+            "page", "table_idx", "row_idx", "col0", "col1", "col2",
+            "confidence",
+        )
+
         def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             backend = backend_factory()  # one client per partition
             for pdf in batches:
-                out_rows = []
-                for _, row in pdf.iterrows():
-                    doc_id = f"{row['cik']}-{row['filing_date']}"
+                # r14 (guide §4.2): the cell fan-out is columnar — the
+                # old dict-per-cell rows + pd.DataFrame(list-of-dicts)
+                # paid a per-key dict scan for every OCR cell. The
+                # backend lifecycle per document (start/poll/fetch with
+                # retries — the operator under test) is unchanged; only
+                # the batch assembly is vectorized. iterrows() -> zip
+                # for the same reason.
+                out: dict[str, list] = {c: [] for c in _COLS}
+                for cik, fdate, content in zip(
+                    pdf["cik"], pdf["filing_date"], pdf["content"]
+                ):
+                    doc_id = f"{cik}-{fdate}"
                     err = None
                     cells: list[dict] = []
                     for attempt in range(max_retries):
                         try:
-                            job = backend.start(doc_id, row["content"])
+                            job = backend.start(doc_id, content)
                             while not backend.poll(job):
                                 time.sleep(backoff_s)
                             cells = backend.fetch(job)
@@ -118,45 +144,20 @@ class OcrSource:
                             err = f"{type(e).__name__}: {e}"
                             time.sleep(backoff_s * (attempt + 1))
                     if err is not None:
-                        out_rows.append(
-                            {
-                                "cik": row["cik"],
-                                "filing_date": row["filing_date"],
-                                "page": None,
-                                "table_idx": None,
-                                "row_idx": None,
-                                "col0": None,
-                                "col1": None,
-                                "col2": None,
-                                "confidence": None,
-                                "error": err,
-                            }
-                        )
+                        out["cik"].append(cik)
+                        out["filing_date"].append(fdate)
+                        for c in _CELL_COLS:
+                            out[c].append(None)
+                        out["error"].append(err)
                     else:
-                        for c in cells:
-                            out_rows.append(
-                                {
-                                    "cik": row["cik"],
-                                    "filing_date": row["filing_date"],
-                                    "error": None,
-                                    **c,
-                                }
-                            )
-                yield pd.DataFrame(
-                    out_rows,
-                    columns=[
-                        "cik",
-                        "filing_date",
-                        "page",
-                        "table_idx",
-                        "row_idx",
-                        "col0",
-                        "col1",
-                        "col2",
-                        "confidence",
-                        "error",
-                    ],
-                )
+                        n = len(cells)
+                        out["cik"].extend([cik] * n)
+                        out["filing_date"].extend([fdate] * n)
+                        for c in _CELL_COLS:
+                            col = out[c]
+                            col.extend(cell[c] for cell in cells)
+                        out["error"].extend([None] * n)
+                yield pd.DataFrame(out, columns=_COLS)
 
         return docs.mapInPandas(op, schema=OCR_OUTPUT_SCHEMA)
 
