@@ -164,7 +164,14 @@ def bisect_and_remove_subtotals(
         # boolean lists. Semantics identical to the per-row re.search
         # (same compiled patterns, na=False == the kernels' non-str
         # guard); pinned by test_fused_tail_equals_composition.
+        # r14 (ADVICE r13): .str.contains raises on non-string
+        # non-null values where the per-row kernels' isinstance guards
+        # tolerated them — pre-mask to strings so the invariant is
+        # enforced, not assumed (Arrow string columns yield str/None
+        # today; this guards any future non-Arrow caller).
         it_s = pdf[item_col]
+        if it_s.dtype == object:
+            it_s = it_s.where(it_s.map(lambda v: isinstance(v, str)))
         hits_a = it_s.str.contains(ASSET_RE, na=False).tolist()
         hits_l = it_s.str.contains(LIABLE_RE, na=False).tolist()
         from x17a5_spark.operators.totals_check import (

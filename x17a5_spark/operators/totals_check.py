@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 
 TOTAL_ASSET_RE = re.compile(r"total assets$|^total assets\(|^total assets \(", re.I)
 TOTAL_LE_RE = re.compile(
-    r"(?=.*(liability|liabilities))(?=.*(equity|deficit|capital))", re.I
+    r"(?=.*(?:liability|liabilities))(?=.*(?:equity|deficit|capital))", re.I
 )
 
 # total_flag encoding (reference :128)

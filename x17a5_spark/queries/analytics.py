@@ -300,6 +300,12 @@ def a21_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides plus the aggregate. floor(min/day) over the identical rows
     # == the old aggregate exactly; the join was inner on user_id (every
     # event's user has a cohort row by construction), so row sets match.
+    # r14 (ADVICE r13): the old inner join (and the oracle's JOIN USING)
+    # DROPPED null-user events, while a window would give nulls their
+    # own partition — events.user_id has no nulls at any SF today, but
+    # the filter makes the equivalence hold by construction rather than
+    # by fixture luck.
+    ev = ev.filter(F.col("user_id").isNotNull())
     uw = Window.partitionBy("user_id")
     cohort_day = F.floor(F.min("us").over(uw) / _US_PER_DAY).cast("long")
     marked = ev.select(
